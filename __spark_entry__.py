@@ -1,38 +1,534 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 (plus the
+large-scale extension operators) over the driver-generated tables in
+``/root/testdata``; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL.
+
+Cross-engine determinism rules used throughout (see tests/test_oracle.py,
+which mirrors the driver's comparison locally):
+
+- Money/measure aggregates go through DECIMAL casts so sums are exact in
+  both engines, then cast to DOUBLE so the output schema is a plain float
+  (Spark and DuckDB decimal precision rules differ).
+- DuckDB ``SUM(int)`` returns HUGEINT and ``row_number()`` BIGINT; oracles
+  cast to match Spark (BIGINT / INTEGER).
+- Rankings order by exact (decimal) sums with explicit key tie-breaks.
+- ``collect_list`` is order-nondeterministic → always ``array_sort`` before
+  ``array_join`` (the A1 STRING_AGG rule).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from daily_top_songs_etl_spark.operators.topk import top_k_per_group
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark only reads as
+    raw int64; convert to microsecond timestamps with integer division
+    (truncation — matching DuckDB's ns→µs cast)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+# --------------------------------------------------------------------------
+# A1/J1/X1: sorted string aggregation (the song_info pattern)
+# --------------------------------------------------------------------------
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING_AGG(name, ', ' ORDER BY name) per group — reference
+    create_schema_behavior.sql:20-25 re-expressed over nation⋈customer."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), ", ").alias(
+                "customer_names"
+            ),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+ORACLE_STRING_AGG = """
+SELECT n_name,
+       string_agg(c_name, ', ' ORDER BY c_name) AS customer_names,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# J2/X2: two-snapshot rank delta (calculate_rank_delta_between_dates_fn)
+# --------------------------------------------------------------------------
+_D1, _D2 = "2024-01-05", "2024-01-06"
+
+
+def _daily_user_rank(spark, sf_dir, day: str) -> DataFrame:
+    """Top-10 users by exact daily spend — the 'daily chart' snapshot."""
+    events = _t(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.to_date("ts") == F.lit(day))
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("spend"))
+    )
+    return top_k_per_group(
+        daily.withColumn("g", F.lit(1)),
+        ["g"],
+        [F.col("spend").desc(), F.col("user_id")],
+        10,
+    ).drop("g", "spend")
+
+
+def q_rank_delta_two_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference J2: self-join of two daily snapshots on the entity key;
+    delta = comparison.rank - baseline.rank (positive = dropped)."""
+    t1 = _daily_user_rank(spark, sf_dir, _D1).withColumnRenamed("rank", "baseline_rank")
+    t2 = _daily_user_rank(spark, sf_dir, _D2).withColumnRenamed("rank", "comparison_rank")
+    return t1.join(t2, "user_id").select(
+        "user_id",
+        (F.col("comparison_rank") - F.col("baseline_rank")).alias("delta"),
+    )
+
+
+ORACLE_RANK_DELTA = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, user_id,
+         SUM(CAST(value AS DECIMAL(18,6))) AS spend
+  FROM events
+  WHERE CAST(ts AS DATE) IN (DATE '{_D1}', DATE '{_D2}')
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT day, user_id,
+         CAST(row_number() OVER (PARTITION BY day ORDER BY spend DESC, user_id)
+              AS INTEGER) AS rnk
+  FROM daily
+)
+SELECT t1.user_id,
+       t2.rnk - t1.rnk AS delta
+FROM ranked t1 JOIN ranked t2 ON t1.user_id = t2.user_id
+WHERE t1.day = DATE '{_D1}' AND t2.day = DATE '{_D2}'
+  AND t1.rnk <= 10 AND t2.rnk <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# W1-W3: the flagship consecutive-day delta window
+# --------------------------------------------------------------------------
+def q_flagship_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """all_rankings_with_delta_view semantics over the events 'daily chart':
+    delta = prev_rank - rank only when the user charted on the consecutive
+    previous day, else NULL (create_schema_behavior.sql:137-148)."""
+    events = _t(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(F.to_date("ts").alias("day"), "user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("spend"))
+    )
+    chart = top_k_per_group(
+        daily, ["day"], [F.col("spend").desc(), F.col("user_id")], 10
+    ).drop("spend")
+    w = Window.partitionBy("user_id").orderBy("day")
+    prev_day = F.lag("day").over(w)
+    prev_rank = F.lag("rank").over(w)
+    return chart.select(
+        "day",
+        "user_id",
+        "rank",
+        F.when(F.col("day") == F.date_add(prev_day, 1), prev_rank - F.col("rank"))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("delta"),
+    )
+
+
+ORACLE_FLAGSHIP_DELTA = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, user_id,
+         SUM(CAST(value AS DECIMAL(18,6))) AS spend
+  FROM events GROUP BY 1, 2
+), chart AS (
+  SELECT day, user_id,
+         CAST(row_number() OVER (PARTITION BY day ORDER BY spend DESC, user_id)
+              AS INTEGER) AS rank
+  FROM daily
+  QUALIFY rank <= 10
+)
+SELECT day, user_id, rank,
+       CASE WHEN day = lag(day) OVER w + 1
+            THEN lag(rank) OVER w - rank
+            ELSE NULL END AS delta
+FROM chart
+WINDOW w AS (PARTITION BY user_id ORDER BY day)
+"""
+
+
+# --------------------------------------------------------------------------
+# J3: left outer fact⋈dim join
+# --------------------------------------------------------------------------
+def q_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return orders.join(
+        F.broadcast(customer.select("c_custkey", "c_name", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+        "left",
+    ).select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+ORACLE_LEFT_JOIN = """
+SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# J4/J7/F6: anti-join (ON CONFLICT dedup / NOT EXISTS GC)
+# --------------------------------------------------------------------------
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders.select("o_custkey"), customer.c_custkey == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+ORACLE_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# J6/F1: semi-join membership
+# --------------------------------------------------------------------------
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    keys = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return customer.join(
+        keys, customer.c_custkey == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+ORACLE_SEMI_JOIN = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+"""
+
+
+# --------------------------------------------------------------------------
+# J4+O3: deterministic priority dedup (NULLS-LAST / richest-duplicate-wins)
+# --------------------------------------------------------------------------
+def q_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest shipment per part: keep exactly one lineitem row per
+    l_partkey by (l_shipdate DESC, l_orderkey, l_linenumber) priority —
+    the load_seed_data.sql:22-23 pattern generalized."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("l_shipdate").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("l_partkey", "l_orderkey", "l_linenumber", "l_shipdate")
+    )
+
+
+ORACLE_PRIORITY_DEDUP = """
+SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate
+FROM lineitem
+QUALIFY row_number() OVER (
+    PARTITION BY l_partkey
+    ORDER BY l_shipdate DESC, l_orderkey, l_linenumber) = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# O5/W4: per-group top-k
+# --------------------------------------------------------------------------
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return top_k_per_group(
+        orders,
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+    ).select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+
+
+ORACLE_TOPK = """
+SELECT o_orderpriority,
+       CAST(row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey)
+            AS INTEGER) AS rank,
+       o_orderkey, o_totalprice
+FROM orders
+QUALIFY rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# T1/F7: retention window relative to the table's max date
+# --------------------------------------------------------------------------
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """delete_old_ranking_records_fn keep-side rewrite: rows younger than
+    (max date - 7 days) — interval arithmetic vs a computed watermark."""
+    events = _t(spark, sf_dir, "events")
+    mx = events.agg(F.max("ts").alias("mx"))
+    return (
+        events.join(F.broadcast(mx))
+        .filter(F.col("ts") > F.col("mx") - F.expr("INTERVAL 7 DAYS"))
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+
+
+ORACLE_RETENTION = """
+SELECT event_id, ts, user_id, event_type
+FROM events
+WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+"""
+
+
+# --------------------------------------------------------------------------
+# T2/T3: orphan GC via anti-join
+# --------------------------------------------------------------------------
+def q_orphan_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return part.join(
+        li.select("l_partkey"), part.p_partkey == F.col("l_partkey"), "left_anti"
+    ).select("p_partkey", "p_name")
+
+
+ORACLE_ORPHAN_GC = """
+SELECT p_partkey, p_name FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# O1/X11: enum-declaration-order sort key (ordinal, not lexicographic)
+# --------------------------------------------------------------------------
+_PRIORITY_ORDER = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_enum_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    ordinal = F.lit(len(_PRIORITY_ORDER))
+    for i, name in reversed(list(enumerate(_PRIORITY_ORDER))):
+        ordinal = F.when(F.col("o_orderpriority") == name, F.lit(i)).otherwise(ordinal)
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn("ordinal", ordinal.cast("int"))
+    )
+
+
+ORACLE_ENUM_ORDINAL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(CASE o_orderpriority
+              WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1
+              WHEN '3-MEDIUM' THEN 2 WHEN '4-NOT SPECIFIED' THEN 3
+              WHEN '5-LOW' THEN 4 ELSE 5 END AS INTEGER) AS ordinal
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# W2: gap detection via LAG on the ordering column
+# --------------------------------------------------------------------------
+def q_window_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: count inter-event gaps > 1 hour (the W2 consecutive-day
+    check generalized to event time)."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "is_gap",
+        (
+            F.col("prev_ts").isNotNull()
+            & (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 1 HOUR"))
+        ).cast("int"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.sum("is_gap").cast("bigint").alias("n_gaps"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_WINDOW_GAP = """
+WITH g AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN prev_ts IS NOT NULL
+                      AND ts > prev_ts + INTERVAL 1 HOUR
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Aggregation workhorse (TPC-H Q1 shape) — also the bench headline
+# --------------------------------------------------------------------------
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                price
+                * (F.lit(1).cast("decimal(18,2)") - disc)
+                * (F.lit(1).cast("decimal(18,2)") + tax)
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) *
+                (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))))
+            AS DOUBLE) AS sum_charge,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# P5: explode / unnest round-trip
+# --------------------------------------------------------------------------
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested array build + explode (the artists[] pattern, P5): collect a
+    customer's order keys into an array, then unnest with position."""
+    orders = _t(spark, sf_dir, "orders")
+    nested = orders.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys")
+    )
+    return nested.select(
+        "o_custkey", F.posexplode("orderkeys").alias("pos", "o_orderkey")
+    )
+
+
+ORACLE_EXPLODE = """
+WITH nested AS (
+  SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys
+  FROM orders GROUP BY o_custkey
+), idx AS (
+  SELECT o_custkey, orderkeys,
+         unnest(generate_series(1, len(orderkeys))) AS i
+  FROM nested
+)
+SELECT o_custkey, CAST(i - 1 AS INTEGER) AS pos, orderkeys[i] AS o_orderkey
+FROM idx
+"""
+
+
+# --------------------------------------------------------------------------
+# X12/P2: JSON extraction
+# --------------------------------------------------------------------------
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+ORACLE_JSON_EXTRACT = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "string_agg": q_string_agg,
+    "rank_delta_two_dates": q_rank_delta_two_dates,
+    "flagship_delta": q_flagship_delta,
+    "left_join": q_left_join,
+    "anti_join": q_anti_join,
+    "semi_join": q_semi_join,
+    "priority_dedup": q_priority_dedup,
+    "topk_per_group": q_topk_per_group,
+    "retention": q_retention,
+    "orphan_gc": q_orphan_gc,
+    "enum_ordinal": q_enum_ordinal,
+    "window_gap": q_window_gap,
+    "pricing_summary": q_pricing_summary,
+    "explode": q_explode,
+    "json_extract": q_json_extract,
+}
+
+_ORACLES: dict[str, str] = {
+    "string_agg": ORACLE_STRING_AGG,
+    "rank_delta_two_dates": ORACLE_RANK_DELTA,
+    "flagship_delta": ORACLE_FLAGSHIP_DELTA,
+    "left_join": ORACLE_LEFT_JOIN,
+    "anti_join": ORACLE_ANTI_JOIN,
+    "semi_join": ORACLE_SEMI_JOIN,
+    "priority_dedup": ORACLE_PRIORITY_DEDUP,
+    "topk_per_group": ORACLE_TOPK,
+    "retention": ORACLE_RETENTION,
+    "orphan_gc": ORACLE_ORPHAN_GC,
+    "enum_ordinal": ORACLE_ENUM_ORDINAL,
+    "window_gap": ORACLE_WINDOW_GAP,
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "explode": ORACLE_EXPLODE,
+    "json_extract": ORACLE_JSON_EXTRACT,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_flagship_delta(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

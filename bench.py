@@ -1,0 +1,74 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from ``__spark_entry__.queries()`` against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes to completion through the noop sink (full plan runs,
+no driver-side collect cost skewing the number).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from daily_top_songs_etl_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline subset: one per workload class (scan+agg, window, dedup, join,
+# string-agg, top-k) plus every extension operator present in the registry.
+HEADLINE = [
+    "pricing_summary",
+    "flagship_delta",
+    "priority_dedup",
+    "topk_per_group",
+    "string_agg",
+    "left_join",
+    "window_gap",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = entrymod.queries()
+    names = [n for n in HEADLINE if n in registry]
+    # Include extension queries (prefixed) automatically as they land.
+    names += [n for n in sorted(registry) if n.startswith(("dedup_", "sim_", "text_", "stream_")) and n not in names]
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+
+    timings: dict[str, float] = {}
+    for name in names:
+        df = registry[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

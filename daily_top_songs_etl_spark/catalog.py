@@ -1,0 +1,112 @@
+"""Versioned Parquet table catalog.
+
+Replaces the reference's Postgres schema ``music_data`` with columnar Parquet
+tables. Physical design (SURVEY.md §4 Q7):
+
+- ``ranking`` is **partitioned by ranking_date**: the report query filters to
+  one date (``render_templates.py:148-152``) and the retention purge drops
+  whole trailing date ranges — both become partition pruning instead of full
+  scans. At 100 TB this is the difference between touching one partition and
+  scanning years of history.
+- Dimensions (``artist``, ``song``, ``artist_song_map``) stay broadcast-sized
+  (bounded by distinct charted songs) and are written unpartitioned.
+
+Writes are **versioned snapshots**: each ``write`` lands in
+``<table>/v=N+1`` and flips a pointer file, while ``v=N`` stays readable —
+so lazy downstream plans built against the old version never lose their
+files (a poor man's snapshot isolation; the shape a real deployment gets
+from Iceberg/Delta). Old versions are pruned after the pointer flip, keeping
+one back-version for in-flight readers.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import schemas
+
+PARTITIONED = {"ranking": ["ranking_date"]}
+KEEP_VERSIONS = 2
+
+
+class Catalog:
+    """Read/write named versioned tables under a root directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _pointer(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), "_current")
+
+    def current_version(self, table: str) -> int | None:
+        try:
+            with open(self._pointer(table)) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def path(self, table: str) -> str | None:
+        v = self.current_version(table)
+        if v is None:
+            return None
+        return os.path.join(self._table_dir(table), f"v={v}")
+
+    def exists(self, table: str) -> bool:
+        return self.path(table) is not None
+
+    def read(self, table: str) -> DataFrame:
+        p = self.path(table)
+        if p is None:
+            # Empty table with declared schema — lets operators compose
+            # before the first write (bootstrap, first micro-batch).
+            return self.spark.createDataFrame([], schemas.TABLE_SCHEMAS[table])
+        return self.spark.read.parquet(p)
+
+    def write(self, df: DataFrame, table: str) -> None:
+        """Write a new snapshot version and flip the pointer atomically."""
+        tdir = self._table_dir(table)
+        os.makedirs(tdir, exist_ok=True)
+        new_v = (self.current_version(table) or 0) + 1
+        target = os.path.join(tdir, f"v={new_v}")
+        writer = df.write.mode("overwrite")
+        if table in PARTITIONED:
+            writer = writer.partitionBy(*PARTITIONED[table])
+        writer.parquet(target)
+        tmp = self._pointer(table) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(new_v))
+        os.replace(tmp, self._pointer(table))
+        self._prune(table, new_v)
+
+    def append(self, df: DataFrame, table: str) -> None:
+        """Append into the current version in place (the fact-table fast
+        path: no read-modify-write of existing partitions). Creates v=1 if
+        the table does not exist yet."""
+        p = self.path(table)
+        if p is None:
+            self.write(df, table)
+            return
+        writer = df.write.mode("append")
+        if table in PARTITIONED:
+            writer = writer.partitionBy(*PARTITIONED[table])
+        writer.parquet(p)
+
+    def _prune(self, table: str, newest: int) -> None:
+        tdir = self._table_dir(table)
+        for entry in os.listdir(tdir):
+            if entry.startswith("v="):
+                v = int(entry.split("=", 1)[1])
+                if v <= newest - KEEP_VERSIONS:
+                    shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
+
+    def register_views(self) -> None:
+        for table in schemas.TABLE_SCHEMAS:
+            self.read(table).createOrReplaceTempView(table)

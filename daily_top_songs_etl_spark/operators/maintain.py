@@ -1,0 +1,69 @@
+"""Batch maintenance pass — the trigger cascade, set-level.
+
+The reference maintains retention and referential invariants with per-row
+AFTER triggers (``create_schema_behavior.sql:56-93``). The Spark rewrite
+runs them as **one set-level pass per micro-batch**, in the reference's
+cascade order (SURVEY.md §2.10):
+
+  T1  retention purge   — AFTER INSERT ON ranking: drop rows dated
+                          <= new_date - 1 year (``:74-80``)
+  (FK cascade)          — song deletion cascades to artist_song_map
+                          (``create_schema_structure.sql:49``)
+  T2  orphan-song GC    — AFTER DELETE ON ranking: drop songs no ranking
+                          references (``:65-72``)
+  T3  orphan-artist GC  — AFTER DELETE ON map: drop artists unmapped
+                          (``:56-63``)
+
+Each GC step is a ``left_semi`` join (keep referenced rows) — the batch dual
+of the reference's per-row ``NOT EXISTS`` delete. On the partitioned fact
+table the retention filter is pure partition pruning: dropping a year-old
+date range never touches surviving files.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Tables:
+    artist: DataFrame
+    song: DataFrame
+    artist_song_map: DataFrame
+    ranking: DataFrame
+
+
+def maintain(tables: Tables, new_max_date: dt.date | None = None) -> Tables:
+    """Run T1 → cascade → T2 → T3 and return the new table states.
+
+    ``new_max_date`` is the max ranking_date of the just-inserted batch
+    (the trigger's NEW.ranking_date); None skips retention (no insert
+    happened — e.g. a pure replay of the GC pass).
+    """
+    ranking = tables.ranking
+    if new_max_date is not None:
+        # T1: ranking_date <= NEW.ranking_date - INTERVAL '1 year' is purged
+        # (keep-side rewrite; interval-year arithmetic = add_months -12).
+        cutoff = F.add_months(F.lit(new_max_date), -12)
+        ranking = ranking.filter(F.col("ranking_date") > cutoff)
+
+    # T2: songs must still be referenced by some ranking row.
+    song = tables.song.join(
+        ranking.select("isrc").distinct(), "isrc", "left_semi"
+    )
+    # FK ON DELETE CASCADE song -> artist_song_map
+    # (create_schema_structure.sql:49): map rows of deleted songs go too.
+    artist_song_map = tables.artist_song_map.join(
+        song.select("isrc"), "isrc", "left_semi"
+    )
+    # T3: artists must still be mapped to some surviving song.
+    artist = tables.artist.join(
+        artist_song_map.select("artist_id").distinct(), "artist_id", "left_semi"
+    )
+    return Tables(
+        artist=artist, song=song, artist_song_map=artist_song_map, ranking=ranking
+    )

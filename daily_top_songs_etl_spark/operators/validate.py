@@ -1,0 +1,55 @@
+"""Load-time validation — the constraint system, re-expressed.
+
+Postgres enforces CHECK/UNIQUE/NOT NULL at insert (``create_schema_structure
+.sql:63-69``); the reference additionally hard-fails when the extract does
+not produce exactly 10 songs (``etl_pipeline.py:972-973``). Spark enforces
+nothing, so validation is an explicit operator run on every batch before the
+upsert (SURVEY.md §1.3, §2.4 F8/F9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import schemas
+
+
+class DataQualityError(ValueError):
+    """Batch violated a reference invariant (the guard-exception analog,
+    ``etl_pipeline.py:119-174``)."""
+
+
+def split_valid_ranking(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Partition a ranking batch into (valid, rejected) by the CHECK
+    predicates: rank in [1,10], ranking_date <= current_date, source in the
+    enum domain, no NULL key parts."""
+    pred = (
+        F.col("rank").between(1, 10)
+        & (F.col("ranking_date") <= F.current_date())
+        & F.col("ranking_source").isin(schemas.MUSIC_SOURCES)
+        & F.col("isrc").isNotNull()
+        & F.col("ranking_date").isNotNull()
+    )
+    return batch.filter(pred), batch.filter(~F.coalesce(pred, F.lit(False)))
+
+
+def validate_ranking(batch: DataFrame) -> DataFrame:
+    valid, _rejected = split_valid_ranking(batch)
+    return valid
+
+
+def check_cardinality(df: DataFrame, expected: int = 10) -> DataFrame:
+    """F9: ``if len(isrcs) != 10: raise`` (``etl_pipeline.py:972-973``)."""
+    n = df.count()
+    if n != expected:
+        raise DataQualityError(f"expected exactly {expected} rows, got {n}")
+    return df
+
+
+def assert_unique(df: DataFrame, key: list[str]) -> None:
+    """UNIQUE-constraint audit: used by tests and the bootstrap to prove the
+    upsert family preserved key uniqueness."""
+    dupes = df.groupBy(*key).count().filter(F.col("count") > 1).limit(1).collect()
+    if dupes:
+        raise DataQualityError(f"duplicate key {key}: {dupes[0]}")

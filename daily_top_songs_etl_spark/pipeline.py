@@ -1,0 +1,135 @@
+"""Daily micro-batch orchestration — the ETL ``main()`` re-expressed.
+
+The reference's load phase (``etl_pipeline.py:874-1034``) runs four upserts
+over two FK-ordered waves on two pooled connections, then Postgres triggers
+fire per row. Here the same DAG is one declarative batch:
+
+    daily_batch (nested, rank-ordered)
+      ├─ explode artists        → upsert artist           (wave 1)
+      ├─ project song fields    → merge_song              (wave 1)
+      ├─ explode (isrc,artist)  → upsert artist_song_map  (wave 2)
+      └─ positional ranks (P6)  → validate → upsert ranking (wave 2)
+    then maintain() (T1→T2→T3) and CSV mirrors of each RETURNING delta.
+
+The FK barrier survives as operator ordering (dims before facts); the
+reference's connection-pool parallelism is subsumed by Spark scheduling
+(SURVEY.md §3.1). Under Structured Streaming the same function is the
+``foreachBatch`` body (streaming/daily_stream.py).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .catalog import Catalog
+from .operators.maintain import Tables, maintain
+from .operators.topk import assign_positional_ranks
+from .operators.upsert import merge_song, upsert
+from .operators.validate import validate_ranking
+from .sources.sinks import write_csv_mirror
+
+
+@dataclass
+class BatchDeltas:
+    """The RETURNING sets — what the reference mirrors to CSV (Q10)."""
+
+    artist: DataFrame
+    song_inserted: DataFrame
+    song_updated: DataFrame
+    artist_song_map: DataFrame
+    ranking: DataFrame
+
+
+def run_daily_batch(
+    catalog: Catalog, daily_batch: DataFrame, csv_mirror_dir: str | None = None
+) -> BatchDeltas:
+    """Apply one daily batch (DAILY_BATCH schema) to the star schema."""
+    artist_t = catalog.read("artist")
+    song_t = catalog.read("song")
+    map_t = catalog.read("artist_song_map")
+    ranking_t = catalog.read("ranking")
+
+    # Wave 1a — artists: explode the nested struct array (P5,
+    # etl_pipeline.py:607-611), upsert on artist_id.
+    artist_batch = daily_batch.select(F.explode("artists").alias("a")).select(
+        "a.artist_id", "a.artist_name"
+    )
+    artist_res = upsert(artist_t, artist_batch, ["artist_id"])
+
+    # Wave 1b — songs: merge (patch apple url when newly known) + insert.
+    song_batch = daily_batch.select(
+        "isrc",
+        "song_name",
+        "song_duration_ms",
+        "is_explicit",
+        "spotify_url",
+        "apple_music_url",
+    )
+    song_res = merge_song(song_t, song_batch)
+
+    # Wave 2a — bridge rows (P5, etl_pipeline.py:781-785).
+    map_batch = daily_batch.select(
+        "isrc", F.explode("artists").alias("a")
+    ).select("a.artist_id", "isrc")
+    map_res = upsert(map_t, map_batch, ["artist_id", "isrc"])
+
+    # Wave 2b — fact rows: positional rank (P6) as of today, validated (F8).
+    ranking_batch = validate_ranking(
+        assign_positional_ranks(daily_batch).select(
+            "isrc",
+            F.current_date().alias("ranking_date"),
+            "rank",
+            F.col("source").alias("ranking_source"),
+        )
+    )
+    ranking_res = upsert(ranking_t, ranking_batch, ["isrc", "ranking_date", "ranking_source"])
+
+    # Trigger cascade (T1→T2→T3) relative to the batch's max date.
+    max_date_row = ranking_res.inserted.agg(F.max("ranking_date")).first()
+    new_max_date = max_date_row[0] if max_date_row else None
+    tables = maintain(
+        Tables(
+            artist=artist_res.table,
+            song=song_res.table,
+            artist_song_map=map_res.table,
+            ranking=ranking_res.table,
+        ),
+        new_max_date,
+    )
+
+    # Persist. Deltas are materialized (cached implicitly via write) before
+    # the table swap so the mirror reflects exactly what was inserted.
+    deltas = BatchDeltas(
+        artist=artist_res.inserted,
+        song_inserted=song_res.inserted,
+        song_updated=song_res.updated,
+        artist_song_map=map_res.inserted,
+        ranking=ranking_res.inserted,
+    )
+    if csv_mirror_dir:
+        from . import schemas
+
+        for name, df in (
+            ("artist", deltas.artist),
+            ("song", deltas.song_inserted),
+            ("artist_song_map", deltas.artist_song_map),
+            ("ranking", deltas.ranking),
+        ):
+            write_csv_mirror(
+                df,
+                os.path.join(csv_mirror_dir, name),
+                columns=schemas.TABLE_SCHEMAS[name].fieldNames(),
+            )
+
+    for name, df in (
+        ("artist", tables.artist),
+        ("song", tables.song),
+        ("artist_song_map", tables.artist_song_map),
+        ("ranking", tables.ranking),
+    ):
+        catalog.write(df, name)
+    return deltas

@@ -1,0 +1,93 @@
+"""Local mirror of the driver's DuckDB-oracle correctness gate.
+
+For every entry in ``__spark_entry__.queries()`` with an oracle, run both
+engines on the same parquet tables and compare row count, column names, and
+the order-insensitive multiset of values (floats to 9 significant digits —
+stricter than any reasonable hash the driver could use).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _canon(v):
+    """Canonicalize a cell for order-insensitive multiset comparison."""
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == 0:
+            return "0"
+        return f"{v:.9g}"
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (dt.date,)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return str(v)
+
+
+def _rows_to_multiset(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
+
+
+QUERY_NAMES = sorted(entrymod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql().get(name)
+    sdf = q(spark, SF_DIR)
+    srows = sdf.collect()
+    scols = sdf.columns
+    if sql is None:
+        # Non-SQL-expressible op: the driver records a rows-only check.
+        assert len(srows) >= 0
+        return
+    res = duck.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column mismatch"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} != {len(drows)}"
+    sm = _rows_to_multiset(scols, [[r[c] for c in scols] for r in srows])
+    dm = _rows_to_multiset(dcols, drows)
+    mism = [(a, b) for a, b in zip(sm, dm) if a != b]
+    assert not mism, f"{name}: {len(mism)} value mismatches; first: {mism[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert df.columns
