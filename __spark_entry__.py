@@ -481,6 +481,311 @@ FROM events
 """
 
 
+# ==========================================================================
+# Extension operators (LLM-data-pipeline): text / dedup / similarity
+# ==========================================================================
+
+# Shared DuckDB CTE: tokenize + shingle the documents table (mirrors
+# extensions/text.tokens and extensions/dedup.shingles).
+_SQL_SHINGLES = r"""
+WITH tok AS (
+  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+     THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+                                       i -> array_to_string(t[i:i+2], ' ')))
+     ELSE [] END) AS shingle
+  FROM tok
+)"""
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daily_top_songs_etl_spark.extensions.text import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_TEXT_TOKEN_STATS = r"""
+WITH tok AS (
+  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(t) AS INTEGER) AS n_tokens,
+       CAST(list_sum(list_transform(t, w -> ceil(length(w) / 4.0)::BIGINT))
+            AS BIGINT) AS n_subword_est,
+       CAST(length(text) AS INTEGER) AS n_chars_measured
+FROM tok
+"""
+
+
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daily_top_songs_etl_spark.extensions.text import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+_STOPLIST_SQL = "['the','a','an','of','and','to','in','is','it','that','for','on','with','as','was','at','by','be','this','are']"
+
+ORACLE_TEXT_LANGUAGE_ID = rf"""
+WITH tok AS (
+  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(t, w -> list_contains({_STOPLIST_SQL}, w)))
+              AS INTEGER) AS n_stopwords,
+         CAST(len(t) AS INTEGER) AS n_tokens
+  FROM tok
+)
+SELECT doc_id, lang, n_stopwords, n_tokens,
+       round(CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+           AS stopword_ratio,
+       CASE WHEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.05
+            THEN 'en' ELSE 'other' END AS lang_pred
+FROM s
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daily_top_songs_etl_spark.extensions.text import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_TEXT_QUALITY = r"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INTEGER)
+             AS n_tokens,
+         CAST(length(text) AS INTEGER) AS n_chars_measured,
+         CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+              AS INTEGER) AS n_punct
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_chars_measured, n_punct,
+       round(CAST(n_punct AS DOUBLE) / CAST(n_chars_measured AS DOUBLE), 6)
+           AS punct_ratio,
+       round(CAST(n_chars_measured - n_tokens + 1 AS DOUBLE)
+             / CAST(n_tokens AS DOUBLE), 6) AS mean_word_len,
+       (n_tokens BETWEEN 50 AND 100000
+        AND CAST(n_punct AS DOUBLE) / CAST(n_chars_measured AS DOUBLE) < 0.1)
+           AS passes_quality
+FROM b
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daily_top_songs_etl_spark.extensions.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_EXACT = r"""
+SELECT md5(array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' '))
+           AS fingerprint,
+       min(doc_id) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daily_top_songs_etl_spark.extensions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+_SIG_COLS = ",\n         ".join(
+    f"min(md5('{i}' || ' ' || shingle)) AS mh_{i}" for i in range(8)
+)
+_BAND_SELECTS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(mh_{2*b} || '|' || mh_{2*b+1}) AS bucket FROM sig"
+    for b in range(4)
+)
+ORACLE_DEDUP_MINHASH = f"""{_SQL_SHINGLES}
+, sig AS (
+  SELECT doc_id,
+         {_SIG_COLS}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  {_BAND_SELECTS}
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(count(*) AS BIGINT) AS n_shared_bands
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+            AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daily_top_songs_etl_spark.extensions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), min_jaccard=0.2)
+
+
+ORACLE_DEDUP_JACCARD = f"""{_SQL_SHINGLES}
+, sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da AS doc_id_a, db AS doc_id_b, n_common,
+       round(CAST(n_common AS DOUBLE)
+             / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = da
+JOIN sizes sb ON sb.doc_id = db
+WHERE round(CAST(n_common AS DOUBLE)
+            / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) >= 0.2
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daily_top_songs_etl_spark.extensions.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+_SIMHASH_SUMS = ",\n         ".join(
+    f"sum(CASE WHEN ((instr('0123456789abcdef', substring(h, {j // 4 + 1}, 1)) - 1)"
+    f" >> {3 - (j % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS s_{j}"
+    for j in range(16)
+)
+_SIMHASH_VAL = " + ".join(
+    f"(CASE WHEN s_{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(16)
+)
+ORACLE_DEDUP_SIMHASH = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+')))
+             AS token
+  FROM documents
+), hashed AS (
+  SELECT doc_id, md5(token) AS h FROM tok
+), sums AS (
+  SELECT doc_id,
+         {_SIMHASH_SUMS}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIMHASH_VAL} AS BIGINT) AS simhash
+FROM sums
+"""
+
+
+def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daily_top_songs_etl_spark.extensions.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+ORACLE_SIM_TOPK = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE)*1000)::BIGINT)
+             AS v
+  FROM embeddings
+), scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(CAST(list_sum(list_transform(list_zip(qs.v, c.v),
+                                            s -> s[1]*s[2])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(qs.v, x -> x*x)) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(c.v, x -> x*x)) AS DOUBLE))),
+               6) AS cosine
+  FROM q qs JOIN q c ON c.vec_id != qs.vec_id
+  WHERE qs.vec_id < 5
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id)
+            AS INTEGER) AS rank,
+       neighbor_id, cosine
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+# ==========================================================================
+# Streaming-style window operators (batch-equivalent plans; the streaming
+# module reuses them under readStream)
+# ==========================================================================
+def q_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+ORACLE_TUMBLING = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(gap=5min) per user — the gaps-and-islands dual."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "5 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+ORACLE_SESSION = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts > lag(ts) OVER w + INTERVAL 5 MINUTE
+                   OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), islands AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 5 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM islands
+GROUP BY user_id, session_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -500,6 +805,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "explode": q_explode,
     "json_extract": q_json_extract,
+    "text_token_stats": q_text_token_stats,
+    "text_language_id": q_text_language_id,
+    "text_quality": q_text_quality,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "sim_topk_bruteforce": q_sim_topk_bruteforce,
+    "stream_tumbling_window": q_stream_tumbling_window,
+    "stream_session_window": q_stream_session_window,
 }
 
 _ORACLES: dict[str, str] = {
@@ -518,6 +833,16 @@ _ORACLES: dict[str, str] = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "explode": ORACLE_EXPLODE,
     "json_extract": ORACLE_JSON_EXTRACT,
+    "text_token_stats": ORACLE_TEXT_TOKEN_STATS,
+    "text_language_id": ORACLE_TEXT_LANGUAGE_ID,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_minhash_pairs": ORACLE_DEDUP_MINHASH,
+    "dedup_jaccard": ORACLE_DEDUP_JACCARD,
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "sim_topk_bruteforce": ORACLE_SIM_TOPK,
+    "stream_tumbling_window": ORACLE_TUMBLING,
+    "stream_session_window": ORACLE_SESSION,
 }
 
 

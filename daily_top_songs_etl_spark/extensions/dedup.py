@@ -1,0 +1,205 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+All engine-portable by construction: hashing is md5 (present in Spark,
+DuckDB, Postgres, Trino), min-hashing exploits lexicographic MIN over hex
+digests, and similarity ratios are single divisions of exact integers.
+
+Scale design (the 100 TB story):
+
+- exact:   one hash-partitioned groupBy on the fingerprint — the minimum
+           possible shuffle (key = 16-byte digest, combiner-friendly).
+- MinHash: shingle explode → per-doc signature agg (map-side combinable
+           MIN) → band join. The band join is the only pairwise step and
+           only compares documents sharing a band bucket — candidate count
+           scales with true-duplicate density, not |docs|².
+- Jaccard: restricted to LSH candidates (or a shingle-share semi-join at
+           small scale); never all-pairs.
+- SimHash: pure per-row column math; near-dup lookup = band the bit-vector.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+SHINGLE_N = 3
+N_HASHES = 8
+BAND_SIZE = 2  # 8 hashes -> 4 bands of 2: ~near-dup-friendly thresholds
+
+
+def shingles(col: Column | str = "text", n: int = SHINGLE_N) -> Column:
+    """Distinct word n-gram shingles per document (array column).
+
+    Guarded for short documents: Spark's ``sequence(1, 0)`` produces a
+    *descending* [1, 0], not an empty array, so size < n is special-cased.
+    """
+    t = tokens(col)
+    gram = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        )
+    )
+    return F.when(F.size(t) >= n, gram).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup(documents: DataFrame, keep: str = "min") -> DataFrame:
+    """Exact dedup on normalized-content fingerprint: one survivor per
+    fingerprint (lowest doc_id — deterministic), plus the group size."""
+    normalized = F.array_join(tokens(), " ")
+    agg = F.min if keep == "min" else F.max
+    return (
+        documents.select("doc_id", F.md5(normalized).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            agg("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _shingled(documents: DataFrame) -> DataFrame:
+    return documents.select(
+        "doc_id", F.explode(shingles()).alias("shingle")
+    )
+
+
+def minhash_signatures(documents: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """MinHash signature per document.
+
+    Hash family i = md5(i || ' ' || shingle); the signature component is the
+    lexicographic MIN hex digest — a valid min-wise permutation family and
+    exactly reproducible in any engine with md5 + string MIN. The agg is a
+    plain groupBy MIN: map-side partials keep the shuffle tiny.
+    """
+    sh = _shingled(documents)
+    aggs = [
+        F.min(F.md5(F.concat_ws(" ", F.lit(str(i)), F.col("shingle")))).alias(
+            f"mh_{i}"
+        )
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on any full band of signature
+    components. Returns (doc_id_a < doc_id_b, n_shared_bands)."""
+    sig = minhash_signatures(documents, n_hashes)
+    n_bands = n_hashes // band_size
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"mh_{b * band_size + j}")
+                                    for j in range(band_size)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, min_jaccard: float = 0.2
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs sharing ≥1 shingle (a semi-join
+    pre-filter; at scale, feed LSH candidates instead of the shingle join).
+
+    jaccard = |A∩B| / (|A| + |B| - |A∩B|) — exact ints, one division.
+    """
+    sh = _shingled(documents)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_shingles").alias("size_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    ).cast("double")
+    return (
+        inter.join(F.broadcast(sa), "doc_id_a")
+        .join(F.broadcast(sb), "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "n_common",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def simhash(documents: DataFrame, n_bits: int = 16) -> DataFrame:
+    """SimHash over word tokens: bit j of the fingerprint is the sign of the
+    sum over tokens of (±1 by bit j of md5(token)).
+
+    Bits come from hex nibbles via position-in-alphabet (portable: strpos /
+    instr exist everywhere); 16 bits = first 4 nibbles. Integer math only.
+    """
+    t = F.array_distinct(tokens())
+    exploded = documents.select("doc_id", F.explode(t).alias("token")).select(
+        "doc_id", F.md5("token").alias("h")
+    )
+    nibble_cols = []
+    for j in range(n_bits):
+        # hex nibble value via position-in-alphabet (portable: instr/strpos
+        # exist in every target engine); bit j = nibble bit (3 - j%4).
+        bit = F.expr(
+            f"((instr('0123456789abcdef', substring(h, {j // 4 + 1}, 1)) - 1)"
+            f" >> {3 - (j % 4)}) % 2"
+        )
+        nibble_cols.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s_{j}")
+        )
+    sums = exploded.groupBy("doc_id").agg(*nibble_cols)
+    sig = F.lit(0).cast("bigint")
+    for j in range(n_bits):
+        sig = sig + F.when(F.col(f"s_{j}") > 0, F.lit(2 ** j)).otherwise(0)
+    return sums.select("doc_id", sig.cast("bigint").alias("simhash"))

@@ -77,11 +77,19 @@ def run_daily_batch(
     ).select("a.artist_id", "isrc")
     map_res = upsert(map_t, map_batch, ["artist_id", "isrc"])
 
-    # Wave 2b — fact rows: positional rank (P6) as of today, validated (F8).
+    # Wave 2b — fact rows: positional rank (P6), validated (F8). The
+    # reference stamps now(UTC).date() at load time (etl_pipeline.py:843);
+    # a replayed/streamed batch may instead carry its own ``batch_date``
+    # column (backlog drains keep their original dates).
+    date_col = (
+        F.col("batch_date")
+        if "batch_date" in daily_batch.columns
+        else F.current_date()
+    )
     ranking_batch = validate_ranking(
         assign_positional_ranks(daily_batch).select(
             "isrc",
-            F.current_date().alias("ranking_date"),
+            date_col.cast("date").alias("ranking_date"),
             "rank",
             F.col("source").alias("ranking_source"),
         )

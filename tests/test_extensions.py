@@ -1,0 +1,141 @@
+"""Unit tests for the extension operators beyond the oracle harness:
+approximate ops (LSH) are checked for recall against exact baselines, the
+Arrow/numpy path for exact agreement with the column-math path, and the
+multimodal plumbing for schema/batching behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_lsh_recall_vs_brute_force(spark, embeddings):
+    from daily_top_songs_etl_spark.extensions.similarity import (
+        brute_force_topk,
+        lsh_bucket_topk,
+    )
+
+    queries = embeddings.filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(embeddings, queries, k=5)
+    approx = lsh_bucket_topk(embeddings, queries, k=5, n_planes=2)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 2 planes + Hamming-1 multiprobe = 3 of 4 buckets searched; even with
+    # weak neighbor structure (random Gaussian vectors) recall ≈ candidates
+    # fraction, so well above 0.5.
+    assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
+
+
+def test_arrow_topk_matches_column_math(spark, embeddings):
+    from daily_top_songs_etl_spark.extensions.similarity import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+    )
+
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    a = brute_force_topk(embeddings, queries, k=7)
+    qrows = [(r.vec_id, list(r.embedding)) for r in queries.collect()]
+    b = brute_force_topk_arrow(embeddings, qrows, k=7)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb  # exact: both use quantized-integer math
+
+
+def test_minhash_finds_planted_near_dups(spark, documents):
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    true_dups = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in ngram_jaccard_pairs(documents, min_jaccard=0.9).collect()
+    }
+    assert true_dups, "testdata should contain planted near-duplicates"
+    candidates = {
+        (r.doc_id_a, r.doc_id_b) for r in minhash_lsh_pairs(documents).collect()
+    }
+    recall = len(true_dups & candidates) / len(true_dups)
+    # 4 bands of 2: P(candidate) = 1-(1-j^2)^4 ≈ 0.999 at j=0.9.
+    assert recall >= 0.8, f"minhash recall {recall:.2f}"
+
+
+def test_simhash_near_dups_have_close_hashes(spark, documents):
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        ngram_jaccard_pairs,
+        simhash,
+    )
+
+    hashes = {r.doc_id: r.simhash for r in simhash(documents).collect()}
+    dups = ngram_jaccard_pairs(documents, min_jaccard=0.9).collect()
+    assert dups
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    avg_dup = sum(hamming(hashes[r.doc_id_a], hashes[r.doc_id_b]) for r in dups) / len(dups)
+    # random 16-bit pairs differ in ~8 bits; near-dups should be far closer
+    assert avg_dup <= 3, f"avg hamming distance for near-dups: {avg_dup}"
+
+
+def test_exact_dedup_keeps_min_id(spark, documents):
+    from daily_top_songs_etl_spark.extensions.dedup import exact_dedup
+
+    # append a true duplicate of the first doc with a higher id
+    first = documents.orderBy("doc_id").limit(1)
+    clone = first.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    out = exact_dedup(documents.unionByName(clone))
+    dup_groups = out.filter(F.col("n_copies") > 1).collect()
+    assert any(
+        r.n_copies == 2 and r.keep_doc_id < 1_000_000 for r in dup_groups
+    )
+
+
+def test_multimodal_feature_extraction(spark):
+    from daily_top_songs_etl_spark.extensions.multimodal import (
+        extract_features,
+        resize_plan,
+        sample_frames,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=30)
+    feats = extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(r.feat is not None and len(r.feat) == 8 for r in rows)
+    assert all(len(r.digest) == 32 for r in rows)
+
+    # null payload handled (not crashed) by the kernel
+    with_null = media.withColumn(
+        "payload", F.when(F.col("media_id") == 0, None).otherwise(F.col("payload"))
+    )
+    nulled = extract_features(with_null, fake=True).filter("media_id = 0").first()
+    assert nulled.digest is None and nulled.n_bytes == 0
+
+    # real-decode path is a clearly marked stub
+    import py4j.protocol
+    from pyspark.errors import PythonException
+
+    with pytest.raises((PythonException, py4j.protocol.Py4JJavaError)):
+        extract_features(media, fake=False).collect()
+
+    rp = resize_plan(media, max_side=64).filter("needs_resize").collect()
+    assert all(max(r.target_width, r.target_height) <= 64 for r in rp)
+
+    sf = sample_frames(media, every_n=5)
+    vid = media.filter("kind = 'video'").count()
+    assert sf.select("media_id").distinct().count() == vid

@@ -1,0 +1,186 @@
+"""Operator unit tests (SURVEY.md §5): ON CONFLICT semantics, merge-matched
+update, trigger-cascade maintenance, CSV mirror dialect, validation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from daily_top_songs_etl_spark import schemas
+from daily_top_songs_etl_spark.operators.maintain import Tables, maintain
+from daily_top_songs_etl_spark.operators.upsert import (
+    merge_song,
+    priority_dedup,
+    upsert,
+)
+from daily_top_songs_etl_spark.operators.validate import split_valid_ranking
+from daily_top_songs_etl_spark.sources.sinks import csv_mirror_lines
+
+
+def _songs(spark, rows):
+    return spark.createDataFrame(rows, schemas.SONG)
+
+
+def test_upsert_idempotent_and_returning(spark):
+    existing = spark.createDataFrame(
+        [("A" * 22, "Alice")], schemas.ARTIST
+    )
+    batch = spark.createDataFrame(
+        [("A" * 22, "Alice Dupe"), ("B" * 22, "Bob"), ("B" * 22, "Bob Again")],
+        schemas.ARTIST,
+    )
+    res = upsert(existing, batch, ["artist_id"])
+    inserted = res.inserted.collect()
+    # conflict with existing key dropped; intra-batch dup collapsed
+    assert len(inserted) == 1 and inserted[0].artist_id == "B" * 22
+    # deterministic intra-batch winner: priority = asc over non-key cols
+    assert inserted[0].artist_name == "Bob"
+    assert res.table.count() == 2
+    # applying the same batch to the new state inserts nothing
+    res2 = upsert(res.table, batch, ["artist_id"])
+    assert res2.inserted.count() == 0 and res2.table.count() == 2
+
+
+def test_priority_dedup_nulls_last(spark):
+    # load_seed_data.sql:22-23 — the duplicate WITH an apple url must win.
+    batch = _songs(
+        spark,
+        [
+            ("ISRC00000001", "T", 1000, False, "su", None),
+            ("ISRC00000001", "T", 1000, False, "su", "apple://x"),
+        ],
+    )
+    out = priority_dedup(
+        batch, ["isrc"], [F.col("apple_music_url").asc_nulls_last()]
+    ).collect()
+    assert len(out) == 1 and out[0].apple_music_url == "apple://x"
+
+
+def test_merge_song_patch_semantics(spark):
+    existing = _songs(
+        spark,
+        [
+            ("ISRC00000001", "KeepNull", 1, False, "s1", None),
+            ("ISRC00000002", "HasUrl", 2, False, "s2", "apple://old"),
+        ],
+    )
+    batch = _songs(
+        spark,
+        [
+            ("ISRC00000001", "KeepNull", 1, False, "s1", "apple://new"),
+            ("ISRC00000002", "HasUrl", 2, False, "s2", "apple://other"),
+            ("ISRC00000003", "Fresh", 3, True, "s3", None),
+        ],
+    )
+    res = merge_song(existing, batch)
+    table = {r.isrc: r for r in res.table.collect()}
+    assert table["ISRC00000001"].apple_music_url == "apple://new"  # patched
+    assert table["ISRC00000002"].apple_music_url == "apple://old"  # untouched
+    assert table["ISRC00000003"].song_name == "Fresh"  # inserted
+    assert [r.isrc for r in res.updated.collect()] == ["ISRC00000001"]
+    assert [r.isrc for r in res.inserted.collect()] == ["ISRC00000003"]
+    # idempotency: merging again changes nothing
+    res2 = merge_song(res.table, batch)
+    assert res2.updated.count() == 0 and res2.inserted.count() == 0
+
+
+def test_maintain_cascade_order(spark):
+    """T1 retention → FK cascade → T2 song GC → T3 artist GC: an artist
+    whose only song charted >1y ago must vanish after one pass."""
+    artist = spark.createDataFrame(
+        [("A" * 22, "Old Artist"), ("B" * 22, "Current Artist")], schemas.ARTIST
+    )
+    song = _songs(
+        spark,
+        [
+            ("OLDI00000001", "Old Song", 1, False, "s1", None),
+            ("NEWI00000001", "New Song", 2, False, "s2", None),
+        ],
+    )
+    amap = spark.createDataFrame(
+        [("A" * 22, "OLDI00000001"), ("B" * 22, "NEWI00000001")],
+        schemas.ARTIST_SONG_MAP,
+    )
+    today = dt.date(2026, 8, 13)
+    ranking = spark.createDataFrame(
+        [
+            ("OLDI00000001", dt.date(2025, 8, 1), 1, "Spotify"),  # > 1y before max
+            ("NEWI00000001", today, 1, "Spotify"),
+        ],
+        schemas.RANKING,
+    )
+    out = maintain(Tables(artist, song, amap, ranking), new_max_date=today)
+    assert [r.isrc for r in out.ranking.collect()] == ["NEWI00000001"]
+    assert [r.isrc for r in out.song.collect()] == ["NEWI00000001"]
+    assert [r.isrc for r in out.artist_song_map.collect()] == ["NEWI00000001"]
+    assert [r.artist_name for r in out.artist.collect()] == ["Current Artist"]
+    # boundary: exactly 1 year old is purged (<=), one day younger survives
+    boundary = spark.createDataFrame(
+        [
+            ("OLDI00000001", dt.date(2025, 8, 13), 1, "Spotify"),
+            ("NEWI00000001", dt.date(2025, 8, 14), 2, "Spotify"),
+        ],
+        schemas.RANKING,
+    )
+    out2 = maintain(Tables(artist, song, amap, boundary), new_max_date=today)
+    assert [r.isrc for r in out2.ranking.collect()] == ["NEWI00000001"]
+
+
+def test_csv_mirror_dialect(spark):
+    """K3/K4/K5 byte rules: quote-all non-null, NULL = empty unquoted,
+    embedded quotes doubled, bools as True/False, dates ISO."""
+    df = _songs(
+        spark,
+        [("ISRC00000001", 'He said "hi", ok', 1234, True, "surl", None)],
+    )
+    [line] = [r.line for r in csv_mirror_lines(df).collect()]
+    assert line == '"ISRC00000001","He said ""hi"", ok","1234","True","surl",'
+    ranking = spark.createDataFrame(
+        [("ISRC00000001", dt.date(2026, 8, 13), 1, "Spotify")], schemas.RANKING
+    )
+    [rline] = [r.line for r in csv_mirror_lines(ranking).collect()]
+    assert rline == '"ISRC00000001","2026-08-13","1","Spotify"'
+
+
+def test_csv_mirror_roundtrip_null_vs_empty(spark, tmp_path):
+    """Golden round-trip: NULL url → empty unquoted → read back as NULL."""
+    from daily_top_songs_etl_spark.sources.csv_seed import read_seed_csv
+    from daily_top_songs_etl_spark.sources.sinks import header_line, write_csv_mirror
+
+    df = _songs(
+        spark,
+        [
+            ("ISRC00000001", "No Url", 1, False, "s1", None),
+            ("ISRC00000002", "Has Url", 2, True, "s2", "apple://x"),
+        ],
+    )
+    path = str(tmp_path / "song_mirror")
+    write_csv_mirror(df, path, columns=schemas.SONG.fieldNames())
+    import glob
+
+    csv_file = str(tmp_path / "song.csv")
+    lines = []
+    for f in glob.glob(path + "/part-*"):
+        lines += open(f).read().splitlines()
+    with open(csv_file, "w") as f:
+        f.write(header_line(schemas.SONG.fieldNames()) + "\n")
+        f.write("\n".join(sorted(lines)) + "\n")
+    back = {r.isrc: r for r in read_seed_csv(spark, [csv_file], "song").collect()}
+    assert back["ISRC00000001"].apple_music_url is None
+    assert back["ISRC00000002"].apple_music_url == "apple://x"
+    assert back["ISRC00000002"].is_explicit is True
+    assert back["ISRC00000001"].song_duration_ms == 1
+
+
+def test_validate_ranking_checks(spark):
+    rows = [
+        ("ISRC00000001", dt.date(2026, 1, 1), 1, "Spotify"),  # ok
+        ("ISRC00000002", dt.date(2026, 1, 1), 11, "Spotify"),  # rank CHECK
+        ("ISRC00000003", dt.date(2099, 1, 1), 2, "Spotify"),  # future date
+        ("ISRC00000004", dt.date(2026, 1, 1), 3, "Napster"),  # enum domain
+    ]
+    df = spark.createDataFrame(rows, schemas.RANKING)
+    valid, rejected = split_valid_ranking(df)
+    assert [r.isrc for r in valid.collect()] == ["ISRC00000001"]
+    assert rejected.count() == 3
