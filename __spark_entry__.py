@@ -711,6 +711,512 @@ QUALIFY rank <= 10
 """
 
 
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daily_top_songs_etl_spark.extensions.text import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_TEXT_FINGERPRINT = r"""
+SELECT doc_id,
+       md5(array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' '))
+           AS fingerprint
+FROM documents
+"""
+
+
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daily_top_songs_etl_spark.extensions.text import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=3, w=4)
+
+
+ORACLE_TEXT_WINNOW = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, len(t) - 2 AS n_grams,
+         unnest(generate_series(1, greatest(len(t) - 2, 0))) AS pos, t
+  FROM tok
+), hashed AS (
+  SELECT doc_id, n_grams, pos,
+         md5(array_to_string(t[pos:pos+2], ' ')) AS h
+  FROM grams
+), win AS (
+  SELECT doc_id, n_grams, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM hashed
+)
+SELECT DISTINCT doc_id, fp FROM win WHERE pos <= n_grams - 3
+"""
+
+
+def q_dedup_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daily_top_songs_etl_spark.extensions.dedup import ngram_jaccard_lsh
+
+    return ngram_jaccard_lsh(_t(spark, sf_dir, "documents"), min_jaccard=0.2)
+
+
+ORACLE_DEDUP_JACCARD_LSH = f"""{_SQL_SHINGLES}
+, sig AS (
+  SELECT doc_id,
+         {_SIG_COLS}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  {_BAND_SELECTS}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.da, c.db, CAST(count(*) AS BIGINT) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.da
+  JOIN sh b ON b.doc_id = c.db AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT da AS doc_id_a, db AS doc_id_b, n_common,
+       round(CAST(n_common AS DOUBLE)
+             / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = da
+JOIN sizes sb ON sb.doc_id = db
+WHERE round(CAST(n_common AS DOUBLE)
+            / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) >= 0.2
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding LSH: shared oracle plumbing (sign matrix generated from the
+# exact same deterministic md5 hyperplanes as extensions.similarity)
+# --------------------------------------------------------------------------
+def _bucket_sql(n_planes: int = 4, dim: int = 64) -> str:
+    from daily_top_songs_etl_spark.extensions.similarity import sign_matrix
+
+    signs = sign_matrix(n_planes, dim)
+    planes = []
+    for p in range(n_planes):
+        terms = "".join(
+            f" {'+' if signs[p][d] > 0 else '-'} v[{d + 1}]" for d in range(dim)
+        )
+        planes.append(f"(CASE WHEN ({terms}) > 0 THEN {2 ** p} ELSE 0 END)")
+    return "CAST(" + " + ".join(planes) + " AS BIGINT)"
+
+
+_SQL_QUANT = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE)*1000)::BIGINT)
+             AS v
+  FROM embeddings
+)"""
+
+_COS_AB = (
+    "round(CAST(list_sum(list_transform(list_zip(a.v, b.v), s -> s[1]*s[2]))"
+    " AS DOUBLE)"
+    " / (sqrt(CAST(list_sum(list_transform(a.v, x -> x*x)) AS DOUBLE))"
+    " * sqrt(CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE))), 6)"
+)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daily_top_songs_etl_spark.extensions.dedup import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(
+        _t(spark, sf_dir, "embeddings"), min_cosine=0.3
+    )
+
+
+ORACLE_DEDUP_EMBEDDING_COSINE = f"""{_SQL_QUANT}
+, bk AS (SELECT vec_id, v, {_bucket_sql()} AS bucket FROM q)
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_AB} AS cosine
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) WHERE cosine >= 0.3
+"""
+
+
+def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daily_top_songs_etl_spark.extensions.similarity import lsh_bucket_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+_PROBE_LIST = "[bucket, " + ", ".join(
+    f"xor(bucket, {1 << p}::BIGINT)" for p in range(4)
+) + "]"
+
+ORACLE_SIM_TOPK_LSH = f"""{_SQL_QUANT}
+, bk AS (SELECT vec_id, v, {_bucket_sql()} AS bucket FROM q)
+, probes AS (
+  SELECT vec_id, v, unnest({_PROBE_LIST}) AS bucket
+  FROM bk WHERE vec_id < 5
+), scored AS (
+  SELECT a.vec_id AS neighbor_id, b.vec_id AS query_id, {_COS_AB} AS cosine
+  FROM bk a JOIN probes b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id)
+            AS INTEGER) AS rank,
+       neighbor_id, cosine
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# As-of join (nearest-preceding event-time match; generalizes J2)
+# --------------------------------------------------------------------------
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click joined to the user's most recent purchase at-or-before
+    the click (purchases pre-deduped per (user, ts) — as-of requires a
+    unique right-side time series)."""
+    from daily_top_songs_etl_spark.operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    return asof_join(
+        clicks, purchases, on=["user_id"], ts="ts", right_payload=["pvalue"]
+    )
+
+
+ORACLE_ASOF_JOIN = """
+WITH p AS (
+  SELECT user_id, ts, max(value) AS pvalue
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), c AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.ts, c.user_id,
+       p.pvalue AS pvalue_asof, p.ts AS ts_asof
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+# --------------------------------------------------------------------------
+# K2/J5: generic merge-matched patch (MERGE WHEN MATCHED AND tgt IS NULL)
+# --------------------------------------------------------------------------
+def q_merge_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch each customer's max finished-order price with the all-orders
+    max where no finished order exists — the reference's apple_music_url
+    backfill (etl_pipeline.py:649-697) as one join."""
+    from daily_top_songs_etl_spark.operators.upsert import merge_patch
+
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    fmax = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.max("o_totalprice").alias("f_max"))
+    )
+    allmax = orders.groupBy("o_custkey").agg(F.max("o_totalprice").alias("f_max"))
+    existing = customer.select("c_custkey", "c_name").join(
+        fmax, customer.c_custkey == fmax.o_custkey, "left"
+    ).select("c_custkey", "c_name", "f_max")
+    batch = allmax.select(F.col("o_custkey").alias("c_custkey"), "f_max")
+    return merge_patch(existing, batch, ["c_custkey"], "f_max").withColumnRenamed(
+        "__patched", "was_patched"
+    )
+
+
+ORACLE_MERGE_PATCH = """
+WITH fmax AS (
+  SELECT o_custkey, max(o_totalprice) AS f_max
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+), allmax AS (
+  SELECT o_custkey, max(o_totalprice) AS a_max FROM orders GROUP BY 1
+)
+SELECT c_custkey, c_name,
+       coalesce(f.f_max, a.a_max) AS f_max,
+       (f.f_max IS NULL AND a.a_max IS NOT NULL) AS was_patched
+FROM customer c
+LEFT JOIN fmax f ON c.c_custkey = f.o_custkey
+LEFT JOIN allmax a ON c.c_custkey = a.o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Rollup / set ops / percentiles / running windows (engine breadth)
+# --------------------------------------------------------------------------
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL multiset semantics: 1996 order-customer bag minus 1997's."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_custkey")
+    b = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_custkey")
+    return a.exceptAll(b)
+
+
+ORACLE_SETOP_EXCEPT = """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+EXCEPT ALL
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+"""
+
+
+def q_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_custkey")
+    b = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_custkey")
+    return a.intersectAll(b)
+
+
+ORACLE_SETOP_INTERSECT = """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+INTERSECT ALL
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+"""
+
+
+def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (no approx sketch — bit-matched
+    against DuckDB quantile_cont)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE_PERCENTILE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + rank + ntile per customer — the window-function
+    breadth beyond the reference's LAG-only surface."""
+    orders = _t(spark, sf_dir, "orders")
+    wseq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wprice = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(wrun)
+        .cast("double")
+        .alias("running_spend"),
+        F.row_number().over(wseq).alias("order_seq"),
+        F.rank().over(wprice).alias("price_rank"),
+        F.ntile(4).over(wseq).alias("quartile"),
+    )
+
+
+ORACLE_WINDOW_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+       CAST(row_number() OVER wseq AS INTEGER) AS order_seq,
+       CAST(rank() OVER (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey)
+            AS INTEGER) AS price_rank,
+       CAST(ntile(4) OVER wseq AS INTEGER) AS quartile
+FROM orders
+WINDOW wseq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# ==========================================================================
+# Multimodal columns: opaque binary + typed metadata, decode stubbed but
+# the Spark plumbing (schema, Arrow batching, JVM-side planning) real.
+# Media corpus derived deterministically from `documents` so the DuckDB
+# oracle can reconstruct it.
+# ==========================================================================
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    is_audio = F.col("doc_id") % 3 == 1
+    is_video = F.col("doc_id") % 3 == 2
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.when(~is_audio, (F.lit(64) + F.col("doc_id") % 200).cast("int")).alias("width"),
+            F.when(~is_audio, (F.lit(48) + F.col("doc_id") % 150).cast("int")).alias("height"),
+            F.when(is_audio, F.lit(16000)).cast("int").alias("sample_rate"),
+            F.when(is_video, (F.col("doc_id") % 30 + 1).cast("int")).alias("n_frames"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode/feature kernel (deterministic fake
+    decoder — real codecs stubbed, see extensions.multimodal)."""
+    from daily_top_songs_etl_spark.extensions.multimodal import extract_features
+
+    return extract_features(_media(spark, sf_dir))
+
+
+_FEAT_SQL = (
+    "list_transform(generate_series(0, 7), j -> "
+    "CAST((instr('0123456789abcdef', substring(digest, 2*j + 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substring(digest, 2*j + 2, 1)) - 1)"
+    " AS DOUBLE) / 255.0)"
+)
+
+ORACLE_MULTIMODAL_FEATURES = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+         md5(text) AS digest
+  FROM documents
+)
+SELECT media_id, kind, n_bytes, digest, {_FEAT_SQL} AS feat
+FROM m
+"""
+
+
+def q_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side resize planning: only rows that actually need decoding
+    reach the Python kernel (media predicate-pushdown pattern)."""
+    from daily_top_songs_etl_spark.extensions.multimodal import resize_plan
+
+    return resize_plan(_media(spark, sf_dir), max_side=256).select(
+        "media_id",
+        "kind",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        "needs_resize",
+        "target_width",
+        "target_height",
+    )
+
+
+ORACLE_MULTIMODAL_RESIZE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         CASE WHEN doc_id % 3 != 1
+              THEN CAST(64 + doc_id % 200 AS INTEGER) END AS width,
+         CASE WHEN doc_id % 3 != 1
+              THEN CAST(48 + doc_id % 150 AS INTEGER) END AS height
+  FROM documents
+)
+SELECT media_id, kind, width, height,
+       coalesce(width > 256 OR height > 256, false) AS needs_resize,
+       CAST(CASE WHEN width > 256 OR height > 256
+                 THEN floor(width * least(256 / width, 256 / height))
+                 ELSE width END AS INTEGER) AS target_width,
+       CAST(CASE WHEN width > 256 OR height > 256
+                 THEN floor(height * least(256 / width, 256 / height))
+                 ELSE height END AS INTEGER) AS target_height
+FROM m
+"""
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan: sequence+explode JVM-side over video metadata."""
+    from daily_top_songs_etl_spark.extensions.multimodal import sample_frames
+
+    return sample_frames(_media(spark, sf_dir), every_n=5).select(
+        "media_id", "frame_idx"
+    )
+
+
+ORACLE_MULTIMODAL_FRAMES = """
+SELECT doc_id AS media_id,
+       CAST(unnest(generate_series(0, doc_id % 30, 5)) AS INTEGER) AS frame_idx
+FROM documents
+WHERE doc_id % 3 = 2
+"""
+
+
+def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 hour every 15 min) — each event lands in 4
+    overlapping windows; identical plan runs under readStream."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+ORACLE_SLIDING = """
+WITH expanded AS (
+  SELECT ts, value,
+         time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE
+             AS window_start
+  FROM events, unnest([0, 1, 2, 3]) AS u(k)
+)
+SELECT window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM expanded
+WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
+GROUP BY 1
+"""
+
+
 # ==========================================================================
 # Streaming-style window operators (batch-equivalent plans; the streaming
 # module reuses them under readStream)
@@ -815,6 +1321,22 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "stream_tumbling_window": q_stream_tumbling_window,
     "stream_session_window": q_stream_session_window,
+    "text_fingerprint": q_text_fingerprint,
+    "text_winnow": q_text_winnow,
+    "dedup_jaccard_lsh": q_dedup_jaccard_lsh,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "sim_topk_lsh": q_sim_topk_lsh,
+    "asof_join": q_asof_join,
+    "merge_patch": q_merge_patch,
+    "rollup_agg": q_rollup_agg,
+    "setop_except": q_setop_except,
+    "setop_intersect": q_setop_intersect,
+    "percentile_agg": q_percentile_agg,
+    "window_running": q_window_running,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_resize_plan": q_multimodal_resize_plan,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "stream_sliding_window": q_stream_sliding_window,
 }
 
 _ORACLES: dict[str, str] = {
@@ -843,6 +1365,22 @@ _ORACLES: dict[str, str] = {
     "sim_topk_bruteforce": ORACLE_SIM_TOPK,
     "stream_tumbling_window": ORACLE_TUMBLING,
     "stream_session_window": ORACLE_SESSION,
+    "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
+    "text_winnow": ORACLE_TEXT_WINNOW,
+    "dedup_jaccard_lsh": ORACLE_DEDUP_JACCARD_LSH,
+    "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
+    "sim_topk_lsh": ORACLE_SIM_TOPK_LSH,
+    "asof_join": ORACLE_ASOF_JOIN,
+    "merge_patch": ORACLE_MERGE_PATCH,
+    "rollup_agg": ORACLE_ROLLUP,
+    "setop_except": ORACLE_SETOP_EXCEPT,
+    "setop_intersect": ORACLE_SETOP_INTERSECT,
+    "percentile_agg": ORACLE_PERCENTILE,
+    "window_running": ORACLE_WINDOW_RUNNING,
+    "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+    "multimodal_resize_plan": ORACLE_MULTIMODAL_RESIZE,
+    "multimodal_frame_sample": ORACLE_MULTIMODAL_FRAMES,
+    "stream_sliding_window": ORACLE_SLIDING,
 }
 
 

@@ -42,9 +42,11 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = entrymod.queries()
+    # Headline first (stable ordering for round-over-round comparison),
+    # then every other registered query — the bench covers the full
+    # operator surface.
     names = [n for n in HEADLINE if n in registry]
-    # Include extension queries (prefixed) automatically as they land.
-    names += [n for n in sorted(registry) if n.startswith(("dedup_", "sim_", "text_", "stream_")) and n not in names]
+    names += [n for n in sorted(registry) if n not in names]
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None

@@ -176,6 +176,92 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_lsh(
+    documents: DataFrame,
+    min_jaccard: float = 0.2,
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """The scale path for n-gram Jaccard: exact Jaccard re-rank restricted
+    to MinHash-LSH candidate pairs (docs sharing ≥1 signature band).
+
+    At 100 TB the all-shared-shingle self-join of
+    :func:`ngram_jaccard_pairs` is quadratic in popular-shingle frequency;
+    this variant's only pairwise step is the band bucket join, whose
+    candidate count scales with true near-duplicate density. Semantics:
+    pairs are (LSH candidates) ∩ (jaccard ≥ threshold) — recall < 1 by LSH
+    design, precision exact.
+    """
+    cand = minhash_lsh_pairs(documents, n_hashes, band_size).select(
+        "doc_id_a", "doc_id_b"
+    )
+    sh = _shingled(documents)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # Count common shingles only for candidate pairs: explode candidates to
+    # (pair, shingle) via two semi-restricted joins on the shingle table.
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_id_a")
+        .join(b, ["doc_id_b", "shingle"])
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_shingles").alias("size_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    ).cast("double")
+    return (
+        inter.join(F.broadcast(sa), "doc_id_a")
+        .join(F.broadcast(sb), "doc_id_b")
+        .select(
+            "doc_id_a", "doc_id_b", "n_common", F.round(jac, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    min_cosine: float = 0.3,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-based near-duplicate pairs: exact cosine over
+    sign-random-projection LSH candidates (same bucket), keeping pairs with
+    cosine ≥ threshold.
+
+    The bucket join replaces the |N|² cross product with Σ bucket² — at
+    scale the bucket id is also the corpus table's natural cluster key so
+    the join is shuffle-free. Cosine math is the quantized-integer scheme
+    of ``extensions.similarity`` (bit-identical across engines).
+    """
+    from .similarity import _dot, _norm, _sign_bucket, quantize_embeddings
+
+    base = quantize_embeddings(embeddings).select(
+        F.col(id_col).alias("id"),
+        F.col("qvec").alias("v"),
+        _sign_bucket(F.col("qvec"), n_planes, dim).alias("bucket"),
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+    )
+    cosine = _dot(F.col("va"), F.col("vb")).cast("double") / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine, 6).alias("cosine"))
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
 def simhash(documents: DataFrame, n_bits: int = 16) -> DataFrame:
     """SimHash over word tokens: bit j of the fingerprint is the sign of the
     sum over tokens of (±1 by bit j of md5(token)).

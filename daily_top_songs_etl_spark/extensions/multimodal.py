@@ -44,9 +44,12 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
+# feat is array<double>: the fake decoder emits d/255.0 in float64, and the
+# DuckDB oracle computes the identical IEEE-double division — float32 would
+# perturb the 9-significant-digit comparison.
 FEATURE_SCHEMA = (
     "media_id bigint, kind string, n_bytes int, digest string, "
-    "feat array<float>"
+    "feat array<double>"
 )
 
 

@@ -92,21 +92,32 @@ def brute_force_topk(
     )
 
 
-def _sign_bucket(qvec: Column, n_planes: int, dim: int) -> Column:
-    """Sign-random-projection bucket id from deterministic md5 hyperplanes.
+def sign_matrix(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane weights: plane p, dimension d gets
+    +1/-1 by one md5("p:d") bit — reproducible in any engine/language with
+    md5, no RNG state. Exposed so the DuckDB oracle can be generated from
+    the exact same matrix."""
+    import hashlib
 
-    Plane p's weight for dimension d is +1/-1 by one md5("p:d") bit —
-    reproducible anywhere, no RNG state. bucket = sum over planes of
-    sign-bit << p, computed with integer ops only.
+    return [
+        [
+            1 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _sign_bucket(qvec: Column, n_planes: int, dim: int) -> Column:
+    """Sign-random-projection bucket id from the deterministic hyperplanes
+    of :func:`sign_matrix`: bucket = Σ_p (proj_p > 0) << p, integer ops only.
     """
+    signs = sign_matrix(n_planes, dim)
     bucket = F.lit(0).cast("bigint")
     for p in range(n_planes):
         proj = F.lit(0).cast("bigint")
         for d in range(dim):
-            # one hex nibble decides the sign
-            nib = int(__import__("hashlib").md5(f"{p}:{d}".encode()).hexdigest()[0], 16)
-            sign = 1 if nib % 2 == 0 else -1
-            proj = proj + F.element_at(qvec, d + 1) * F.lit(sign)
+            proj = proj + F.element_at(qvec, d + 1) * F.lit(signs[p][d])
         bucket = bucket + F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0))
     return bucket
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Tiny high-frequency English word list for the n-gram/stopword heuristic.
 EN_STOPWORDS = [
@@ -87,4 +88,42 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     normalized = F.array_join(tokens(), " ")
     return documents.select(
         "doc_id", F.md5(normalized).alias("fingerprint")
+    )
+
+
+def winnow_fingerprints(
+    documents: DataFrame, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash
+    every k-gram in position order, slide a window of ``w`` consecutive
+    hashes, keep the min hash of each window, emit the distinct mins.
+
+    Robust-to-edit dedup key: near-identical docs share most fingerprints.
+    Implementation is a positional explode + one window MIN (rolling min ==
+    the rolling-hash selection step) — shuffle only on doc_id, linear work.
+    Docs with fewer than k+w-1 tokens produce no full window and hence no
+    fingerprints (strict winnowing; identical rule in the SQL oracle).
+    """
+    t = tokens()
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(k - 1), F.lit(0))),
+        lambda i: F.struct(
+            i.alias("pos"), F.md5(F.concat_ws(" ", F.slice(t, i, k))).alias("h")
+        ),
+    )
+    exploded = (
+        documents.select("doc_id", F.size(t).alias("n_tok"), F.explode(grams).alias("g"))
+        .select("doc_id", "n_tok", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    n_grams = F.col("n_tok") - F.lit(k - 1)
+    return (
+        exploded.withColumn("fp", F.min("h").over(win))
+        .filter(F.col("pos") <= n_grams - F.lit(w - 1))
+        .select("doc_id", "fp")
+        .distinct()
     )

@@ -91,6 +91,27 @@ class MergeSongResult:
     inserted: DataFrame  # rows appended (K1's RETURNING set)
 
 
+def merge_patch(
+    existing: DataFrame, batch: DataFrame, key: list[str], col: str
+) -> DataFrame:
+    """Generic K2/J5 merge-matched update: fill ``existing.col`` from
+    ``batch.col`` wherever the stored value IS NULL and the batch has one
+    (``UPDATE ... SET col = $1 WHERE key = $2`` driven by a pre-SELECT of
+    NULL rows, ``etl_pipeline.py:649-697``, as ONE broadcast-able join).
+
+    ``batch`` must be unique per key. Returns the patched table plus a
+    ``__patched`` flag column (the K2 RETURNING set is
+    ``.filter("__patched")``).
+    """
+    b = batch.select(*key, F.col(col).alias("__b"))
+    joined = existing.join(b, key, "left")
+    return joined.select(
+        *[c for c in existing.columns if c != col],
+        F.coalesce(F.col(col), F.col("__b")).alias(col),
+        (F.col(col).isNull() & F.col("__b").isNotNull()).alias("__patched"),
+    )
+
+
 def merge_song(existing: DataFrame, batch: DataFrame) -> MergeSongResult:
     """The song-table merge (``etl_pipeline.py:622-742``):
 
