@@ -51,6 +51,11 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
 
+    # Warm the JVM/session so the first timed query isn't charged startup.
+    spark.range(1000).selectExpr("sum(id)").write.mode("overwrite").format(
+        "noop"
+    ).save()
+
     timings: dict[str, float] = {}
     for name in names:
         df = registry[name](spark, SF_DIR)

@@ -34,17 +34,24 @@ def shingles(col: Column | str = "text", n: int = SHINGLE_N) -> Column:
 
     Guarded for short documents: Spark's ``sequence(1, 0)`` produces a
     *descending* [1, 0], not an empty array, so size < n is special-cased.
+
+    The token array is let-bound as a lambda variable (single-element-array
+    trick): referencing the tokenizer expression directly inside the
+    n-gram lambda would re-run the whole split per shingle — O(doc²).
     """
-    t = tokens(col)
-    gram = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+
+    def _grams(t: Column) -> Column:
+        gram = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            )
         )
-    )
-    return F.when(F.size(t) >= n, gram).otherwise(
-        F.array().cast("array<string>")
-    )
+        return F.when(F.size(t) >= n, gram).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.flatten(F.transform(F.array(tokens(col)), _grams))
 
 
 def exact_dedup(documents: DataFrame, keep: str = "min") -> DataFrame:
@@ -95,35 +102,34 @@ def minhash_lsh_pairs(
     components. Returns (doc_id_a < doc_id_b, n_shared_bands)."""
     sig = minhash_signatures(documents, n_hashes)
     n_bands = n_hashes // band_size
+    # The band id is folded into one 8-byte xxhash64 bucket key, so the
+    # self-join shuffles on a single bigint instead of (int, 32-char md5).
+    # Bucket equality ⟺ full-band signature equality (modulo 2⁻⁶⁴
+    # collisions); the emitted pair set is identical to the md5-bucket
+    # formulation the DuckDB oracle uses.
     bands = sig.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"mh_{b * band_size + j}")
-                                    for j in range(band_size)
-                                ],
-                            )
-                        ).alias("bucket"),
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.col(f"mh_{b * band_size + j}")
+                            for j in range(band_size)
+                        ],
                     )
                     for b in range(n_bands)
                 ]
             )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+        ).alias("bucket"),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
@@ -141,15 +147,21 @@ def ngram_jaccard_pairs(
     pre-filter; at scale, feed LSH candidates instead of the shingle join).
 
     jaccard = |A∩B| / (|A| + |B| - |A∩B|) — exact ints, one division.
+
+    The self-join key is xxhash64(shingle) (8 bytes) rather than the raw
+    shingle string — same matches modulo 2⁻⁶⁴ collisions, much smaller
+    shuffle.
     """
-    sh = _shingled(documents)
+    sh = _shingled(documents).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
@@ -195,15 +207,18 @@ def ngram_jaccard_lsh(
     cand = minhash_lsh_pairs(documents, n_hashes, band_size).select(
         "doc_id_a", "doc_id_b"
     )
-    sh = _shingled(documents)
+    sh = _shingled(documents).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     # Count common shingles only for candidate pairs: explode candidates to
-    # (pair, shingle) via two semi-restricted joins on the shingle table.
-    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    # (pair, shingle-hash) via two semi-restricted joins on the shingle
+    # table (8-byte hash key, not the raw shingle string).
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), "sh")
     inter = (
         cand.join(a, "doc_id_a")
-        .join(b, ["doc_id_b", "shingle"])
+        .join(b, ["doc_id_b", "sh"])
         .groupBy("doc_id_a", "doc_id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -240,19 +255,24 @@ def embedding_cosine_pairs(
     """
     from .similarity import _dot, _norm, _sign_bucket, quantize_embeddings
 
+    # Norm computed once per vector BEFORE the self-join (per-pair work is
+    # one dot product, not three array aggregations).
     base = quantize_embeddings(embeddings).select(
         F.col(id_col).alias("id"),
         F.col("qvec").alias("v"),
+        _norm(F.col("qvec")).alias("nrm"),
         _sign_bucket(F.col("qvec"), n_planes, dim).alias("bucket"),
     )
     a = base.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket"
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "bucket",
     )
     b = base.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "bucket",
     )
     cosine = _dot(F.col("va"), F.col("vb")).cast("double") / (
-        _norm(F.col("va")) * _norm(F.col("vb"))
+        F.col("na") * F.col("nb")
     )
     return (
         a.join(b, "bucket")

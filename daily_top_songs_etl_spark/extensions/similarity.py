@@ -68,14 +68,21 @@ def brute_force_topk(
     the final per-query top-k window (partitioned by query id — perfectly
     parallel, bounded output).
     """
+    # Norms are precomputed per row on each side BEFORE the pair join —
+    # per-pair work is then a single dot product instead of three
+    # array-aggregations (3× less work on the |Q|×|N| hot path).
     q = quantize_embeddings(queries).select(
-        F.col(id_col).alias("query_id"), F.col("qvec").alias("q")
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("q"),
+        _norm(F.col("qvec")).alias("nq"),
     )
     c = quantize_embeddings(embeddings).select(
-        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("v")
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("v"),
+        _norm(F.col("qvec")).alias("nv"),
     )
     cosine = _dot(F.col("q"), F.col("v")).cast("double") / (
-        _norm(F.col("q")) * _norm(F.col("v"))
+        F.col("nq") * F.col("nv")
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -144,11 +151,13 @@ def lsh_bucket_topk(
     c = quantize_embeddings(embeddings).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("qvec").alias("v"),
+        _norm(F.col("qvec")).alias("nv"),
         _sign_bucket(F.col("qvec"), n_planes, dim).alias("bucket"),
     )
     q0 = quantize_embeddings(queries).select(
         F.col(id_col).alias("query_id"),
         F.col("qvec").alias("q"),
+        _norm(F.col("qvec")).alias("nq"),
         _sign_bucket(F.col("qvec"), n_planes, dim).alias("bucket"),
     )
     if probe_hamming >= 1:
@@ -160,12 +169,12 @@ def lsh_bucket_topk(
             ],
         )
         q = q0.select(
-            "query_id", "q", F.explode(probes).alias("bucket")
+            "query_id", "q", "nq", F.explode(probes).alias("bucket")
         )
     else:
         q = q0
     cosine = _dot(F.col("q"), F.col("v")).cast("double") / (
-        _norm(F.col("q")) * _norm(F.col("v"))
+        F.col("nq") * F.col("nv")
     )
     scored = (
         c.join(F.broadcast(q), "bucket")

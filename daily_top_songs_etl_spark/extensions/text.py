@@ -99,31 +99,38 @@ def winnow_fingerprints(
     hashes, keep the min hash of each window, emit the distinct mins.
 
     Robust-to-edit dedup key: near-identical docs share most fingerprints.
-    Implementation is a positional explode + one window MIN (rolling min ==
-    the rolling-hash selection step) — shuffle only on doc_id, linear work.
-    Docs with fewer than k+w-1 tokens produce no full window and hence no
-    fingerprints (strict winnowing; identical rule in the SQL oracle).
+    Implementation stays entirely in the array domain (per-row higher-order
+    functions): gram hashes as an array, each window's min via
+    ``array_min(slice(...))``, per-doc dedup via ``array_distinct`` — NO
+    explode-then-window, therefore NO shuffle at all; the operator scales
+    embarrassingly parallel with the scan. Docs with fewer than k+w-1
+    tokens produce no full window and hence no fingerprints (strict
+    winnowing; identical rule in the SQL oracle).
     """
-    t = tokens()
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(k - 1), F.lit(0))),
-        lambda i: F.struct(
-            i.alias("pos"), F.md5(F.concat_ws(" ", F.slice(t, i, k))).alias("h")
-        ),
+    # Let-binding via single-element arrays: a column referenced inside a
+    # higher-order-function lambda is RE-EVALUATED per element, so the token
+    # array and the gram-hash array are bound as lambda variables (computed
+    # once per row) rather than referenced as expressions.
+    def _gram_hashes(t: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(k - 1), F.lit(0))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, k))),
+        )
+
+    def _window_mins(gh: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(gh) - F.lit(w - 1), F.lit(0))),
+            lambda j: F.array_min(F.slice(gh, j, w)),
+        )
+
+    fps = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.array(tokens()),
+                lambda t: F.flatten(
+                    F.transform(F.array(_gram_hashes(t)), _window_mins)
+                ),
+            )
+        )
     )
-    exploded = (
-        documents.select("doc_id", F.size(t).alias("n_tok"), F.explode(grams).alias("g"))
-        .select("doc_id", "n_tok", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
-    )
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, w - 1)
-    )
-    n_grams = F.col("n_tok") - F.lit(k - 1)
-    return (
-        exploded.withColumn("fp", F.min("h").over(win))
-        .filter(F.col("pos") <= n_grams - F.lit(w - 1))
-        .select("doc_id", "fp")
-        .distinct()
-    )
+    return documents.select("doc_id", F.explode(fps).alias("fp"))

@@ -73,6 +73,55 @@ def test_landing_stream_drains_backlog(spark, tmp_path):
     assert cat.read("ranking").count() == 30
 
 
+def test_stateful_running_totals_matches_batch(spark, tmp_path):
+    """applyInPandasWithState per-user running totals: after draining the
+    source in multiple micro-batches, the latest emitted state per user
+    must EXACTLY equal the one-shot batch aggregate (state survives batch
+    splits bit-identically thanks to integer micro-unit accumulation)."""
+    import __spark_entry__ as entrymod
+
+    from daily_top_songs_etl_spark.streaming.stateful import (
+        running_user_totals,
+        running_user_totals_batch,
+    )
+
+    events = entrymod._events(spark, "/root/testdata/sf0.001")
+    src_dir = str(tmp_path / "events_src")
+    events.repartition(5).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)  # force several micro-batches
+        .parquet(src_dir)
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_totals_out")
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.sql(
+        """SELECT user_id, n_events, total_micro FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id
+                                          ORDER BY update_seq DESC) rn
+             FROM running_totals_out) WHERE rn = 1"""
+    )
+    got = {r.user_id: (r.n_events, r.total_micro) for r in final.collect()}
+    want = {
+        r.user_id: (r.n_events, r.total_micro)
+        for r in running_user_totals_batch(events).collect()
+    }
+    assert got == want
+    # multiple micro-batches actually happened (update_seq > 1 somewhere)
+    assert spark.sql(
+        "SELECT max(update_seq) m FROM running_totals_out"
+    ).first().m > 1
+
+
 def test_streaming_tumbling_window_matches_batch(spark, tmp_path):
     """Stream the events table file-by-file; windowed counts must equal the
     batch computation (unified semantics)."""
