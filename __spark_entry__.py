@@ -1071,6 +1071,106 @@ WINDOW wseq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+# --------------------------------------------------------------------------
+# Star-schema multi-join aggregation (join ordering / broadcast showcase)
+# --------------------------------------------------------------------------
+def q_star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per (region, order year): lineitem ⋈ orders ⋈ customer ⋈
+    nation ⋈ region. The three dimension joins broadcast; the single real
+    shuffle is lineitem⋈orders on orderkey, then the agg is map-side
+    partial. TPC-H Q5's shape, the canonical Catalyst join-ordering test."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_STAR_JOIN = """
+SELECT r_name AS region,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH candidate graph — the
+    iterative cluster-assignment step (min-label propagation); oracle is a
+    recursive CTE computing the same min-reachable-id."""
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+    return connected_components(pairs)
+
+
+ORACLE_DEDUP_CLUSTERS = f"""{_SQL_SHINGLES}
+, sig AS (
+  SELECT doc_id,
+         {_SIG_COLS}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  {_BAND_SELECTS}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT da AS a, db AS b FROM pairs
+  UNION
+  SELECT db AS a, da AS b FROM pairs
+), reach AS (
+  WITH RECURSIVE r(node, lbl) AS (
+    SELECT DISTINCT a, a FROM edges
+    UNION
+    SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.node
+  )
+  SELECT * FROM r
+)
+SELECT node AS doc_id, min(lbl) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
 # ==========================================================================
 # Multimodal columns: opaque binary + typed metadata, decode stubbed but
 # the Spark plumbing (schema, Arrow batching, JVM-side planning) real.
@@ -1337,6 +1437,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_resize_plan": q_multimodal_resize_plan,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "stream_sliding_window": q_stream_sliding_window,
+    "star_join_agg": q_star_join_agg,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1381,6 +1483,8 @@ _ORACLES: dict[str, str] = {
     "multimodal_resize_plan": ORACLE_MULTIMODAL_RESIZE,
     "multimodal_frame_sample": ORACLE_MULTIMODAL_FRAMES,
     "stream_sliding_window": ORACLE_SLIDING,
+    "star_join_agg": ORACLE_STAR_JOIN,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
 }
 
 

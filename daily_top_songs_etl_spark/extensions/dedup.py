@@ -282,6 +282,57 @@ def embedding_cosine_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_id_a",
+    dst: str = "doc_id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a candidate
+    pair graph via min-label propagation. Returns (doc_id, cluster_id)
+    where cluster_id = min doc_id in the component.
+
+    The iterative driver loop converges in O(component diameter) rounds —
+    near-dup clusters are shallow (most are 2-3 docs), so 2-4 rounds in
+    practice. Each round is one shuffle on the node id; the edge list
+    (candidate pairs, NOT all doc pairs) bounds the work. This is the
+    step that turns pairwise dedup verdicts into keep/drop decisions.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    for _ in range(max_iter):
+        # label each node with the min of (its label, its neighbors' labels)
+        propagated = (
+            edges.join(labels.withColumnRenamed("node", "a"), "a")
+            .select(F.col("b").alias("node"), "lbl")
+            .union(labels)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        propagated = propagated.localCheckpoint(eager=True)  # cut lineage
+        changed = (
+            propagated.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = propagated
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+
+
 def simhash(documents: DataFrame, n_bits: int = 16) -> DataFrame:
     """SimHash over word tokens: bit j of the fingerprint is the sign of the
     sum over tokens of (±1 by bit j of md5(token)).
