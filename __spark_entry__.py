@@ -1171,6 +1171,146 @@ FROM reach GROUP BY node
 """
 
 
+# --------------------------------------------------------------------------
+# Pivot (wide reshape)
+# --------------------------------------------------------------------------
+def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event counts per user pivoted to one column per event type (explicit
+    value list — no extra distinct-values pass at scale)."""
+    events = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    wide = (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in types],
+    )
+
+
+ORACLE_PIVOT = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Range join (trailing-interval aggregation per probe row)
+# --------------------------------------------------------------------------
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks by the same user in the hour before each purchase — bucketed
+    range join (equi-join on (user, time-bucket) prunes candidates; exact
+    range predicate on the pruned set)."""
+    from daily_top_songs_etl_spark.operators.rangejoin import range_join_count
+
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return range_join_count(
+        purchases, clicks, key="user_id", probe_ts="ts", build_ts="ts",
+        interval_s=3600, out="n_recent_clicks",
+    )
+
+
+ORACLE_RANGE_JOIN = """
+SELECT p.event_id, p.user_id, p.ts,
+       CAST(count(c.ts) AS BIGINT) AS n_recent_clicks
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic hash train/test split
+# --------------------------------------------------------------------------
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daily_top_songs_etl_spark.extensions.text import hash_split
+
+    return hash_split(_t(spark, sf_dir, "documents"), test_pct=20)
+
+
+ORACLE_HASH_SPLIT = """
+WITH h AS (
+  SELECT doc_id,
+         (instr('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         + (instr('0123456789abcdef',
+                  substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+             AS bucket
+  FROM documents
+)
+SELECT doc_id, CAST(bucket AS INTEGER) AS hash_bucket,
+       CASE WHEN bucket < 51 THEN 'test' ELSE 'train' END AS split
+FROM h
+"""
+
+
+# --------------------------------------------------------------------------
+# IVF ANN (inverted-list probe + exact re-rank)
+# --------------------------------------------------------------------------
+def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daily_top_songs_etl_spark.extensions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+_COS_AC = (
+    "round(CAST(list_sum(list_transform(list_zip(a.v, c.cv), z -> z[1]*z[2]))"
+    " AS DOUBLE) / (a.nrm * c.cn), 6)"
+)
+
+ORACLE_SIM_TOPK_IVF = f"""{_SQL_QUANT}
+, nv AS (
+  SELECT vec_id, v,
+         sqrt(CAST(list_sum(list_transform(v, x -> x*x)) AS DOUBLE)) AS nrm
+  FROM q
+), cent AS (
+  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM nv WHERE vec_id < 8
+), assign AS (
+  SELECT vec_id, v, nrm, cent_id FROM (
+    SELECT a.vec_id, a.v, a.nrm, c.cent_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_COS_AC} DESC, c.cent_id) AS rn
+    FROM nv a CROSS JOIN cent c
+  ) WHERE rn = 1
+), qprobe AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id FROM (
+    SELECT a.vec_id, a.v, a.nrm, c.cent_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_COS_AC} DESC, c.cent_id) AS rn
+    FROM nv a CROSS JOIN cent c WHERE a.vec_id < 5
+  ) WHERE rn <= 2
+), scored AS (
+  SELECT p.query_id, s.vec_id AS neighbor_id,
+         round(CAST(list_sum(list_transform(list_zip(p.qv, s.v),
+                                            z -> z[1]*z[2])) AS DOUBLE)
+               / (p.qn * s.nrm), 6) AS cosine
+  FROM qprobe p JOIN assign s ON s.cent_id = p.cent_id
+                             AND s.vec_id != p.query_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id)
+            AS INTEGER) AS rank,
+       neighbor_id, cosine
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
 # ==========================================================================
 # Multimodal columns: opaque binary + typed metadata, decode stubbed but
 # the Spark plumbing (schema, Arrow batching, JVM-side planning) real.
@@ -1439,6 +1579,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sliding_window": q_stream_sliding_window,
     "star_join_agg": q_star_join_agg,
     "dedup_clusters": q_dedup_clusters,
+    "pivot_agg": q_pivot_agg,
+    "range_join": q_range_join,
+    "hash_split": q_hash_split,
+    "sim_topk_ivf": q_sim_topk_ivf,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1485,6 +1629,10 @@ _ORACLES: dict[str, str] = {
     "stream_sliding_window": ORACLE_SLIDING,
     "star_join_agg": ORACLE_STAR_JOIN,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "pivot_agg": ORACLE_PIVOT,
+    "range_join": ORACLE_RANGE_JOIN,
+    "hash_split": ORACLE_HASH_SPLIT,
+    "sim_topk_ivf": ORACLE_SIM_TOPK_IVF,
 }
 
 

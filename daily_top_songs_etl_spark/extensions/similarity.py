@@ -191,6 +191,81 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into ``n_centroids`` inverted
+    lists by nearest centroid, probe the ``n_probe`` closest lists per
+    query, exact cosine re-rank within them.
+
+    Centroids are the first ``n_centroids`` corpus vectors (deterministic
+    seed choice — a real deployment would k-means these; the index
+    structure and query path are identical either way). The corpus
+    assignment is one broadcast pass; at scale ``cluster`` is the
+    partition/cluster key of the stored corpus, so a probe only scans
+    ~n_probe/n_centroids of the data.
+    """
+    cent = quantize_embeddings(embeddings.filter(F.col(id_col) < n_centroids)).select(
+        F.col(id_col).alias("cent_id"),
+        F.col("qvec").alias("cv"),
+        _norm(F.col("qvec")).alias("cn"),
+    )
+
+    def _assign(df: DataFrame, vid: str, v: str, nrm: str, rn_max: int) -> DataFrame:
+        cos_c = F.round(
+            _dot(F.col(v), F.col("cv")).cast("double") / (F.col(nrm) * F.col("cn")),
+            6,
+        )
+        w = Window.partitionBy(vid).orderBy(F.col("__cos_c").desc(), F.col("cent_id"))
+        return (
+            df.crossJoin(F.broadcast(cent))
+            .withColumn("__cos_c", cos_c)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= rn_max)
+            .drop("__cos_c", "__rn", "cv", "cn")
+        )
+
+    base = quantize_embeddings(embeddings).select(
+        F.col(id_col).alias("id"),
+        F.col("qvec").alias("v"),
+        _norm(F.col("qvec")).alias("nv"),
+    )
+    assign = _assign(base, "id", "v", "nv", 1).withColumnRenamed("cent_id", "cluster")
+    q = quantize_embeddings(queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("q"),
+        _norm(F.col("qvec")).alias("nq"),
+    )
+    qprobe = _assign(q, "query_id", "q", "nq", n_probe).withColumnRenamed(
+        "cent_id", "cluster"
+    )
+    cosine = _dot(F.col("q"), F.col("v")).cast("double") / (
+        F.col("nq") * F.col("nv")
+    )
+    scored = (
+        assign.join(F.broadcast(qprobe), "cluster")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(cosine, 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 def brute_force_topk_arrow(
     embeddings: DataFrame,
     query_rows: list[tuple[int, list[float]]],

@@ -91,6 +91,28 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     )
 
 
+def hash_split(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    test_pct: int = 20,
+) -> DataFrame:
+    """Deterministic train/test split by content-independent key hash —
+    the reproducible doc-level holdout a training pipeline needs (no RNG
+    state, stable across engines/runs/partitionings: md5 of the id, first
+    two hex digits → bucket 0-255, test iff bucket < 256·pct/100).
+    """
+    nib = lambda i: F.expr(  # noqa: E731
+        f"instr('0123456789abcdef', substring(md5(cast({id_col} as string)), {i}, 1)) - 1"
+    )
+    bucket = nib(1) * 16 + nib(2)
+    threshold = 256 * test_pct // 100
+    return documents.select(
+        id_col,
+        bucket.cast("int").alias("hash_bucket"),
+        F.when(bucket < threshold, "test").otherwise("train").alias("split"),
+    )
+
+
 def winnow_fingerprints(
     documents: DataFrame, k: int = 3, w: int = 4
 ) -> DataFrame:

@@ -39,6 +39,36 @@ def test_lsh_recall_vs_brute_force(spark, embeddings):
     assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
 
 
+def test_ivf_recall_vs_brute_force(spark, embeddings):
+    from daily_top_songs_etl_spark.extensions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    queries = embeddings.filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(embeddings, queries, k=5)
+    approx = ivf_topk(embeddings, queries, k=5, n_centroids=8, n_probe=2)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 2 of 8 lists probed ⇒ ≥25% of the corpus scanned, and true neighbors
+    # concentrate in the probed (closest) lists, so recall should beat the
+    # scanned fraction comfortably.
+    assert recall >= 0.3, f"IVF recall {recall:.2f} too low"
+
+
+def test_hash_split_is_deterministic_and_balanced(spark, documents):
+    from daily_top_songs_etl_spark.extensions.text import hash_split
+
+    s1 = hash_split(documents, test_pct=20)
+    counts = {r.split: r.n for r in s1.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert counts.get("test", 0) / total == pytest.approx(51 / 256, abs=0.06)
+    # same assignment on repartitioned input (no RNG state anywhere)
+    s2 = hash_split(documents.repartition(13), test_pct=20)
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+
+
 def test_arrow_topk_matches_column_math(spark, embeddings):
     from daily_top_songs_etl_spark.extensions.similarity import (
         brute_force_topk,
