@@ -1,0 +1,114 @@
+"""Offline ingest-shim tests: fixture HTML/JSON through the S1-S5/P1-P4
+parsing operators (the network edge is never touched — mirrors the
+reference's extract phase layer by layer, etl_pipeline.py:177-568)."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import pytest
+
+from daily_top_songs_etl_spark.sources.ingest import (
+    apple_song_data_from_ldjson,
+    basic_auth_header,
+    content_type_guard,
+    song_urls_from_html,
+    tracks_response_to_daily_batch,
+)
+
+# 12 meta tags: the extractor must keep only the FIRST 10 in document
+# (= rank) order, reproducing the limit=10 of etl_pipeline.py:322.
+_PLAYLIST_HTML = "<html><head>" + "".join(
+    f'<meta name="music:song" content="https://open.spotify.com/track/T{i:02d}"/>'
+    for i in range(12)
+) + "</head><body>ignored</body></html>"
+
+
+def _tracks_response(n: int = 3) -> str:
+    return json.dumps(
+        {
+            "tracks": [
+                {
+                    "external_ids": {"isrc": f"USXX00000{i:03d}"},
+                    "artists": [
+                        {"id": f"A{i}a", "name": f"Lead {i}"},
+                        {"id": f"A{i}b", "name": f"Feat {i}"},
+                    ],
+                    "duration_ms": 180000 + i,
+                    "explicit": i % 2 == 0,
+                    "external_urls": {"spotify": f"https://open.spotify.com/track/T{i}"},
+                    "name": f"Song {i}",
+                }
+                for i in range(n)
+            ]
+        }
+    )
+
+
+def test_song_urls_top10_in_rank_order(spark):
+    rows = song_urls_from_html(spark, _PLAYLIST_HTML).collect()
+    assert len(rows) == 10  # 12 tags, top-10 cut (P1/O4)
+    assert [r.position for r in rows] == list(range(10))
+    assert rows[0].url.endswith("/T00") and rows[9].url.endswith("/T09")
+    # P4: track id = last path segment
+    assert [r.track_id for r in rows][:3] == ["T00", "T01", "T02"]
+    assert {r.source for r in rows} == {"Spotify"}
+
+
+def test_song_urls_apple_variant_uses_property_attr(spark):
+    html = '<meta property="music:song" content="https://music.apple.com/song/1"/>'
+    rows = song_urls_from_html(spark, html, source="Apple Music").collect()
+    assert len(rows) == 1 and rows[0].track_id == "1"
+
+
+def test_tracks_response_shreds_nested_json(spark):
+    df = tracks_response_to_daily_batch(spark, _tracks_response(3))
+    rows = df.orderBy("position").collect()
+    assert [r.position for r in rows] == [0, 1, 2]  # array order = rank order
+    r0 = rows[0]
+    assert r0.isrc == "USXX00000000"
+    assert [a.artist_name for a in r0.artists] == ["Lead 0", "Feat 0"]
+    assert r0.song_duration_ms == 180000 and r0.is_explicit is True
+    assert r0.spotify_url.endswith("/T0") and r0.apple_music_url is None
+    # missing optional fields project as NULL, not error
+    sparse = json.dumps({"tracks": [{"name": "only-name"}]})
+    srow = tracks_response_to_daily_batch(spark, sparse).first()
+    assert srow.song_name == "only-name" and srow.isrc is None
+
+
+def test_content_type_guard_keeps_html_and_json(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "text/html; charset=utf-8"),
+            ("b", "application/json"),
+            ("c", "image/png"),
+            ("d", ""),
+        ],
+        "url string, content_type string",
+    )
+    kept = {r.url for r in content_type_guard(df).collect()}
+    assert kept == {"a", "b"}  # F10: reject non-HTML/JSON
+
+
+def test_basic_auth_header_round_trip():
+    h = basic_auth_header("my-id", "my-secret")
+    assert h.startswith("Basic ")
+    assert base64.b64decode(h[6:]).decode() == "my-id:my-secret"
+
+
+def test_apple_ldjson_projection():
+    html = (
+        "<html><script id=\"schema:song\" type=\"application/ld+json\">"
+        + json.dumps(
+            {
+                "name": "Some Song",
+                "audio": {"byArtist": [{"name": "A"}, {"name": "B"}]},
+            }
+        )
+        + "</script></html>"
+    )
+    out = apple_song_data_from_ldjson(html)
+    assert out == {"song_name": "Some Song", "artist_names": ["A", "B"]}
+    with pytest.raises(ValueError):
+        apple_song_data_from_ldjson("<html>no script</html>")
