@@ -1311,6 +1311,58 @@ QUALIFY rank <= 10
 """
 
 
+# --------------------------------------------------------------------------
+# Unpivot (long reshape — inverse of pivot)
+# --------------------------------------------------------------------------
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt per-part measure columns into (measure, value) rows."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["retailprice", "size"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+ORACLE_UNPIVOT = """
+SELECT p_partkey, 'retailprice' AS measure,
+       CAST(p_retailprice AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+"""
+
+
+# --------------------------------------------------------------------------
+# Regex extraction (P1's regexp_extract_all generalized to a corpus op)
+# --------------------------------------------------------------------------
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All capitalized tokens per document with their match position —
+    regexp_extract_all + posexplode (the P1 meta-tag pattern as a
+    distributed corpus operator)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all("text", F.lit(r"\b([A-Z][a-z]+)\b"), F.lit(1))
+        ).alias("pos", "token"),
+    )
+
+
+ORACLE_REGEX_EXTRACT = r"""
+WITH m AS (
+  SELECT doc_id, regexp_extract_all(text, '\b([A-Z][a-z]+)\b', 1) AS toks
+  FROM documents
+)
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS token
+FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM m)
+"""
+
+
 # ==========================================================================
 # Multimodal columns: opaque binary + typed metadata, decode stubbed but
 # the Spark plumbing (schema, Arrow batching, JVM-side planning) real.
@@ -1583,6 +1635,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "hash_split": q_hash_split,
     "sim_topk_ivf": q_sim_topk_ivf,
+    "unpivot": q_unpivot,
+    "regex_extract": q_regex_extract,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1633,6 +1687,8 @@ _ORACLES: dict[str, str] = {
     "range_join": ORACLE_RANGE_JOIN,
     "hash_split": ORACLE_HASH_SPLIT,
     "sim_topk_ivf": ORACLE_SIM_TOPK_IVF,
+    "unpivot": ORACLE_UNPIVOT,
+    "regex_extract": ORACLE_REGEX_EXTRACT,
 }
 
 
