@@ -68,7 +68,10 @@ class Catalog:
             # Empty table with declared schema — lets operators compose
             # before the first write (bootstrap, first micro-batch).
             return self.spark.createDataFrame([], schemas.TABLE_SCHEMAS[table])
-        return self.spark.read.parquet(p)
+        # Always supply the declared schema: a snapshot written from an
+        # empty DataFrame (e.g. retention purged every row) has no parquet
+        # footers to infer from, and declared types beat drifting inference.
+        return self.spark.read.schema(schemas.TABLE_SCHEMAS[table]).parquet(p)
 
     def write(self, df: DataFrame, table: str) -> None:
         """Write a new snapshot version and flip the pointer atomically."""

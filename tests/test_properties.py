@@ -1,0 +1,135 @@
+"""Property-based invariants (SURVEY.md §5): random daily batches through
+the full pipeline must preserve every constraint the reference's Postgres
+schema enforces, after EVERY micro-batch:
+
+- key uniqueness (PK/UNIQUE), rank ∈ [1,10] (CHECK)
+- referential integrity + no orphans (FK + T2/T3 GC triggers)
+- retention: no ranking older than 1 year before the max date (T1)
+- idempotency: re-applying a batch inserts nothing (ON CONFLICT)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from daily_top_songs_etl_spark.catalog import Catalog
+from daily_top_songs_etl_spark.pipeline import run_daily_batch
+from daily_top_songs_etl_spark.streaming.daily_stream import LANDING_SCHEMA
+
+# Small pools so batches collide on keys across (and within) batches —
+# the interesting upsert/dedup/GC paths.
+_song_idx = st.integers(min_value=0, max_value=6)
+_artist_idx = st.integers(min_value=0, max_value=4)
+# Past dates only: the F8 CHECK (`ranking_date <= CURRENT_DATE`) silently
+# drops future-dated rows, exactly like the reference's constraint. The
+# >2-year span makes the T1 retention purge fire between random batches.
+_date = st.dates(
+    min_value=dt.date(2024, 1, 1), max_value=dt.date(2026, 7, 31)
+)
+
+
+@st.composite
+def daily_batch(draw):
+    n = draw(st.integers(min_value=1, max_value=10))
+    day = draw(_date)
+    rows = []
+    seen = set()
+    for pos in range(n):
+        s = draw(_song_idx)
+        isrc = f"ZZPBT{s:07d}"
+        # positional batches never repeat an ISRC (the reference's top-10
+        # is a set); duplicate draws collapse to fewer rows
+        if isrc in seen:
+            continue
+        seen.add(isrc)
+        artists = sorted({draw(_artist_idx), draw(_artist_idx)})
+        rows.append(
+            (
+                pos,
+                "Spotify",
+                isrc,
+                [
+                    {"artist_id": f"ARTPBT{a:016d}", "artist_name": f"Artist {a}"}
+                    for a in artists
+                ],
+                f"Song {s}",
+                120000 + s,
+                s % 2 == 0,
+                f"https://open.spotify.com/track/pbt{s}",
+                f"https://music.apple.com/pbt{s}" if s % 3 == 0 else None,
+                day,
+            )
+        )
+    return rows
+
+
+def _assert_invariants(cat: Catalog, purge_watermark: dt.date | None = None) -> None:
+    artist = cat.read("artist")
+    song = cat.read("song")
+    amap = cat.read("artist_song_map")
+    ranking = cat.read("ranking")
+
+    # PK / UNIQUE uniqueness
+    assert artist.count() == artist.select("artist_id").distinct().count()
+    assert song.count() == song.select("isrc").distinct().count()
+    assert amap.count() == amap.select("artist_id", "isrc").distinct().count()
+    key = ["isrc", "ranking_date", "ranking_source"]
+    assert ranking.count() == ranking.select(*key).distinct().count()
+
+    # CHECK rank ∈ [1,10]
+    assert ranking.filter(~F.col("rank").between(1, 10)).count() == 0
+
+    # FKs hold
+    assert amap.join(song, "isrc", "left_anti").count() == 0
+    assert amap.join(artist, "artist_id", "left_anti").count() == 0
+    assert ranking.join(song, "isrc", "left_anti").count() == 0
+
+    # no orphans (T2/T3)
+    assert song.join(ranking, "isrc", "left_anti").count() == 0
+    assert artist.join(amap, "artist_id", "left_anti").count() == 0
+
+    # retention (T1): the reference's trigger purges relative to the
+    # NEWLY INSERTED row's date (create_schema_behavior.sql:74-80), NOT
+    # the table max — an out-of-order backfill batch legitimately leaves
+    # >1-year spans until a newer batch lands. So the invariant is: after
+    # a batch whose inserted rows peak at D, nothing remains ≤ D - 1 year.
+    if purge_watermark is not None:
+        old = ranking.filter(
+            F.col("ranking_date") <= F.add_months(F.lit(purge_watermark), -12)
+        )
+        assert old.count() == 0
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=st.lists(daily_batch(), min_size=1, max_size=3))
+def test_random_batches_preserve_invariants(spark, tmp_path_factory, batches):
+    wh = str(tmp_path_factory.mktemp("pbt_wh"))
+    cat = Catalog(spark, wh)
+    last = None
+    for rows in batches:
+        df = spark.createDataFrame(rows, LANDING_SCHEMA)
+        deltas = run_daily_batch(cat, df)
+        wm = deltas.ranking.agg(F.max("ranking_date")).first()[0]
+        _assert_invariants(cat, purge_watermark=wm)
+        last = df
+    # idempotency: re-applying the final batch inserts nothing new —
+    # unless the retention purge already dropped that batch's date range
+    # (a later batch can be >1 year newer), in which case rows re-insert
+    # and are immediately purged again; either way invariants hold.
+    mx = cat.read("ranking").agg(F.max("ranking_date")).first()[0]
+    last_day = last.select(F.max("batch_date")).first()[0]
+    deltas = run_daily_batch(cat, last)
+    if mx is not None and last_day > mx - dt.timedelta(days=365):
+        assert deltas.artist.count() == 0
+        assert deltas.song_inserted.count() == 0
+        assert deltas.artist_song_map.count() == 0
+        assert deltas.ranking.count() == 0
+    _assert_invariants(cat)
