@@ -1363,6 +1363,36 @@ FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM m)
 """
 
 
+# --------------------------------------------------------------------------
+# Distinct counting: exact (oracle-checked) + HLL sketch (rows-only check —
+# HyperLogLog estimates are engine-specific by construction)
+# --------------------------------------------------------------------------
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_DISTINCT_USERS = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch counting — the constant-memory path for cardinalities
+    that don't fit a hash set at 100 TB. No oracle entry: sketch estimates
+    are engine-specific; the unit check bounds relative error vs exact."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+    )
+
+
 # ==========================================================================
 # Multimodal columns: opaque binary + typed metadata, decode stubbed but
 # the Spark plumbing (schema, Arrow batching, JVM-side planning) real.
@@ -1637,6 +1667,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_ivf": q_sim_topk_ivf,
     "unpivot": q_unpivot,
     "regex_extract": q_regex_extract,
+    "distinct_users": q_distinct_users,
+    "approx_distinct_users": q_approx_distinct_users,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1689,6 +1721,10 @@ _ORACLES: dict[str, str] = {
     "sim_topk_ivf": ORACLE_SIM_TOPK_IVF,
     "unpivot": ORACLE_UNPIVOT,
     "regex_extract": ORACLE_REGEX_EXTRACT,
+    "distinct_users": ORACLE_DISTINCT_USERS,
+    # approx_distinct_users intentionally has no oracle (sketch estimates
+    # are engine-specific); the driver records a rows-only check and
+    # tests/test_extensions bounds its error against the exact count.
 }
 
 

@@ -169,3 +169,19 @@ def test_multimodal_feature_extraction(spark):
     sf = sample_frames(media, every_n=5)
     vid = media.filter("kind = 'video'").count()
     assert sf.select("media_id").distinct().count() == vid
+
+
+def test_approx_distinct_within_rsd(spark):
+    import __spark_entry__ as entrymod
+
+    exact = {
+        r.event_type: r.n_users
+        for r in entrymod.queries()["distinct_users"](spark, SF_DIR).collect()
+    }
+    approx = {
+        r.event_type: r.n_users_approx
+        for r in entrymod.queries()["approx_distinct_users"](spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] <= 0.1
