@@ -1393,6 +1393,87 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Correlated scalar subquery, decorrelated (TPC-H Q17 shape)
+# --------------------------------------------------------------------------
+def q_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from lineitems below 20% of their part's average quantity —
+    the correlated scalar subquery (`WHERE l_quantity < (SELECT 0.2*avg ...
+    WHERE same part)`) decorrelated into one aggregate + one join, the X1
+    rewrite pattern in its classic TPC-H form."""
+    li = _t(spark, sf_dir, "lineitem")
+    # `qty < 0.2 * sum/n` rewritten as `5 * qty * n < sum`: decimal/integer
+    # math only, so the borderline rows are identical in every engine
+    # (decimal-division precision rules differ between Spark and DuckDB).
+    per_part = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_part_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_sum"),
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(
+            F.col("l_quantity").cast("decimal(18,2)")
+            * F.lit(5)
+            * F.col("n_part_items")
+            < F.col("qty_sum")
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_BELOW_AVG = """
+WITH t AS (
+  SELECT l_partkey, count(*) AS n_part_items,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN t USING (l_partkey)
+WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n_part_items < qty_sum
+"""
+
+
+# --------------------------------------------------------------------------
+# Salted two-phase aggregation over a skewed key
+# --------------------------------------------------------------------------
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts/sums per event_type (5 distinct values over the whole fact
+    table = worst-case group skew) via explicit (key, salt) pre-aggregation;
+    algebraic combine makes the result exactly the unsalted answer."""
+    from daily_top_songs_etl_spark.operators.skew import salted_agg
+
+    events = _t(spark, sf_dir, "events")
+    return salted_agg(
+        events,
+        key=["event_type"],
+        aggs={
+            "n_events": (F.lit(1), "count"),
+            "total_value": (F.col("value").cast("decimal(18,6)"), "sum"),
+            "max_value": (F.col("value").cast("double"), "max"),
+        },
+    ).select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+        "max_value",
+    )
+
+
+ORACLE_SALTED_AGG = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       max(CAST(value AS DOUBLE)) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
 # ==========================================================================
 # Multimodal columns: opaque binary + typed metadata, decode stubbed but
 # the Spark plumbing (schema, Arrow batching, JVM-side planning) real.
@@ -1669,6 +1750,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "regex_extract": q_regex_extract,
     "distinct_users": q_distinct_users,
     "approx_distinct_users": q_approx_distinct_users,
+    "below_avg_quantity": q_below_avg_quantity,
+    "salted_agg": q_salted_agg,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1722,6 +1805,8 @@ _ORACLES: dict[str, str] = {
     "unpivot": ORACLE_UNPIVOT,
     "regex_extract": ORACLE_REGEX_EXTRACT,
     "distinct_users": ORACLE_DISTINCT_USERS,
+    "below_avg_quantity": ORACLE_BELOW_AVG,
+    "salted_agg": ORACLE_SALTED_AGG,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and
     # tests/test_extensions bounds its error against the exact count.
