@@ -118,3 +118,32 @@ def test_rank_delta_between_dates_sign(spark, seeded_catalog):
         .first()["isrc"]
     )
     assert by_isrc[bj] == -3
+
+
+def test_rank_delta_udtf_matches_dataframe_form(spark, seeded_catalog):
+    """The SQL-surface UDTF (TABLE arg, PARTITION BY group) must produce
+    exactly the DataFrame table-function's rows."""
+    import datetime as dt
+
+    from daily_top_songs_etl_spark.functions.udtfs import register_udtfs
+    from daily_top_songs_etl_spark.plans.views import rank_delta_between_dates
+
+    register_udtfs(spark)
+    ranking = seeded_catalog.read("ranking")
+    ranking.createOrReplaceTempView("ranking_v")
+    d1, d2 = dt.date(2026, 7, 23), dt.date(2026, 7, 24)
+    via_sql = spark.sql(
+        f"""SELECT * FROM rank_delta(
+              TABLE(ranking_v) PARTITION BY (isrc, ranking_source),
+              DATE'{d1}', DATE'{d2}')"""
+    )
+    # the DataFrame form renames ranking_source -> platform (P8)
+    from pyspark.sql import functions as F
+
+    via_df = rank_delta_between_dates(ranking, d1, d2).select(
+        F.col("platform").alias("ranking_source"), "isrc", "delta"
+    )
+    assert sorted(map(tuple, via_sql.collect())) == sorted(
+        map(tuple, via_df.collect())
+    )
+    assert via_sql.count() > 0
