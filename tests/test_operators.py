@@ -184,3 +184,63 @@ def test_validate_ranking_checks(spark):
     valid, rejected = split_valid_ranking(df)
     assert [r.isrc for r in valid.collect()] == ["ISRC00000001"]
     assert rejected.count() == 3
+
+
+def test_asof_join_boundaries(spark):
+    """Inclusive match at equal timestamps, NULL before any right row,
+    and most-recent-wins among multiple preceding right rows."""
+    import datetime as dt
+
+    from daily_top_songs_etl_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(5), 100), (2, t(10), 100), (3, t(2), 100), (4, t(10), 200)],
+        "event_id bigint, ts timestamp, user_id bigint",
+    )
+    right = spark.createDataFrame(
+        [(100, t(3), 1.0), (100, t(10), 2.0), (200, t(11), 9.0)],
+        "user_id bigint, ts timestamp, pvalue double",
+    )
+    out = {
+        r.event_id: (r.pvalue_asof, r.ts_asof)
+        for r in asof_join(
+            left, right, on=["user_id"], ts="ts", right_payload=["pvalue"]
+        ).collect()
+    }
+    assert out[1] == (1.0, t(3))   # most recent preceding
+    assert out[2] == (2.0, t(10))  # equal ts matches (inclusive)
+    assert out[3] == (None, None)  # nothing at-or-before
+    assert out[4] == (None, None)  # right row is later -> no match
+
+
+def test_range_join_boundaries(spark):
+    """[probe_ts - interval, probe_ts): left-closed right-open, zero counts
+    kept, bucket-boundary candidates still found."""
+    import datetime as dt
+
+    from daily_top_songs_etl_spark.operators.rangejoin import range_join_count
+
+    ts = lambda m, s=0: dt.datetime(2026, 1, 1, 1, m, s)  # noqa: E731
+    probe = spark.createDataFrame(
+        [(1, 100, ts(30)), (2, 200, ts(30))],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    build = spark.createDataFrame(
+        [
+            (100, ts(30)),           # == probe ts -> excluded (right-open)
+            (100, ts(29, 59)),       # just inside
+            (100, dt.datetime(2026, 1, 1, 0, 30)),  # exactly -1h -> included
+            (100, dt.datetime(2026, 1, 1, 0, 29, 59)),  # just before -> out
+        ],
+        "user_id bigint, ts timestamp",
+    )
+    out = {
+        r.event_id: r.n
+        for r in range_join_count(
+            probe, build, key="user_id", probe_ts="ts", build_ts="ts",
+            interval_s=3600, out="n",
+        ).collect()
+    }
+    assert out[1] == 2  # boundary + just-inside
+    assert out[2] == 0  # no build rows for this key at all
