@@ -678,6 +678,41 @@ FROM sums
 """
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daily_top_songs_etl_spark.extensions.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+ORACLE_DEDUP_SIMHASH_PAIRS = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+')))
+             AS token
+  FROM documents
+), hashed AS (
+  SELECT doc_id, md5(token) AS h FROM tok
+), sums AS (
+  SELECT doc_id,
+         {_SIMHASH_SUMS}
+  FROM hashed GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, CAST({_SIMHASH_VAL} AS BIGINT) AS simhash FROM sums
+), bands AS (
+  SELECT doc_id, simhash, k AS band, (simhash >> (k * 4)) & 15 AS val
+  FROM sig, unnest([0, 1, 2, 3]) AS u(k)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b,
+       CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
 def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daily_top_songs_etl_spark.extensions.similarity import brute_force_topk
 
@@ -1721,6 +1756,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "stream_tumbling_window": q_stream_tumbling_window,
     "stream_session_window": q_stream_session_window,
@@ -1777,6 +1813,7 @@ _ORACLES: dict[str, str] = {
     "dedup_minhash_pairs": ORACLE_DEDUP_MINHASH,
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
     "sim_topk_bruteforce": ORACLE_SIM_TOPK,
     "stream_tumbling_window": ORACLE_TUMBLING,
     "stream_session_window": ORACLE_SESSION,

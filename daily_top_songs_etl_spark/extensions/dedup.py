@@ -282,6 +282,63 @@ def embedding_cosine_pairs(
     )
 
 
+def simhash_pairs(
+    documents: DataFrame, max_hamming: int = 3, n_bits: int = 16
+) -> DataFrame:
+    """SimHash near-duplicate pairs: candidates share at least one of 4
+    4-bit bands of the fingerprint (pigeonhole: hamming ≤ 3 ⇒ some band is
+    identical), then the exact Hamming distance filters.
+
+    The band join is the same LSH shape as MinHash banding — pairwise work
+    scales with same-band density. ``bit_count(a XOR b)`` is the exact
+    re-rank; both steps are integer ops available in every target engine.
+    """
+    sig = simhash(documents, n_bits)
+    n_bands = 4
+    band_bits = n_bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * band_bits)
+                        .bitwiseAND(mask)
+                        .alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_id_a",

@@ -1,0 +1,60 @@
+"""Physical-plan regression guards (the PLANS.md audit as assertions).
+
+A query that silently loses predicate pushdown, a broadcast, or its
+shuffle-free shape still returns correct rows at sf0.01 — these tests make
+the PLAN a tested property, because at 100 TB the plan IS the behavior.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _formatted_plan(spark, name: str) -> str:
+    df = entrymod.queries()[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = _formatted_plan(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # pruned read schema: the 7 consumed columns, nothing else
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_quantity" in read and "l_returnflag" in read
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    plan = _formatted_plan(spark, "star_join_agg")
+    # customer, nation, region must broadcast (orders may or may not at
+    # larger scale — don't pin it)
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_winnow_is_shuffle_free(spark):
+    plan = _formatted_plan(spark, "text_winnow")
+    assert "Exchange" not in plan
+
+
+def test_topk_uses_window_group_limit(spark):
+    plan = _formatted_plan(spark, "topk_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_exact_dedup_single_shuffle(spark):
+    plan = _formatted_plan(spark, "dedup_exact")
+    # one partial+final aggregate pair → exactly one shuffle boundary
+    assert plan.count("(") > 0
+    exchanges = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("(") and "Exchange" in l
+    ]
+    assert len(exchanges) == 1, exchanges
