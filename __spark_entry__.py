@@ -684,6 +684,16 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+# 60-bit variant (15 hex chars → BIGINT-safe): one hex→int parse then
+# integer bit probes; bit j of fingerprint = bit (59-j) of v.
+_SIMHASH60_SUMS = ",\n         ".join(
+    f"sum(CASE WHEN (v >> {59 - j}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{j}"
+    for j in range(60)
+)
+_SIMHASH60_VAL = " + ".join(
+    f"(CASE WHEN s_{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(60)
+)
+
 ORACLE_DEDUP_SIMHASH_PAIRS = rf"""
 WITH tok AS (
   SELECT doc_id,
@@ -691,15 +701,17 @@ WITH tok AS (
              AS token
   FROM documents
 ), hashed AS (
-  SELECT doc_id, md5(token) AS h FROM tok
+  SELECT doc_id,
+         CAST('0x' || substring(md5(token), 1, 15) AS BIGINT) AS v
+  FROM tok
 ), sums AS (
   SELECT doc_id,
-         {_SIMHASH_SUMS}
+         {_SIMHASH60_SUMS}
   FROM hashed GROUP BY doc_id
 ), sig AS (
-  SELECT doc_id, CAST({_SIMHASH_VAL} AS BIGINT) AS simhash FROM sums
+  SELECT doc_id, CAST({_SIMHASH60_VAL} AS BIGINT) AS simhash FROM sums
 ), bands AS (
-  SELECT doc_id, simhash, k AS band, (simhash >> (k * 4)) & 15 AS val
+  SELECT doc_id, simhash, k AS band, (simhash >> (k * 15)) & 32767 AS val
   FROM sig, unnest([0, 1, 2, 3]) AS u(k)
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,

@@ -283,17 +283,26 @@ def embedding_cosine_pairs(
 
 
 def simhash_pairs(
-    documents: DataFrame, max_hamming: int = 3, n_bits: int = 16
+    documents: DataFrame, max_hamming: int = 3, n_bits: int = 60
 ) -> DataFrame:
     """SimHash near-duplicate pairs: candidates share at least one of 4
-    4-bit bands of the fingerprint (pigeonhole: hamming ≤ 3 ⇒ some band is
+    bands of the fingerprint (pigeonhole: hamming ≤ 3 ⇒ some band is
     identical), then the exact Hamming distance filters.
 
-    The band join is the same LSH shape as MinHash banding — pairwise work
-    scales with same-band density. ``bit_count(a XOR b)`` is the exact
-    re-rank; both steps are integer ops available in every target engine.
+    Band width is the selectivity lever (Manku et al., WWW'07): simhash
+    bits are heavily CORRELATED on natural corpora (common tokens drive
+    the same sign pattern everywhere), so narrow bands funnel large
+    corpus fractions into single buckets — 60-bit fingerprints with
+    15-bit bands keep buckets small while the pigeonhole recall guarantee
+    (4 bands > 3 flips) is unchanged. 60 bits = 15 hex chars, so the
+    value parses into a BIGINT in every engine.
+
+    The signature relation is checkpointed before the band self-join —
+    otherwise both join sides would recompute the whole token-explode
+    aggregation; the join (not bucket-local array expansion) is what
+    spreads a skewed bucket's pair fan-out across the cluster.
     """
-    sig = simhash(documents, n_bits)
+    sig = simhash(documents, n_bits).localCheckpoint(eager=False)
     n_bands = 4
     band_bits = n_bits // n_bands
     mask = (1 << band_bits) - 1
@@ -398,21 +407,24 @@ def simhash(documents: DataFrame, n_bits: int = 16) -> DataFrame:
     instr exist everywhere); 16 bits = first 4 nibbles. Integer math only.
     """
     t = F.array_distinct(tokens())
+    # One hex→integer parse per token (the first n_bits/4 digest chars,
+    # big-endian, so bit j of the fingerprint = bit (n_bits-1-j) of v) —
+    # bit-identical to per-nibble extraction but one conv + cheap integer
+    # shifts instead of n_bits string probes per row. Portable: DuckDB
+    # reproduces v with CAST('0x' || substring(md5(...)) AS BIGINT).
     exploded = documents.select("doc_id", F.explode(t).alias("token")).select(
-        "doc_id", F.md5("token").alias("h")
+        "doc_id",
+        F.conv(F.substring(F.md5("token"), 1, n_bits // 4), 16, 10)
+        .cast("bigint")
+        .alias("v"),
     )
-    nibble_cols = []
-    for j in range(n_bits):
-        # hex nibble value via position-in-alphabet (portable: instr/strpos
-        # exist in every target engine); bit j = nibble bit (3 - j%4).
-        bit = F.expr(
-            f"((instr('0123456789abcdef', substring(h, {j // 4 + 1}, 1)) - 1)"
-            f" >> {3 - (j % 4)}) % 2"
-        )
-        nibble_cols.append(
-            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s_{j}")
-        )
-    sums = exploded.groupBy("doc_id").agg(*nibble_cols)
+    bit_cols = [
+        F.sum(
+            F.shiftright("v", n_bits - 1 - j).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"s_{j}")
+        for j in range(n_bits)
+    ]
+    sums = exploded.groupBy("doc_id").agg(*bit_cols)
     sig = F.lit(0).cast("bigint")
     for j in range(n_bits):
         sig = sig + F.when(F.col(f"s_{j}") > 0, F.lit(2 ** j)).otherwise(0)
