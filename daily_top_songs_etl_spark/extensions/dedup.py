@@ -100,7 +100,10 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """LSH candidate pairs: docs agreeing on any full band of signature
     components. Returns (doc_id_a < doc_id_b, n_shared_bands)."""
-    sig = minhash_signatures(documents, n_hashes)
+    # Checkpoint the signatures: the band relation feeds BOTH sides of the
+    # candidate self-join, which would otherwise recompute the whole
+    # shingle-explode aggregation twice.
+    sig = minhash_signatures(documents, n_hashes).localCheckpoint(eager=False)
     n_bands = n_hashes // band_size
     # The band id is folded into one 8-byte xxhash64 bucket key, so the
     # self-join shuffles on a single bigint instead of (int, 32-char md5).
@@ -256,13 +259,15 @@ def embedding_cosine_pairs(
     from .similarity import _dot, _norm, _sign_bucket, quantize_embeddings
 
     # Norm computed once per vector BEFORE the self-join (per-pair work is
-    # one dot product, not three array aggregations).
+    # one dot product, not three array aggregations); the relation is
+    # checkpointed so the self-join doesn't evaluate the 4×64-term bucket
+    # projection twice.
     base = quantize_embeddings(embeddings).select(
         F.col(id_col).alias("id"),
         F.col("qvec").alias("v"),
         _norm(F.col("qvec")).alias("nrm"),
         _sign_bucket(F.col("qvec"), n_planes, dim).alias("bucket"),
-    )
+    ).localCheckpoint(eager=False)
     a = base.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"),
         F.col("nrm").alias("na"), "bucket",
