@@ -1743,6 +1743,200 @@ GROUP BY user_id, session_id
 
 
 # --------------------------------------------------------------------------
+# Corpus n-gram profile (top-k vocabulary)
+# --------------------------------------------------------------------------
+def q_text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word bigrams by corpus occurrence count — the vocabulary /
+    boilerplate profile pass. Global top-k compiles to
+    TakeOrderedAndProject (per-partition k rows, no full sort)."""
+    from daily_top_songs_etl_spark.extensions.text import ngram_topk
+
+    return ngram_topk(_t(spark, sf_dir, "documents"), n=2, k=20)
+
+
+ORACLE_TEXT_NGRAM_TOPK = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 2
+            THEN list_transform(generate_series(1, len(t)-1),
+                                i -> array_to_string(t[i:i+1], ' '))
+            ELSE [] END) AS gram
+  FROM tok
+)
+SELECT gram,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM grams
+GROUP BY gram
+ORDER BY n_occurrences DESC, gram
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Repetition (duplicate-n-gram ratio, Gopher rule)
+# --------------------------------------------------------------------------
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daily_top_songs_etl_spark.extensions.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), n=2)
+
+
+ORACLE_TEXT_REPETITION = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+            THEN list_transform(generate_series(1, len(t)-1),
+                                i -> array_to_string(t[i:i+1], ' '))
+            ELSE [] END AS grams
+  FROM tok
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+       CASE WHEN len(grams) > 0
+            THEN round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                       / CAST(len(grams) AS DOUBLE), 6)
+       END AS dup_gram_ratio
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# Composite quality gate (Gopher-style rule conjunction)
+# --------------------------------------------------------------------------
+def q_text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daily_top_songs_etl_spark.extensions.text import quality_gate
+
+    return quality_gate(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_TEXT_QUALITY_GATE = rf"""
+WITH tok AS (
+  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         CAST(len(t) AS INTEGER) AS n_tokens,
+         CAST(length(text) AS INTEGER) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+              AS INTEGER) AS n_punct,
+         CAST(len(list_filter(t, w -> list_contains({_STOPLIST_SQL}, w)))
+              AS INTEGER) AS n_stop,
+         CASE WHEN len(t) >= 2
+            THEN list_transform(generate_series(1, len(t)-1),
+                                i -> array_to_string(t[i:i+1], ' '))
+            ELSE [] END AS grams
+  FROM tok
+), gates AS (
+  SELECT doc_id,
+         (n_tokens BETWEEN 50 AND 100000) AS gate_len,
+         (CAST(n_chars - n_tokens + 1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+              >= 3.0
+          AND CAST(n_chars - n_tokens + 1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+              <= 10.0) AS gate_word_len,
+         (CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) < 0.1)
+             AS gate_symbol,
+         (n_stop >= 2) AS gate_stopword,
+         (len(grams) > 0
+          AND CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+              / CAST(len(grams) AS DOUBLE) <= 0.5) AS gate_repetition
+  FROM b
+)
+SELECT doc_id, gate_len, gate_word_len, gate_symbol, gate_stopword,
+       gate_repetition,
+       (gate_len AND gate_word_len AND gate_symbol AND gate_stopword
+        AND gate_repetition) AS passes_all
+FROM gates
+"""
+
+
+# --------------------------------------------------------------------------
+# Stratified deterministic sampling
+# --------------------------------------------------------------------------
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample 'en' to ~10%, keep ~50% of everything else — the corpus
+    rebalance pass, reproducible via key-hash buckets (no RNG)."""
+    from daily_top_songs_etl_spark.extensions.text import sample_stratified
+
+    return sample_stratified(
+        _t(spark, sf_dir, "documents"), rates={"en": 10}, default_rate=50
+    )
+
+
+ORACLE_SAMPLE_STRATIFIED = """
+WITH h AS (
+  SELECT doc_id, lang,
+         (instr('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         + (instr('0123456789abcdef',
+                  substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+             AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, CAST(bucket AS INTEGER) AS hash_bucket
+FROM h
+WHERE bucket < (CASE WHEN lang = 'en' THEN 25 ELSE 128 END)
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup apply (surviving corpus after clustering)
+# --------------------------------------------------------------------------
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep one representative per near-dup cluster plus all unclustered
+    docs — the materialized keep/drop decision over the LSH pair graph."""
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        dedup_apply,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_apply(docs, minhash_lsh_pairs(docs))
+
+
+ORACLE_DEDUP_APPLY = f"""{_SQL_SHINGLES}
+, sig AS (
+  SELECT doc_id,
+         {_SIG_COLS}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  {_BAND_SELECTS}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT da AS a, db AS b FROM pairs
+  UNION
+  SELECT db AS a, da AS b FROM pairs
+), reach AS (
+  WITH RECURSIVE r(node, lbl) AS (
+    SELECT DISTINCT a, a FROM edges
+    UNION
+    SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.node
+  )
+  SELECT * FROM r
+), cl AS (
+  SELECT node AS doc_id, min(lbl) AS cluster_id
+  FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       coalesce(c.doc_id = c.cluster_id, FALSE) AS is_cluster_rep
+FROM documents d
+LEFT JOIN cl c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL OR c.doc_id = c.cluster_id
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1800,6 +1994,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_users": q_approx_distinct_users,
     "below_avg_quantity": q_below_avg_quantity,
     "salted_agg": q_salted_agg,
+    "text_ngram_topk": q_text_ngram_topk,
+    "text_repetition": q_text_repetition,
+    "text_quality_gate": q_text_quality_gate,
+    "sample_stratified": q_sample_stratified,
+    "dedup_apply": q_dedup_apply,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1856,6 +2055,11 @@ _ORACLES: dict[str, str] = {
     "distinct_users": ORACLE_DISTINCT_USERS,
     "below_avg_quantity": ORACLE_BELOW_AVG,
     "salted_agg": ORACLE_SALTED_AGG,
+    "text_ngram_topk": ORACLE_TEXT_NGRAM_TOPK,
+    "text_repetition": ORACLE_TEXT_REPETITION,
+    "text_quality_gate": ORACLE_TEXT_QUALITY_GATE,
+    "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
+    "dedup_apply": ORACLE_DEDUP_APPLY,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and
     # tests/test_extensions bounds its error against the exact count.

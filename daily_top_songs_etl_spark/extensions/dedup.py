@@ -434,3 +434,35 @@ def simhash(documents: DataFrame, n_bits: int = 16) -> DataFrame:
     for j in range(n_bits):
         sig = sig + F.when(F.col(f"s_{j}") > 0, F.lit(2 ** j)).otherwise(0)
     return sums.select("doc_id", sig.cast("bigint").alias("simhash"))
+
+
+def dedup_apply(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Materialize the keep/drop decision: given candidate near-dup pairs,
+    keep exactly one representative (the min doc_id) per duplicate cluster
+    and every unclustered doc. Returns the surviving corpus ids with an
+    ``is_cluster_rep`` flag (true = this doc won its cluster).
+
+    This is the step that turns pairwise verdicts into the deduplicated
+    training corpus. Plan shape: the cluster relation is tiny relative to
+    the corpus (only docs that appear in a candidate pair), so both the
+    drop-list anti-join and the rep-flag left join broadcast at scale —
+    the full corpus is never shuffled.
+    """
+    clusters = connected_components(pairs)
+    dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    reps = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id", F.lit(True).alias("is_cluster_rep")
+    )
+    return (
+        documents.select("doc_id")
+        .join(F.broadcast(dropped), "doc_id", "left_anti")
+        .join(F.broadcast(reps), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("is_cluster_rep"), F.lit(False)).alias(
+                "is_cluster_rep"
+            ),
+        )
+    )

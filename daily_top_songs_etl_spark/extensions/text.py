@@ -113,6 +113,183 @@ def hash_split(
     )
 
 
+def _ngrams(t: Column, n: int) -> Column:
+    """Word n-grams of a pre-bound token array (space-joined strings).
+
+    ``t`` must be a lambda-bound variable (see the let-binding note on
+    :func:`winnow_fingerprints`) — a plain column expression here would be
+    re-evaluated once per sequence element. Short docs (< n tokens) are
+    special-cased: Spark's ``sequence(1, 0)`` is a *descending* [1, 0],
+    not an empty array.
+    """
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.when(F.size(t) >= n, gram).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _let_tokens(body) -> Column:
+    """Evaluate ``body(token_array)`` with the token array computed once per
+    row (single-element-array let binding around a higher-order lambda)."""
+    return F.transform(F.array(tokens()), body)[0]
+
+
+def ngram_topk(documents: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-level top-k word n-grams by occurrence count.
+
+    The vocabulary profile a training-data pipeline runs before filtering
+    (boilerplate detection, contamination checks). Plan shape: per-row
+    n-gram construction in the array domain (no shuffle), explode, two-phase
+    hash aggregate on the gram (map-side combine bounds shuffle volume by
+    |vocab|ⁿ × partitions, not corpus size), then a global top-k that
+    compiles to ``TakeOrderedAndProject`` — each partition keeps k rows, no
+    full sort. Ties broken by gram text so the top-k set is deterministic.
+    """
+    grams = _let_tokens(lambda t: _ngrams(t, n))
+    exploded = documents.select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    return (
+        exploded.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(k)
+    )
+
+
+def repetition_stats(documents: DataFrame, n: int = 2) -> DataFrame:
+    """Duplicate-n-gram ratio per document (the Gopher/MassiveText
+    repetition rule: heavily self-repeating docs are low-quality generated
+    or boilerplate text).
+
+    Entirely array-domain per row — distinct-count of the gram array versus
+    its length — zero exchanges, scales with the scan.
+    """
+    grams = _let_tokens(lambda t: _ngrams(t, n))
+    # Second let-bind: size + distinct-size evaluate the gram array once;
+    # the pair is materialized as a NAMED column in an inner project so the
+    # outer references don't clone the expression tree (higher-order
+    # functions are interpreted, not codegen'd — no runtime CSE saves you).
+    # CollapseProject keeps the layering: the alias is non-cheap and
+    # referenced more than once.
+    stats = F.transform(
+        F.array(grams),
+        lambda a: F.array(
+            F.size(a).cast("bigint"),
+            F.size(F.array_distinct(a)).cast("bigint"),
+        ),
+    )[0]
+    s = F.col("stats")
+    return documents.select("doc_id", stats.alias("stats")).select(
+        "doc_id",
+        s[0].alias("n_grams"),
+        s[1].alias("n_distinct_grams"),
+        F.when(
+            s[0] > 0,
+            F.round((s[0] - s[1]).cast("double") / s[0].cast("double"), 6),
+        ).alias("dup_gram_ratio"),
+    )
+
+
+def quality_gate(documents: DataFrame) -> DataFrame:
+    """Composite Gopher-style quality gate: each rule as an inspectable
+    boolean column plus the conjunction, so a pipeline can both filter and
+    report per-rule rejection rates. All gates derive from exact integer
+    counts (deterministic across engines); the whole operator is a pure
+    projection — no shuffle, scan-parallel at any scale.
+    """
+    t = tokens()
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    gstats = F.transform(
+        F.array(_let_tokens(lambda tt: _ngrams(tt, 2))),
+        lambda a: F.array(
+            F.size(a).cast("bigint"),
+            F.size(F.array_distinct(a)).cast("bigint"),
+        ),
+    )[0]
+    # Layered projects: every expensive text expression is evaluated ONCE
+    # into a named column; gate derivation reads the integer columns. The
+    # aliases are non-cheap and multiply-referenced, so CollapseProject
+    # keeps the layering (no expression-tree cloning).
+    base = documents.select(
+        "doc_id",
+        F.size(t).alias("n_tok"),
+        F.length("text").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+        ).alias("n_punct"),
+        F.size(F.filter(t, lambda w: F.array_contains(stop_arr, w))).alias(
+            "n_stop"
+        ),
+        gstats.alias("gram_stats"),
+    ).select(
+        "doc_id",
+        "n_tok",
+        "n_chars",
+        "n_punct",
+        "n_stop",
+        F.col("gram_stats")[0].alias("n_grams"),
+        F.col("gram_stats")[1].alias("n_distinct_grams"),
+    )
+    n_tok, n_chars = F.col("n_tok"), F.col("n_chars")
+    mean_wl = (n_chars - n_tok + 1).cast("double") / n_tok.cast("double")
+    dup_ratio = (F.col("n_grams") - F.col("n_distinct_grams")).cast(
+        "double"
+    ) / F.col("n_grams").cast("double")
+    gate_len = n_tok.between(50, 100000)
+    gate_word_len = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    gate_symbol = F.col("n_punct").cast("double") / n_chars.cast("double") < 0.1
+    gate_stopword = F.col("n_stop") >= 2
+    gate_repetition = (F.col("n_grams") > 0) & (dup_ratio <= 0.5)
+    return base.select(
+        "doc_id",
+        gate_len.alias("gate_len"),
+        gate_word_len.alias("gate_word_len"),
+        gate_symbol.alias("gate_symbol"),
+        gate_stopword.alias("gate_stopword"),
+        gate_repetition.alias("gate_repetition"),
+        (
+            gate_len & gate_word_len & gate_symbol & gate_stopword & gate_repetition
+        ).alias("passes_all"),
+    )
+
+
+def sample_stratified(
+    documents: DataFrame,
+    stratum_col: str = "lang",
+    rates: dict[str, int] | None = None,
+    default_rate: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sampling by content-independent key hash —
+    rebalancing a corpus (downsample the dominant language, keep the rest)
+    reproducibly: no RNG state, stable across runs, engines, and
+    partitionings. Same md5-nibble bucket as :func:`hash_split`; the rate
+    map becomes a CASE chain on the stratum column. Pure filter —
+    predicate-pushdown-friendly, no shuffle.
+    """
+    rates = rates if rates is not None else {"en": 10}
+    nib = lambda i: F.expr(  # noqa: E731
+        f"instr('0123456789abcdef', substring(md5(cast({id_col} as string)), {i}, 1)) - 1"
+    )
+    bucket = nib(1) * 16 + nib(2)
+    threshold = F.lit(256 * default_rate // 100)
+    for stratum, rate in rates.items():
+        threshold = F.when(
+            F.col(stratum_col) == stratum, F.lit(256 * rate // 100)
+        ).otherwise(threshold)
+    return documents.filter(bucket < threshold).select(
+        id_col, stratum_col, bucket.cast("int").alias("hash_bucket")
+    )
+
+
 def winnow_fingerprints(
     documents: DataFrame, k: int = 3, w: int = 4
 ) -> DataFrame:
@@ -133,16 +310,25 @@ def winnow_fingerprints(
     # higher-order-function lambda is RE-EVALUATED per element, so the token
     # array and the gram-hash array are bound as lambda variables (computed
     # once per row) rather than referenced as expressions.
+    # Short inputs are when-guarded rather than clamped with greatest(…, 0):
+    # Spark's sequence(1, 0) is a *descending* [1, 0] whose 0 index would
+    # feed slice() (1-based) and throw.
     def _gram_hashes(t: Column) -> Column:
-        return F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(k - 1), F.lit(0))),
+        gh = F.transform(
+            F.sequence(F.lit(1), F.size(t) - F.lit(k - 1)),
             lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, k))),
+        )
+        return F.when(F.size(t) >= k, gh).otherwise(
+            F.array().cast("array<string>")
         )
 
     def _window_mins(gh: Column) -> Column:
-        return F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(gh) - F.lit(w - 1), F.lit(0))),
+        wm = F.transform(
+            F.sequence(F.lit(1), F.size(gh) - F.lit(w - 1)),
             lambda j: F.array_min(F.slice(gh, j, w)),
+        )
+        return F.when(F.size(gh) >= w, wm).otherwise(
+            F.array().cast("array<string>")
         )
 
     fps = F.array_distinct(

@@ -185,3 +185,106 @@ def test_approx_distinct_within_rsd(spark):
     assert set(exact) == set(approx)
     for k in exact:
         assert abs(approx[k] - exact[k]) / exact[k] <= 0.1
+
+
+def test_ngram_topk_counts_and_short_docs(spark):
+    from daily_top_songs_etl_spark.extensions.text import ngram_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b c"),   # bigrams: "a b","b a","a b","b c"
+            (2, "a b"),          # bigram: "a b"
+            (3, "solo"),         # no bigram (short doc must not crash)
+            (4, ""),             # degenerate
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.gram: (r.n_occurrences, r.n_docs) for r in ngram_topk(docs, 2, 10).collect()}
+    assert out["a b"] == (3, 2)
+    assert out["b a"] == (1, 1)
+    assert out["b c"] == (1, 1)
+
+
+def test_repetition_ratio_detects_repeats(spark):
+    from daily_top_songs_etl_spark.extensions.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y x y x y x y"),          # heavy bigram repetition
+            (2, "the quick brown fox jumps"),  # all distinct
+            (3, "one"),                         # no bigrams -> null ratio
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert rows[1].n_grams == 7 and rows[1].n_distinct_grams == 2
+    assert rows[1].dup_gram_ratio > 0.7
+    assert rows[2].dup_gram_ratio == 0.0
+    assert rows[3].n_grams == 0 and rows[3].dup_gram_ratio is None
+
+
+def test_quality_gate_rules_fire_independently(spark):
+    from daily_top_songs_etl_spark.extensions.text import quality_gate
+
+    # diverse: distinct vocabulary (bigrams unique) + a few stopwords
+    long_good = "the and " + " ".join(f"word{i}" for i in range(60))
+    repeated = "the cat the cat " * 30
+    docs = spark.createDataFrame(
+        [(1, long_good), (2, repeated), (3, "way too short")],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in quality_gate(docs).collect()}
+    assert rows[1].passes_all
+    assert rows[2].gate_len and not rows[2].gate_repetition
+    assert not rows[3].gate_len and not rows[3].passes_all
+
+
+def test_stratified_sample_deterministic_and_rated(spark, documents):
+    from daily_top_songs_etl_spark.extensions.text import sample_stratified
+
+    a = sample_stratified(documents, rates={"en": 10}, default_rate=50)
+    b = sample_stratified(documents, rates={"en": 10}, default_rate=50)
+    assert sorted(r.doc_id for r in a.collect()) == sorted(
+        r.doc_id for r in b.collect()
+    )
+    n_en_total = documents.filter(F.col("lang") == "en").count()
+    n_en_kept = a.filter(F.col("lang") == "en").count()
+    if n_en_total >= 20:
+        # 25/256 ≈ 9.8% expected; loose bounds for a small corpus
+        assert 0.0 <= n_en_kept / n_en_total <= 0.35
+
+
+def test_dedup_apply_keeps_one_rep_per_cluster(spark, documents):
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        connected_components,
+        dedup_apply,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(documents)
+    clusters = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    survivors = {r.doc_id: r.is_cluster_rep for r in dedup_apply(documents, pairs).collect()}
+    n_docs = documents.count()
+    n_clusters = len(set(clusters.values()))
+    n_clustered_docs = len(clusters)
+    # every cluster contributes exactly its representative
+    assert len(survivors) == n_docs - n_clustered_docs + n_clusters
+    for doc, cl in clusters.items():
+        if doc == cl:
+            assert survivors[doc] is True
+        else:
+            assert doc not in survivors
+    # unclustered docs survive, unflagged
+    assert sum(1 for v in survivors.values() if not v) == n_docs - n_clustered_docs
+
+
+def test_winnow_short_docs_produce_no_fingerprints(spark):
+    from daily_top_songs_etl_spark.extensions.text import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d e f g h")],
+        "doc_id bigint, text string",
+    )
+    out = winnow_fingerprints(docs, k=3, w=4).collect()
+    assert all(r.doc_id == 2 for r in out)
+    assert len(out) > 0
