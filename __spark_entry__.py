@@ -1937,6 +1937,52 @@ WHERE c.doc_id IS NULL OR c.doc_id = c.cluster_id
 
 
 # --------------------------------------------------------------------------
+# Stream/batch-symmetric event dedup + stream-stream interval join
+# --------------------------------------------------------------------------
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the watermarked streaming dedup (first event per
+    (user, type) by event time; under readStream the same builder uses
+    dropDuplicatesWithinWatermark with watermark-bounded state)."""
+    from daily_top_songs_etl_spark.streaming.windows import first_event_per_key
+
+    return first_event_per_key(_events(spark, sf_dir))
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT event_id, ts, user_id, event_type, value, props
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the stream-stream interval join (clicks in the hour
+    before each purchase, pair-level; the count-aggregated variant with
+    bucketed candidate pruning is `range_join`)."""
+    from daily_top_songs_etl_spark.streaming.windows import clicks_before_purchase
+
+    events = _events(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return clicks_before_purchase(purchases, clicks)
+
+
+ORACLE_STREAM_INTERVAL_JOIN = """
+SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+       p.ts AS purchase_ts, c.ts AS click_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1999,6 +2045,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_gate": q_text_quality_gate,
     "sample_stratified": q_sample_stratified,
     "dedup_apply": q_dedup_apply,
+    "stream_dedup": q_stream_dedup,
+    "stream_interval_join": q_stream_interval_join,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2060,6 +2108,8 @@ _ORACLES: dict[str, str] = {
     "text_quality_gate": ORACLE_TEXT_QUALITY_GATE,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "dedup_apply": ORACLE_DEDUP_APPLY,
+    "stream_dedup": ORACLE_STREAM_DEDUP,
+    "stream_interval_join": ORACLE_STREAM_INTERVAL_JOIN,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and
     # tests/test_extensions bounds its error against the exact count.

@@ -55,3 +55,65 @@ def sessionized(
             "n_events",
         )
     )
+
+
+def first_event_per_key(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream/batch-symmetric event deduplication.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` — per-key state is dropped
+    once the watermark passes, so state size is bounded by (keys arriving
+    within the watermark horizon), not by stream history; the survivor is
+    the first ARRIVAL. Batch: the deterministic event-time-first row per
+    key (ties broken by event_id), one shuffle on the key. The two agree on
+    the surviving KEY SET always, and on the surviving rows whenever
+    arrival order matches event time (the stream≡batch test checks keys).
+    """
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col("event_id"))
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def clicks_before_purchase(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    interval_s: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: every (purchase, click) pair from the
+    same user with the click in the hour before the purchase.
+
+    Streaming: both sides watermarked; the time-range condition lets Spark
+    bound join state — buffered rows are evicted once the other side's
+    watermark passes their eligibility window (state ∝ watermark horizon ×
+    arrival rate, independent of stream length). Batch: same expression
+    compiles to an equi-join on user_id with the range as a join residual.
+    """
+    if purchases.isStreaming:
+        purchases = purchases.withWatermark("ts", watermark)
+        clicks = clicks.withWatermark("ts", watermark)
+    p, c = purchases.alias("p"), clicks.alias("c")
+    cond = (
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr(f"INTERVAL {interval_s} SECOND"))
+        & (F.col("c.ts") < F.col("p.ts"))
+    )
+    return p.join(c, cond, "inner").select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("c.ts").alias("click_ts"),
+    )

@@ -159,3 +159,94 @@ def test_streaming_tumbling_window_matches_batch(spark, tmp_path):
     assert got, "stream should emit closed windows"
     assert got <= want
     assert len(got) >= 0.9 * len(want)
+
+
+def test_streaming_dedup_matches_batch_keys(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over a multi-micro-batch drain must
+    keep exactly one row per key, and the key set must equal the batch
+    formulation's (survivor ROWS may differ: arrival-first vs time-first).
+
+    The watermark horizon must cover the event-time span of the corpus for
+    the dedup to be exact — with a shorter horizon, per-key state is
+    evicted as the watermark passes and a key reappearing later is emitted
+    again (that bounded-state trade-off is the operator's scale story)."""
+    import __spark_entry__ as entrymod
+
+    from daily_top_songs_etl_spark.streaming.windows import first_event_per_key
+
+    events = entrymod._events(spark, "/root/testdata/sf0.001")
+    src_dir = str(tmp_path / "events_src")
+    events.repartition(4).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        first_event_per_key(stream, watermark="366 days")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_dedup_out")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT user_id, event_type, count(*) n FROM stream_dedup_out "
+        "GROUP BY 1, 2"
+    ).collect()
+    assert all(r.n == 1 for r in got)
+    want = {
+        (r.user_id, r.event_type)
+        for r in first_event_per_key(events)
+        .select("user_id", "event_type")
+        .collect()
+    }
+    assert {(r.user_id, r.event_type) for r in got} == want
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join drained with availableNow must produce
+    exactly the batch pair set (inner join, both sides watermarked)."""
+    import __spark_entry__ as entrymod
+
+    from daily_top_songs_etl_spark.streaming.windows import clicks_before_purchase
+
+    events = entrymod._events(spark, "/root/testdata/sf0.001")
+    src_dir = str(tmp_path / "events_src")
+    events.repartition(4).write.parquet(src_dir)
+
+    def split(df):
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = df.filter(F.col("event_type") == "click").select("user_id", "ts")
+        return purchases, clicks
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+    q = (
+        clicks_before_purchase(*split(stream))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("interval_join_out")
+        .option("checkpointLocation", str(tmp_path / "ijckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.purchase_id, r.click_ts)
+        for r in spark.sql("SELECT * FROM interval_join_out").collect()
+    }
+    want = {
+        (r.purchase_id, r.click_ts)
+        for r in clicks_before_purchase(*split(events)).collect()
+    }
+    assert got == want
+    assert len(want) > 0
