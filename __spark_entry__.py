@@ -1983,6 +1983,66 @@ JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
 
 
 # --------------------------------------------------------------------------
+# Vector ops: per-group centroids, unit normalization
+# --------------------------------------------------------------------------
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daily_top_songs_etl_spark.extensions.similarity import (
+        embedding_centroids,
+    )
+
+    return embedding_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+ORACLE_EMBEDDING_CENTROIDS = """
+WITH q AS (
+  SELECT label,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE)*1000)::BIGINT)
+             AS qvec
+  FROM embeddings
+), e AS (
+  SELECT label, unnest(qvec) AS v, unnest(range(1, len(qvec)+1)) AS pos
+  FROM q
+), d AS (
+  SELECT label, pos, sum(v) AS s, count(*) AS c FROM e GROUP BY 1, 2
+)
+SELECT label,
+       list(round(CAST(s AS DOUBLE) / CAST(c AS DOUBLE), 6) ORDER BY pos)
+           AS centroid,
+       CAST(max(c) AS BIGINT) AS n_vectors
+FROM d GROUP BY label
+"""
+
+
+def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daily_top_songs_etl_spark.extensions.similarity import (
+        normalize_embeddings,
+    )
+
+    return normalize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+ORACLE_EMBEDDING_NORMALIZE = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE)*1000)::BIGINT)
+             AS qvec
+  FROM embeddings
+), s AS (
+  SELECT vec_id, qvec,
+         CAST(list_sum(list_transform(qvec, x -> x*x)) AS BIGINT) AS ssq
+  FROM q
+)
+SELECT vec_id,
+       CASE WHEN ssq > 0
+            THEN list_transform(qvec,
+                                x -> round(CAST(x AS DOUBLE)
+                                           / sqrt(CAST(ssq AS DOUBLE)), 6))
+       END AS unit_vec
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2047,6 +2107,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_apply": q_dedup_apply,
     "stream_dedup": q_stream_dedup,
     "stream_interval_join": q_stream_interval_join,
+    "embedding_centroids": q_embedding_centroids,
+    "embedding_normalize": q_embedding_normalize,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2110,6 +2172,8 @@ _ORACLES: dict[str, str] = {
     "dedup_apply": ORACLE_DEDUP_APPLY,
     "stream_dedup": ORACLE_STREAM_DEDUP,
     "stream_interval_join": ORACLE_STREAM_INTERVAL_JOIN,
+    "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
+    "embedding_normalize": ORACLE_EMBEDDING_NORMALIZE,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and
     # tests/test_extensions bounds its error against the exact count.

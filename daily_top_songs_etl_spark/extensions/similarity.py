@@ -310,3 +310,66 @@ def brute_force_topk_arrow(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def embedding_centroids(
+    embeddings: DataFrame, group_col: str = "label"
+) -> DataFrame:
+    """Distributed per-group centroid (vector mean) — the k-means update /
+    IVF list-training step. Returns (group, centroid array<double>,
+    n_vectors).
+
+    Plan shape: posexplode to (group, dim, component) rows, two-phase hash
+    aggregate on (group, dim) — map-side partial SUMs mean shuffle volume
+    is |groups| × D × partitions, independent of corpus rows — then a
+    second tiny agg reassembles the D per-dim means into an ordered array.
+    Components are quantized BIGINTs, so the partial sums are exact
+    integers and the single final division is engine-portable.
+    """
+    q = quantize_embeddings(embeddings)
+    e = q.select(group_col, F.posexplode("qvec").alias("pos", "v"))
+    per_dim = e.groupBy(group_col, "pos").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    return per_dim.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s", "c"))),
+            lambda x: F.round(
+                x["s"].cast("double") / x["c"].cast("double"), 6
+            ),
+        ).alias("centroid"),
+        F.max("c").cast("bigint").alias("n_vectors"),
+    )
+
+
+def normalize_embeddings(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Unit-normalize each embedding: v / ‖v‖₂, rounded to 6 places.
+
+    The squared norm is an exact BIGINT (quantized components), computed
+    ONCE per row into a named column; the per-element division references
+    it twice (zero-guard + divisor), which keeps CollapseProject from
+    inlining the aggregate into the transform lambda — inlined, it would
+    re-run the 64-term sum once per element (64× the work).
+    Zero vectors normalize to NULL. Pure projection: no shuffle.
+    """
+    q = quantize_embeddings(embeddings)
+    base = q.select(
+        id_col,
+        "qvec",
+        F.aggregate(
+            "qvec", F.lit(0).cast("bigint"), lambda a, x: a + x * x
+        ).alias("ssq"),
+    )
+    ssq = F.col("ssq")
+    return base.select(
+        id_col,
+        F.when(
+            ssq > 0,
+            F.transform(
+                "qvec",
+                lambda x: F.round(
+                    x.cast("double") / F.sqrt(ssq.cast("double")), 6
+                ),
+            ),
+        ).alias("unit_vec"),
+    )

@@ -288,3 +288,35 @@ def test_winnow_short_docs_produce_no_fingerprints(spark):
     out = winnow_fingerprints(docs, k=3, w=4).collect()
     assert all(r.doc_id == 2 for r in out)
     assert len(out) > 0
+
+
+def test_embedding_centroids_planted(spark):
+    from daily_top_songs_etl_spark.extensions.similarity import (
+        embedding_centroids,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [3.0, 2.0], 0),
+        (3, [0.0, 4.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = {r.label: (r.centroid, r.n_vectors) for r in embedding_centroids(df).collect()}
+    assert out[0] == ([2000.0, 1000.0], 2)  # quantized x1000 means
+    assert out[1] == ([0.0, 4000.0], 1)
+
+
+def test_normalize_embeddings_unit_norm_and_zero_guard(spark):
+    from daily_top_songs_etl_spark.extensions.similarity import (
+        normalize_embeddings,
+    )
+
+    rows = [(1, [3.0, 4.0]), (2, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r.vec_id: r.unit_vec for r in normalize_embeddings(df).collect()}
+    assert out[1] == [0.6, 0.8]
+    assert out[2] is None
+    norm = sum(x * x for x in out[1]) ** 0.5
+    assert abs(norm - 1.0) < 1e-6
