@@ -2043,6 +2043,126 @@ FROM s
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q3 shape: filtered 3-table join, top-k by aggregated revenue
+# --------------------------------------------------------------------------
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unshipped-order revenue ranking (TPC-H Q3 shape). The selective
+    customer segment becomes a broadcast semi-join (no fact shuffle for
+    the filter); lineitem⋈orders shuffles on orderkey, the grouping keys
+    are functionally determined by l_orderkey so the agg reuses that
+    exchange; the global top-10 is a TakeOrderedAndProject (per-partition
+    heap + single driver merge), never a full sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(building),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > '1998-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# CUBE / grouping sets: multi-granularity rollup in one pass
+# --------------------------------------------------------------------------
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four granularities of (status, priority) in ONE shuffle —
+    Spark expands grouping sets map-side, so partial aggregation still
+    applies and the exchange carries pre-combined rows (≤ |status| ×
+    |priority| × 4 × partitions). The grouping_id column disambiguates
+    subtotal NULLs from data NULLs, matching SQL-standard GROUPING()."""
+    orders = _t(spark, sf_dir, "orders")
+    total = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(total).cast("double").alias("sum_total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "sum_total")
+    )
+
+
+ORACLE_CUBE_AGG = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------------
+# Gap-based sessionization (clickstream → training-log sessions)
+# --------------------------------------------------------------------------
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daily_top_songs_etl_spark.operators.sessionize import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2109,6 +2229,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_interval_join": q_stream_interval_join,
     "embedding_centroids": q_embedding_centroids,
     "embedding_normalize": q_embedding_normalize,
+    "shipping_priority": q_shipping_priority,
+    "cube_agg": q_cube_agg,
+    "sessionize": q_sessionize,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2174,6 +2297,9 @@ _ORACLES: dict[str, str] = {
     "stream_interval_join": ORACLE_STREAM_INTERVAL_JOIN,
     "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
     "embedding_normalize": ORACLE_EMBEDDING_NORMALIZE,
+    "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "cube_agg": ORACLE_CUBE_AGG,
+    "sessionize": ORACLE_SESSIONIZE,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and
     # tests/test_extensions bounds its error against the exact count.

@@ -244,3 +244,31 @@ def test_range_join_boundaries(spark):
     }
     assert out[1] == 2  # boundary + just-inside
     assert out[2] == 0  # no build rows for this key at all
+
+
+def test_sessionize_planted_sessions(spark):
+    """Gap > 30 min starts a new session; ids are dense per user."""
+    import datetime as dt
+
+    from daily_top_songs_etl_spark.operators.sessionize import sessionize
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0)
+    m = lambda k: t0 + dt.timedelta(minutes=k)  # noqa: E731
+    events = spark.createDataFrame(
+        [
+            (1, 100, m(0)),    # session 1
+            (2, 100, m(10)),   # session 1 (gap 10m)
+            (3, 100, m(41)),   # session 2 (gap 31m)
+            (4, 100, m(71)),   # session 2 (gap exactly 30m -> same)
+            (5, 200, m(0)),    # other user, session 1
+        ],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    out = {
+        (r.user_id, r.session_id): (r.session_start, r.session_end, r.n_events)
+        for r in sessionize(events, gap_minutes=30).collect()
+    }
+    assert out[(100, 1)] == (m(0), m(10), 2)
+    assert out[(100, 2)] == (m(41), m(71), 2)
+    assert out[(200, 1)] == (m(0), m(0), 1)
+    assert len(out) == 3

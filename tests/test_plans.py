@@ -58,3 +58,33 @@ def test_exact_dedup_single_shuffle(spark):
         if l.strip().startswith("(") and "Exchange" in l
     ]
     assert len(exchanges) == 1, exchanges
+
+
+def _shuffle_exchanges(plan: str) -> list[str]:
+    return [
+        l for l in plan.splitlines()
+        if l.strip().startswith("(") and "Exchange" in l
+        and "BroadcastExchange" not in l
+    ]
+
+
+def test_sessionize_single_shuffle(spark):
+    # window pass and per-session agg both reuse hashpartitioning(user_id)
+    plan = _formatted_plan(spark, "sessionize")
+    assert len(_shuffle_exchanges(plan)) == 1
+
+
+def test_cube_single_shuffle_with_expand(spark):
+    # all 4 grouping sets in one pass: Expand before partial agg, 1 shuffle
+    plan = _formatted_plan(spark, "cube_agg")
+    assert "Expand" in plan
+    assert len(_shuffle_exchanges(plan)) == 1
+
+
+def test_shipping_priority_plan_shape(spark):
+    plan = _formatted_plan(spark, "shipping_priority")
+    # top-10 must be a per-partition heap, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    # segment filter applied as a semi-join, all 3 scans filter-pushed
+    assert "LeftSemi" in plan
+    assert plan.count("PushedFilters: [IsNotNull") == 3
