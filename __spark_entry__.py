@@ -2163,6 +2163,74 @@ FROM s GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q13 shape: outer-join double aggregation (distribution histogram)
+# --------------------------------------------------------------------------
+def q_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders-per-customer distribution including zero-order customers
+    (the LEFT JOIN is what keeps them). While customer fits the broadcast
+    threshold the join is shuffle-free and the per-customer agg pays the
+    one real fact shuffle; past it, AQE falls back to SMJ on the customer
+    key and the agg reuses that exchange instead. Either way the second
+    (histogram) agg's input is one pre-combined row per customer —
+    orders-of-magnitude smaller than the fact table by construction."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders.select("o_orderkey", "o_custkey"),
+            customer.c_custkey == orders.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+ORACLE_ORDER_COUNT_HISTOGRAM = """
+WITH per_cust AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS n_customers
+FROM per_cust GROUP BY c_count
+"""
+
+
+# --------------------------------------------------------------------------
+# Percentile feature scaling (per-language, scale-safe windows)
+# --------------------------------------------------------------------------
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percent-rank / decile of document length — the
+    "keep the top-p% by quality score" corpus-filter primitive. Windows
+    are PARTITIONED (by lang), never global: a global ORDER BY window
+    collapses 100 TB onto one task; partitioned windows shuffle once on
+    the partition key and sort locally. Tie-break on doc_id makes rank
+    deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+    )
+
+
+ORACLE_LENGTH_PERCENTILES = """
+SELECT doc_id, lang, n_chars,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       CAST(ntile(10) OVER w AS BIGINT) AS decile
+FROM documents
+WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2232,6 +2300,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_priority": q_shipping_priority,
     "cube_agg": q_cube_agg,
     "sessionize": q_sessionize,
+    "order_count_histogram": q_order_count_histogram,
+    "length_percentiles": q_length_percentiles,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2300,6 +2370,8 @@ _ORACLES: dict[str, str] = {
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "cube_agg": ORACLE_CUBE_AGG,
     "sessionize": ORACLE_SESSIONIZE,
+    "order_count_histogram": ORACLE_ORDER_COUNT_HISTOGRAM,
+    "length_percentiles": ORACLE_LENGTH_PERCENTILES,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and
     # tests/test_extensions bounds its error against the exact count.

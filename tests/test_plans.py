@@ -88,3 +88,16 @@ def test_shipping_priority_plan_shape(spark):
     # segment filter applied as a semi-join, all 3 scans filter-pushed
     assert "LeftSemi" in plan
     assert plan.count("PushedFilters: [IsNotNull") == 3
+
+
+def test_length_percentiles_partitioned_window_single_shuffle(spark):
+    # windows partition by lang — never a global single-task sort
+    plan = _formatted_plan(spark, "length_percentiles")
+    assert len(_shuffle_exchanges(plan)) == 1
+    assert "SinglePartition" not in plan
+
+
+def test_order_count_histogram_histogram_input_preaggregated(spark):
+    # ≤2 real shuffles: fact→custkey agg, then one row per customer
+    plan = _formatted_plan(spark, "order_count_histogram")
+    assert len(_shuffle_exchanges(plan)) <= 2
