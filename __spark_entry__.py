@@ -2231,6 +2231,50 @@ WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
 
 
 # --------------------------------------------------------------------------
+# Salted join: skew-safe fact⋈dim when the dim can't broadcast
+# --------------------------------------------------------------------------
+def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per supplier through a SALTED join — the explicit rewrite
+    for a hot fact key when the dim side exceeds the broadcast threshold.
+    Semantics-preserving (the oracle is the plain join): each fact row
+    takes one salt, the dim is replicated across all salts, so a hot
+    suppkey spreads over n_salts reducers instead of one. The follow-up
+    agg's input is map-side pre-combined per (suppkey, salt, partition) —
+    the re-shuffle to per-supplier rows is tiny."""
+    from daily_top_songs_etl_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    joined = salted_join(
+        li.select("l_suppkey", "l_extendedprice", "l_discount"),
+        supplier.select("s_suppkey", "s_name"),
+        key="l_suppkey",
+        small_key="s_suppkey",
+        n_salts=8,
+        force_shuffle=True,
+    )
+    return joined.groupBy("s_suppkey", "s_name").agg(
+        F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+ORACLE_SALTED_JOIN_AGG = """
+SELECT s_suppkey, s_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2302,6 +2346,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "order_count_histogram": q_order_count_histogram,
     "length_percentiles": q_length_percentiles,
+    "salted_join_agg": q_salted_join_agg,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2372,6 +2417,7 @@ _ORACLES: dict[str, str] = {
     "sessionize": ORACLE_SESSIONIZE,
     "order_count_histogram": ORACLE_ORDER_COUNT_HISTOGRAM,
     "length_percentiles": ORACLE_LENGTH_PERCENTILES,
+    "salted_join_agg": ORACLE_SALTED_JOIN_AGG,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and
     # tests/test_extensions bounds its error against the exact count.

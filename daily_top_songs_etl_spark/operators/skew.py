@@ -19,6 +19,47 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    small_key: str | None = None,
+    n_salts: int = 16,
+    how: str = "inner",
+    force_shuffle: bool = False,
+) -> DataFrame:
+    """Skew-mitigating equi-join: salt the big side, replicate the small
+    side ``n_salts``×, join on (key, salt).
+
+    A hot key on the big side lands on ``n_salts`` reducers instead of
+    one; the small side pays an ``n_salts``× blow-up (explode of a
+    sequence — no extra scan). Each big row carries exactly one salt and
+    the small side carries every salt, so the joined row-set is
+    IDENTICAL to the unsalted join for ``inner`` and ``left`` — the salt
+    only changes placement. Use when the small side is too big to
+    broadcast (broadcast joins have no skew problem) and AQE's runtime
+    skew splitting isn't available/enough; ``force_shuffle`` pins the
+    shuffle-hash strategy so the salted path is actually exercised at
+    test scale.
+    """
+    assert how in ("inner", "left")
+    small_key = small_key or key
+    salted_big = big.withColumn(
+        "__salt", F.spark_partition_id() % F.lit(n_salts)
+    )
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    if force_shuffle:
+        salted_small = salted_small.hint("shuffle_hash")
+    joined = salted_big.join(
+        salted_small,
+        (F.col(key) == F.col(small_key)) & (salted_big["__salt"] == salted_small["__salt"]),
+        how,
+    )
+    return joined.drop("__salt")
+
+
 def salted_agg(
     df: DataFrame,
     key: list[str],

@@ -272,3 +272,28 @@ def test_sessionize_planted_sessions(spark):
     assert out[(100, 2)] == (m(41), m(71), 2)
     assert out[(200, 1)] == (m(0), m(0), 1)
     assert len(out) == 3
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting is placement-only: row-set identical to the plain join,
+    for inner and left, on a planted 90%-hot-key distribution."""
+    from daily_top_songs_etl_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1 if i % 10 else 2, i) for i in range(200)] + [(99, 999)],
+        "k bigint, payload bigint",
+    )
+    small = spark.createDataFrame(
+        [(1, "hot"), (2, "cold"), (3, "unmatched")], "sk bigint, name string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            tuple(r) for r in salted_join(
+                big, small, key="k", small_key="sk", n_salts=4, how=how
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in big.join(small, big.k == small.sk, how).collect()
+        )
+        assert got == want, how

@@ -101,3 +101,11 @@ def test_order_count_histogram_histogram_input_preaggregated(spark):
     # ≤2 real shuffles: fact→custkey agg, then one row per customer
     plan = _formatted_plan(spark, "order_count_histogram")
     assert len(_shuffle_exchanges(plan)) <= 2
+
+
+def test_salted_join_exercises_shuffle_path(spark):
+    # force_shuffle pins shuffle-hash so the salted spread is real even
+    # at test scale (a broadcast join would make the salt a no-op)
+    plan = _formatted_plan(spark, "salted_join_agg")
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
