@@ -2275,6 +2275,20 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# Iterative k-means (Lloyd's) — rows-only check by design
+# --------------------------------------------------------------------------
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 Lloyd iterations, k=4, deterministic lowest-id init. Iterative
+    fixpoint loops are the class SQL can't express (DuckDB would need a
+    recursive CTE carrying array state) — intentionally no oracle_sql
+    entry; the driver records rows-only, and the planted-cluster unit
+    test plus exact-integer distance math carry correctness."""
+    from daily_top_songs_etl_spark.extensions.similarity import kmeans_fit
+
+    return kmeans_fit(_t(spark, sf_dir, "embeddings"), k=4, iters=3)
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2347,6 +2361,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_count_histogram": q_order_count_histogram,
     "length_percentiles": q_length_percentiles,
     "salted_join_agg": q_salted_join_agg,
+    "kmeans": q_kmeans,
 }
 
 _ORACLES: dict[str, str] = {

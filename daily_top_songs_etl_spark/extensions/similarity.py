@@ -373,3 +373,89 @@ def normalize_embeddings(embeddings: DataFrame, id_col: str = "vec_id") -> DataF
             ),
         ).alias("unit_vec"),
     )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column — the iterative class the
+    DuckDB oracle can't express (driver records the rows-only check; the
+    unit test plants separable clusters and asserts recovery).
+
+    Scale shape per iteration: the k×D centroid table BROADCASTS onto the
+    corpus (k rows — never a shuffle); assignment is an exact-integer
+    argmin via min(struct(dist, cluster)) — a plain aggregate-free
+    projection after the broadcast join; the update step is the same
+    two-phase (cluster, dim) aggregation as `embedding_centroids`, so the
+    only real shuffle per iteration is |k| × D partial sums. The driver
+    loop moves k×D integers through the driver per iteration — legitimate
+    driver-side state, not a collect of data rows.
+
+    Determinism: init = the k lowest ids' vectors; distances are exact
+    BIGINT sums of squares on quantized components; centroid updates
+    re-quantize means to BIGINT; argmin ties break on cluster id via the
+    struct ordering.
+    """
+    q = quantize_embeddings(embeddings).select(id_col, "qvec").cache()
+    centroids = (
+        q.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cluster"),
+            F.col("qvec").alias("cvec"),
+        )
+    )
+    for _ in range(iters):
+        dist = F.aggregate(
+            F.zip_with("qvec", "cvec", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        )
+        assigned = (
+            q.crossJoin(F.broadcast(centroids))
+            .withColumn("d", dist)
+            .groupBy(id_col, "qvec")
+            .agg(F.min(F.struct("d", "cluster")).alias("best"))
+            .select(id_col, "qvec", F.col("best.cluster").alias("cluster"))
+        )
+        per_dim = (
+            assigned.select("cluster", F.posexplode("qvec").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        )
+        centroids = per_dim.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s", "c"))),
+                lambda x: F.round(
+                    x["s"].cast("double") / x["c"].cast("double"), 0
+                ).cast("bigint"),
+            ).alias("cvec")
+        )
+    sizes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "d",
+            F.aggregate(
+                F.zip_with("qvec", "cvec", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.min(F.struct("d", "cluster")).alias("best"))
+        .groupBy(F.col("best.cluster").alias("cluster"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+    return (
+        centroids.join(sizes, "cluster", "left")
+        .select(
+            "cluster",
+            F.transform("cvec", lambda x: x.cast("double") / QUANT_SCALE).alias(
+                "centroid"
+            ),
+            F.coalesce("n_vectors", F.lit(0)).alias("n_vectors"),
+        )
+    )

@@ -320,3 +320,33 @@ def test_normalize_embeddings_unit_norm_and_zero_guard(spark):
     assert out[2] is None
     norm = sum(x * x for x in out[1]) ** 0.5
     assert abs(norm - 1.0) < 1e-6
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """Two tight planted blobs, k=2: every vector lands with its blob and
+    centroids sit at the blob means."""
+    from daily_top_songs_etl_spark.extensions.similarity import kmeans_fit
+
+    blob_a = [[0.0 + 0.001 * i, 0.0] for i in range(5)]
+    blob_b = [[10.0, 10.0 + 0.001 * i] for i in range(7)]
+    rows = [(i, v) for i, v in enumerate(blob_a + blob_b)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = kmeans_fit(df, k=2, iters=3).collect()
+    sizes = sorted(r.n_vectors for r in out)
+    assert sizes == [5, 7]
+    for r in out:
+        cx, cy = r.centroid
+        if r.n_vectors == 5:
+            assert abs(cx - 0.002) < 0.01 and abs(cy) < 0.01
+        else:
+            assert abs(cx - 10.0) < 0.01 and abs(cy - 10.003) < 0.01
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    from daily_top_songs_etl_spark.extensions.similarity import kmeans_fit
+
+    rows = [(i, [float((i * 37) % 11), float((i * 53) % 7)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    a = sorted(map(tuple, kmeans_fit(df, k=3, iters=2).collect()))
+    b = sorted(map(tuple, kmeans_fit(df, k=3, iters=2).collect()))
+    assert a == b
