@@ -2275,6 +2275,29 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# Regex scrub (PII-redaction shape) — codegen projection, no UDF
+# --------------------------------------------------------------------------
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PII/secret scrub pass, oracled on a token that actually occurs
+    in the synthetic corpus (word-boundary 'spark'); PII_PATTERNS carry
+    the email/phone forms, unit-tested on planted documents."""
+    from daily_top_songs_etl_spark.extensions.text import redact
+
+    return redact(
+        _t(spark, sf_dir, "documents"), r"\bspark\b", "[TERM]"
+    )
+
+
+ORACLE_TEXT_REDACT = r"""
+SELECT doc_id,
+       regexp_replace(text, '\bspark\b', '[TERM]', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '\bspark\b')) AS BIGINT)
+           AS n_redacted
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # Iterative k-means (Lloyd's) — rows-only check by design
 # --------------------------------------------------------------------------
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2362,6 +2385,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_percentiles": q_length_percentiles,
     "salted_join_agg": q_salted_join_agg,
     "kmeans": q_kmeans,
+    "text_redact": q_text_redact,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2433,6 +2457,7 @@ _ORACLES: dict[str, str] = {
     "order_count_histogram": ORACLE_ORDER_COUNT_HISTOGRAM,
     "length_percentiles": ORACLE_LENGTH_PERCENTILES,
     "salted_join_agg": ORACLE_SALTED_JOIN_AGG,
+    "text_redact": ORACLE_TEXT_REDACT,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and
     # tests/test_extensions bounds its error against the exact count.

@@ -342,3 +342,38 @@ def winnow_fingerprints(
         )
     )
     return documents.select("doc_id", F.explode(fps).alias("fp"))
+
+
+# Scrub patterns: simple ASCII character classes only — identical semantics
+# under Java regex (Spark) and RE2 (DuckDB, Go engines), so redaction is
+# engine-portable. \b is supported by both.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\d{3}[-.]\d{3,4}[-.]\d{4}",
+}
+
+
+def redact(
+    documents: DataFrame,
+    pattern: str,
+    replacement: str = "[REDACTED]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Regex scrub pass (PII removal / secret stripping) over the corpus:
+    replace every match, count what was removed. Pure projection — no
+    shuffle, no UDF; regexp_replace/regexp_extract_all run inside
+    whole-stage codegen, so at 100 TB this is a single map-only stage
+    pipelined with the scan (and any downstream filter on n_redacted
+    pushes into the same stage).
+
+    Returns (id, redacted text, n_redacted).
+    """
+    t = F.col(text_col)
+    return documents.select(
+        id_col,
+        F.regexp_replace(t, pattern, replacement).alias("redacted"),
+        F.size(F.regexp_extract_all(t, F.lit(pattern), F.lit(0)))
+        .cast("bigint")
+        .alias("n_redacted"),
+    )

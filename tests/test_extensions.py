@@ -350,3 +350,28 @@ def test_kmeans_deterministic_across_runs(spark):
     a = sorted(map(tuple, kmeans_fit(df, k=3, iters=2).collect()))
     b = sorted(map(tuple, kmeans_fit(df, k=3, iters=2).collect()))
     assert a == b
+
+
+def test_redact_planted_pii(spark):
+    from daily_top_songs_etl_spark.extensions.text import PII_PATTERNS, redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.user+tag@ex-ample.org now or b@c.io later"),
+            (2, "no pii here"),
+            (3, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in redact(docs, PII_PATTERNS["email"]).collect()}
+    assert out[1].redacted == "mail [REDACTED] now or [REDACTED] later"
+    assert out[1].n_redacted == 2
+    assert out[2].redacted == "no pii here" and out[2].n_redacted == 0
+    assert out[3].redacted is None
+
+    phones = spark.createDataFrame(
+        [(1, "call 555-867-5309 or 555.8675.3091")], "doc_id bigint, text string"
+    )
+    r = redact(phones, PII_PATTERNS["phone"], "[PHONE]").collect()[0]
+    assert r.redacted == "call [PHONE] or [PHONE]"
+    assert r.n_redacted == 2

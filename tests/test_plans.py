@@ -109,3 +109,9 @@ def test_salted_join_exercises_shuffle_path(spark):
     plan = _formatted_plan(spark, "salted_join_agg")
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_text_redact_shuffle_free_no_udf(spark):
+    plan = _formatted_plan(spark, "text_redact")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
