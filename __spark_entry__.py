@@ -2298,6 +2298,38 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# Int8 scalar quantization (vector storage compression)
+# --------------------------------------------------------------------------
+def q_embedding_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daily_top_songs_etl_spark.extensions.similarity import quantize_int8
+
+    return quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
+ORACLE_EMBEDDING_INT8 = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE)*1000)::BIGINT)
+             AS qvec
+  FROM embeddings
+), e AS (
+  SELECT unnest(qvec) AS v, unnest(range(1, len(qvec)+1)) AS pos FROM q
+), s AS (
+  SELECT pos, min(v) AS mn, max(v) AS mx FROM e GROUP BY pos
+), stats AS (
+  SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM s
+)
+SELECT vec_id,
+       list_transform(range(1, len(qvec)+1), i ->
+         CASE WHEN mxs[i] = mns[i] THEN 0
+              ELSE CAST(round(CAST((qvec[i]-mns[i])*255 AS DOUBLE)
+                              / CAST(mxs[i]-mns[i] AS DOUBLE), 0) AS BIGINT)
+         END) AS codes
+FROM q, stats
+"""
+
+
+# --------------------------------------------------------------------------
 # Iterative k-means (Lloyd's) — rows-only check by design
 # --------------------------------------------------------------------------
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2386,6 +2418,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_join_agg": q_salted_join_agg,
     "kmeans": q_kmeans,
     "text_redact": q_text_redact,
+    "embedding_int8": q_embedding_int8,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2458,6 +2491,7 @@ _ORACLES: dict[str, str] = {
     "length_percentiles": ORACLE_LENGTH_PERCENTILES,
     "salted_join_agg": ORACLE_SALTED_JOIN_AGG,
     "text_redact": ORACLE_TEXT_REDACT,
+    "embedding_int8": ORACLE_EMBEDDING_INT8,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and
     # tests/test_extensions bounds its error against the exact count.

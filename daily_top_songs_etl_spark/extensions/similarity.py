@@ -459,3 +459,57 @@ def kmeans_fit(
             F.coalesce("n_vectors", F.lit(0)).alias("n_vectors"),
         )
     )
+
+
+def quantize_int8(
+    embeddings: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-dimension affine int8 quantization — 4×/8× vector storage
+    compression before ANN indexing: code = round((v−min)·255 / (max−min)),
+    constant dims map to 0.
+
+    Scale shape: the per-dim min/max stats are a two-phase agg on dim
+    (shuffle bounded by D × partitions, corpus-size-independent, same as
+    `embedding_centroids`); the D-element (mins, maxs) pair collapses to a
+    ONE-ROW relation that broadcasts onto the corpus, and the encode step
+    is a pure codegen projection. Numerators are exact BIGINTs (quantized
+    components), so the single double division is engine-portable.
+    """
+    q = quantize_embeddings(embeddings)
+    stats = (
+        q.select(F.posexplode("qvec").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mn"))),
+                lambda x: x["mn"],
+            ).alias("mns"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                lambda x: x["mx"],
+            ).alias("mxs"),
+        )
+    )
+    mns, mxs = F.col("mns"), F.col("mxs")
+    return (
+        q.crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            F.transform(
+                "qvec",
+                lambda v, i: F.when(
+                    F.element_at(mxs, i + 1) == F.element_at(mns, i + 1),
+                    F.lit(0).cast("bigint"),
+                ).otherwise(
+                    F.round(
+                        ((v - F.element_at(mns, i + 1)) * 255).cast("double")
+                        / (
+                            F.element_at(mxs, i + 1) - F.element_at(mns, i + 1)
+                        ).cast("double"),
+                        0,
+                    ).cast("bigint")
+                ),
+            ).alias("codes"),
+        )
+    )

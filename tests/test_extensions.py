@@ -375,3 +375,15 @@ def test_redact_planted_pii(spark):
     r = redact(phones, PII_PATTERNS["phone"], "[PHONE]").collect()[0]
     assert r.redacted == "call [PHONE] or [PHONE]"
     assert r.n_redacted == 2
+
+
+def test_quantize_int8_range_and_constant_dim(spark):
+    """Codes span exactly [0, 255] per dim; a constant dim maps to 0."""
+    from daily_top_songs_etl_spark.extensions.similarity import quantize_int8
+
+    rows = [(1, [0.0, 5.0]), (2, [1.0, 5.0]), (3, [0.25, 5.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r.vec_id: r.codes for r in quantize_int8(df).collect()}
+    assert out[1] == [0, 0]      # min of dim 1; constant dim 2 -> 0
+    assert out[2] == [255, 0]    # max of dim 1
+    assert out[3] == [64, 0]     # 0.25 -> round(255/4)

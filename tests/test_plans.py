@@ -115,3 +115,9 @@ def test_text_redact_shuffle_free_no_udf(spark):
     plan = _formatted_plan(spark, "text_redact")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_embedding_int8_stats_broadcast(spark):
+    # per-dim stats collapse to one row and broadcast; encode never shuffles
+    plan = _formatted_plan(spark, "embedding_int8")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
