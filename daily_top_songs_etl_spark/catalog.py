@@ -73,6 +73,20 @@ class Catalog:
         # footers to infer from, and declared types beat drifting inference.
         return self.spark.read.schema(schemas.TABLE_SCHEMAS[table]).parquet(p)
 
+    def read_at(self, table: str, version: int) -> DataFrame:
+        """Time-travel read of a retained snapshot version (Iceberg/Delta
+        ``VERSION AS OF`` shape). Only the last ``KEEP_VERSIONS`` snapshots
+        are retained; asking for a pruned or never-written version raises
+        rather than silently serving the wrong data."""
+        p = os.path.join(self._table_dir(table), f"v={version}")
+        if not os.path.isdir(p):
+            cur = self.current_version(table)
+            raise ValueError(
+                f"{table} v={version} not retained "
+                f"(current={cur}, keep={KEEP_VERSIONS})"
+            )
+        return self.spark.read.schema(schemas.TABLE_SCHEMAS[table]).parquet(p)
+
     def write(self, df: DataFrame, table: str) -> None:
         """Write a new snapshot version and flip the pointer atomically."""
         tdir = self._table_dir(table)

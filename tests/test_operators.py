@@ -297,3 +297,25 @@ def test_salted_join_matches_plain_join(spark):
             for r in big.join(small, big.k == small.sk, how).collect()
         )
         assert got == want, how
+
+
+def test_catalog_time_travel(spark, tmp_path):
+    import pytest
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    mk = lambda names: spark.createDataFrame(  # noqa: E731
+        [(f"id{i}", n, None) for i, n in enumerate(names)],
+        "artist_id string, artist_name string, artist_spotify_url string",
+    )
+    cat.write(mk(["a"]), "artist")
+    cat.write(mk(["a", "b"]), "artist")
+    assert cat.read_at("artist", 1).count() == 1      # retained back-version
+    assert cat.read_at("artist", 2).count() == 2
+    assert cat.read("artist").count() == 2            # pointer at v2
+    cat.write(mk(["a", "b", "c"]), "artist")          # v3 prunes v1
+    with pytest.raises(ValueError, match="not retained"):
+        cat.read_at("artist", 1)
+    with pytest.raises(ValueError, match="not retained"):
+        cat.read_at("artist", 99)
