@@ -2298,6 +2298,49 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS with a correlated non-equi predicate
+# --------------------------------------------------------------------------
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority counts for orders with ≥1 line shipped >60 days
+    after the order date (TPC-H Q4's EXISTS shape; the reference's F6/J6
+    membership filters carry only equi-conditions — this adds the
+    correlated non-equi term). The EXISTS becomes a LEFT SEMI join whose
+    extra predicate rides the equi-join on orderkey: no dedup pass, no
+    row multiplication, and the priority agg runs on semi-join output
+    that is at most |orders| rows."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORACLE_LATE_SHIPMENT_PRIORITY = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
 # Int8 scalar quantization (vector storage compression)
 # --------------------------------------------------------------------------
 def q_embedding_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2419,6 +2462,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans": q_kmeans,
     "text_redact": q_text_redact,
     "embedding_int8": q_embedding_int8,
+    "late_shipment_priority": q_late_shipment_priority,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2492,6 +2536,7 @@ _ORACLES: dict[str, str] = {
     "salted_join_agg": ORACLE_SALTED_JOIN_AGG,
     "text_redact": ORACLE_TEXT_REDACT,
     "embedding_int8": ORACLE_EMBEDDING_INT8,
+    "late_shipment_priority": ORACLE_LATE_SHIPMENT_PRIORITY,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and
     # tests/test_extensions bounds its error against the exact count.
