@@ -2298,6 +2298,32 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# Stream-static enrichment (batch face)
+# --------------------------------------------------------------------------
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the stream-static dim enrichment: every event
+    decorated with its customer's segment/name via a broadcast left join
+    (stateless under readStream — see streaming/windows.enrich_with_dim;
+    the stream≡batch unit test drains the same builder with availableNow)."""
+    from daily_top_songs_etl_spark.streaming.windows import enrich_with_dim
+
+    events = _events(spark, sf_dir)
+    dim = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return enrich_with_dim(events, dim).select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        "c_name", "c_mktsegment",
+    )
+
+
+ORACLE_STREAM_ENRICH = """
+SELECT event_id, ts, user_id, event_type, value, c_name, c_mktsegment
+FROM events LEFT JOIN customer ON user_id = c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
 # TPC-H Q4 shape: EXISTS with a correlated non-equi predicate
 # --------------------------------------------------------------------------
 def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2463,6 +2489,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_redact": q_text_redact,
     "embedding_int8": q_embedding_int8,
     "late_shipment_priority": q_late_shipment_priority,
+    "stream_enrich": q_stream_enrich,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2537,6 +2564,7 @@ _ORACLES: dict[str, str] = {
     "text_redact": ORACLE_TEXT_REDACT,
     "embedding_int8": ORACLE_EMBEDDING_INT8,
     "late_shipment_priority": ORACLE_LATE_SHIPMENT_PRIORITY,
+    "stream_enrich": ORACLE_STREAM_ENRICH,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and
     # tests/test_extensions bounds its error against the exact count.

@@ -117,3 +117,22 @@ def clicks_before_purchase(
         F.col("p.ts").alias("purchase_ts"),
         F.col("c.ts").alias("click_ts"),
     )
+
+
+def enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    dim_key: str = "c_custkey",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: decorate each event with dimension
+    attributes. STATELESS under streaming — the static side is joined
+    fresh per micro-batch (Spark re-plans it each trigger, so a dim
+    snapshot refresh is picked up on the next batch), so there is no
+    watermark and no state store; the dim broadcasts, so the stream side
+    never shuffles. This is the feature-lookup hop every training-log
+    pipeline has in front of its windowed aggregations."""
+    return events.join(
+        F.broadcast(dim), F.col(key) == F.col(dim_key), how
+    ).drop(dim_key)

@@ -250,3 +250,46 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_streaming_enrichment_matches_batch(spark, tmp_path):
+    """Stream-static broadcast enrichment drained with availableNow must
+    equal the batch join row-for-row (stateless — no watermark, no state
+    store, so the equality is exact, not just key-set)."""
+    import __spark_entry__ as entrymod
+
+    from daily_top_songs_etl_spark.streaming.windows import enrich_with_dim
+
+    events = entrymod._events(spark, "/root/testdata/sf0.001")
+    dim = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    src_dir = str(tmp_path / "events_src")
+    events.repartition(4).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        enrich_with_dim(stream, dim)
+        .select("event_id", "c_name", "c_mktsegment")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_enrich_out")
+        .option("checkpointLocation", str(tmp_path / "eckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM stream_enrich_out").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in enrich_with_dim(events, dim)
+        .select("event_id", "c_name", "c_mktsegment")
+        .collect()
+    )
+    assert got == want and len(got) == 1000
