@@ -319,3 +319,37 @@ def test_catalog_time_travel(spark, tmp_path):
         cat.read_at("artist", 1)
     with pytest.raises(ValueError, match="not retained"):
         cat.read_at("artist", 99)
+
+
+def test_clustered_write_produces_disjoint_file_ranges(spark, tmp_path):
+    """Every output file covers a non-overlapping l_shipdate range and
+    carries parquet min/max stats — the precondition for file skipping."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from daily_top_songs_etl_spark.operators.layout import write_clustered
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    )
+    out = str(tmp_path / "clustered")
+    write_clustered(li, out, ["l_shipdate"], n_files=4)
+
+    ranges = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index("l_shipdate")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            assert st is not None and st.has_min_max
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 4
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo  # pairwise non-overlapping
+    # and nothing lost in the rewrite
+    assert spark.read.parquet(out).count() == li.count()
