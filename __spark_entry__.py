@@ -2298,6 +2298,42 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# Argmax aggregate (max_by): mode/dominant-value per group without a window
+# --------------------------------------------------------------------------
+def q_dominant_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent source per language — the mode/argmax as a pure
+    AGGREGATE (max_by over a (count, key) struct), not a window rank: two
+    hash aggregations, no sort, no per-group row_number state. The struct
+    ordering makes ties deterministic (higher count, then
+    lexicographically larger source). The oracle expresses the identical
+    ordering as a window rank — same rows, two different physical
+    strategies."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.groupBy("lang").agg(
+        F.max_by("source", F.struct("n", "source")).alias("dominant_source"),
+        F.max(F.struct("n", "source")).getField("n").alias("n_docs"),
+    )
+
+
+ORACLE_DOMINANT_SOURCE = """
+WITH c AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+), r AS (
+  SELECT lang, source, n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n DESC, source DESC) AS rn
+  FROM c
+)
+SELECT lang, source AS dominant_source, n AS n_docs
+FROM r WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Stream-static enrichment (batch face)
 # --------------------------------------------------------------------------
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2490,6 +2526,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_int8": q_embedding_int8,
     "late_shipment_priority": q_late_shipment_priority,
     "stream_enrich": q_stream_enrich,
+    "dominant_source": q_dominant_source,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2565,6 +2602,7 @@ _ORACLES: dict[str, str] = {
     "embedding_int8": ORACLE_EMBEDDING_INT8,
     "late_shipment_priority": ORACLE_LATE_SHIPMENT_PRIORITY,
     "stream_enrich": ORACLE_STREAM_ENRICH,
+    "dominant_source": ORACLE_DOMINANT_SOURCE,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and
     # tests/test_extensions bounds its error against the exact count.
