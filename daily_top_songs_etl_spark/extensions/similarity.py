@@ -198,23 +198,39 @@ def ivf_topk(
     n_centroids: int = 8,
     n_probe: int = 2,
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into ``n_centroids`` inverted
     lists by nearest centroid, probe the ``n_probe`` closest lists per
     query, exact cosine re-rank within them.
 
-    Centroids are the first ``n_centroids`` corpus vectors (deterministic
-    seed choice — a real deployment would k-means these; the index
-    structure and query path are identical either way). The corpus
-    assignment is one broadcast pass; at scale ``cluster`` is the
-    partition/cluster key of the stored corpus, so a probe only scans
-    ~n_probe/n_centroids of the data.
+    Default centroids are the first ``n_centroids`` corpus vectors
+    (deterministic seed choice, which is what the DuckDB oracle mirrors);
+    pass ``centroids`` — the ``kmeans_fit`` output schema ``(cluster,
+    centroid array<double>, ...)`` — to probe a trained index instead:
+    trained lists are balanced, so probe fan-out per query is uniform
+    instead of hotspotting on dense regions. The corpus assignment is one
+    broadcast pass; at scale ``cluster`` is the partition/cluster key of
+    the stored corpus, so a probe only scans ~n_probe/n_centroids of the
+    data.
     """
-    cent = quantize_embeddings(embeddings.filter(F.col(id_col) < n_centroids)).select(
-        F.col(id_col).alias("cent_id"),
-        F.col("qvec").alias("cv"),
-        _norm(F.col("qvec")).alias("cn"),
-    )
+    if centroids is not None:
+        cent = centroids.select(
+            F.col("cluster").alias("cent_id"),
+            F.transform(
+                "centroid",
+                lambda x: F.round(x * QUANT_SCALE, 0).cast("bigint"),
+            ).alias("cv"),
+        )
+        cent = cent.withColumn("cn", _norm(F.col("cv")))
+    else:
+        cent = quantize_embeddings(
+            embeddings.filter(F.col(id_col) < n_centroids)
+        ).select(
+            F.col(id_col).alias("cent_id"),
+            F.col("qvec").alias("cv"),
+            _norm(F.col("qvec")).alias("cn"),
+        )
 
     def _assign(df: DataFrame, vid: str, v: str, nrm: str, rn_max: int) -> DataFrame:
         cos_c = F.round(

@@ -387,3 +387,29 @@ def test_quantize_int8_range_and_constant_dim(spark):
     assert out[1] == [0, 0]      # min of dim 1; constant dim 2 -> 0
     assert out[2] == [255, 0]    # max of dim 1
     assert out[3] == [64, 0]     # 0.25 -> round(255/4)
+
+
+def test_ivf_with_trained_centroids_recall(spark):
+    """kmeans_fit output plugs into ivf_topk as the trained index; recall
+    vs brute force stays high (0.88 observed on sf0.001, floor 0.7) and
+    every pair is a valid non-self corpus neighbor."""
+    from daily_top_songs_etl_spark.extensions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    trained = kmeans_fit(emb, k=8, iters=2)
+    rows = ivf_topk(
+        emb, queries, k=10, n_centroids=8, n_probe=2, centroids=trained
+    ).collect()
+    ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert all(r.neighbor_id in ids and r.neighbor_id != r.query_id for r in rows)
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(got & exact) / len(exact) >= 0.7
