@@ -2298,6 +2298,36 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# Document chunking: overlapping token windows for context packing
+# --------------------------------------------------------------------------
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daily_top_songs_etl_spark.extensions.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=50, stride=25
+    )
+
+
+ORACLE_TEXT_CHUNKS = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE text IS NOT NULL
+), s AS (
+  SELECT doc_id, t,
+         unnest(range(0, greatest(len(t) - 1, 0) + 1, 25)) AS start,
+         unnest(range(0, len(range(0, greatest(len(t) - 1, 0) + 1, 25))))
+             AS chunk_id
+  FROM tok
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(t[start + 1 : start + 50]) AS BIGINT) AS n_tokens,
+       array_to_string(t[start + 1 : start + 50], ' ') AS chunk_text
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
 # Argmax aggregate (max_by): mode/dominant-value per group without a window
 # --------------------------------------------------------------------------
 def q_dominant_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2527,6 +2557,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "late_shipment_priority": q_late_shipment_priority,
     "stream_enrich": q_stream_enrich,
     "dominant_source": q_dominant_source,
+    "text_chunks": q_text_chunks,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2603,6 +2634,7 @@ _ORACLES: dict[str, str] = {
     "late_shipment_priority": ORACLE_LATE_SHIPMENT_PRIORITY,
     "stream_enrich": ORACLE_STREAM_ENRICH,
     "dominant_source": ORACLE_DOMINANT_SOURCE,
+    "text_chunks": ORACLE_TEXT_CHUNKS,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and
     # tests/test_extensions bounds its error against the exact count.

@@ -377,3 +377,46 @@ def redact(
         .cast("bigint")
         .alias("n_redacted"),
     )
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = 50,
+    stride: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size overlapping token windows —
+    the context-window preparation step in front of tokenization/packing.
+
+    Chunk starts are ``0, stride, 2·stride, …`` while they land inside the
+    document, so every token is covered and consecutive chunks overlap by
+    ``chunk_tokens − stride``; the tail chunk may be short. Pure
+    JVM-side array ops (split → sequence → posexplode → slice →
+    array_join): the only row growth is the ~n/stride chunk fan-out, no
+    shuffle, no UDF, so it pipelines with the scan at any scale.
+
+    Returns (id, chunk_id, n_tokens, chunk_text).
+    """
+    t = tokens(text_col)
+    n = F.size(t)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(int(stride))
+    )
+    # Explicit NULL policy: no text, no chunks (Spark's size(NULL) = -1
+    # would otherwise smuggle one NULL chunk through the sequence).
+    base = documents.filter(F.col(text_col).isNotNull()).select(
+        id_col, t.alias("__toks"), starts.alias("__starts")
+    )
+    sliced = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+    return (
+        base.select(
+            id_col, "__toks", F.posexplode("__starts").alias("chunk_id", "__start")
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.size(sliced).cast("bigint").alias("n_tokens"),
+            F.array_join(sliced, " ").alias("chunk_text"),
+        )
+    )

@@ -413,3 +413,24 @@ def test_ivf_with_trained_centroids_recall(spark):
     assert all(r.neighbor_id in ids and r.neighbor_id != r.query_id for r in rows)
     got = {(r.query_id, r.neighbor_id) for r in rows}
     assert len(got & exact) / len(exact) >= 0.7
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from daily_top_songs_etl_spark.extensions.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(60))  # 60 tokens
+    docs = spark.createDataFrame(
+        [(1, text), (2, "only three tokens here"), (3, None)],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=50, stride=25).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    # starts 0, 25, 50 -> sizes 50, 35, 10; overlap = chunk - stride = 25
+    assert [r.n_tokens for r in c1] == [50, 35, 10]
+    assert c1[0].chunk_text.split()[25:] == c1[1].chunk_text.split()[:25]
+    assert c1[1].chunk_text.split()[0] == "w25"
+    assert by_doc[2][0].n_tokens == 4 and len(by_doc[2]) == 1
+    assert 3 not in by_doc  # NULL text yields no chunks
