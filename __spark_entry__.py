@@ -2328,6 +2328,50 @@ FROM s
 
 
 # --------------------------------------------------------------------------
+# Sequence packing: chunks → fixed token-budget bins
+# --------------------------------------------------------------------------
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daily_top_songs_etl_spark.extensions.text import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    chunks = chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=50, stride=25
+    )
+    return pack_chunks(chunks, token_budget=512, n_buckets=32)
+
+
+ORACLE_PACK_CHUNKS = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE text IS NOT NULL
+), s AS (
+  SELECT doc_id, t,
+         unnest(range(0, greatest(len(t) - 1, 0) + 1, 25)) AS start,
+         unnest(range(0, len(range(0, greatest(len(t) - 1, 0) + 1, 25))))
+             AS chunk_id
+  FROM tok
+), chunks AS (
+  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         CAST(len(t[start + 1 : start + 50]) AS BIGINT) AS n_tokens,
+         CAST((instr('0123456789abcdef',
+                     substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef',
+                       substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+              AS INTEGER) % 32 AS bucket
+  FROM s
+)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       CAST((sum(n_tokens) OVER w - n_tokens) // 512 AS BIGINT) AS bin_id,
+       doc_id, chunk_id, n_tokens
+FROM chunks
+WINDOW w AS (PARTITION BY bucket ORDER BY doc_id, chunk_id
+             ROWS UNBOUNDED PRECEDING)
+"""
+
+
+# --------------------------------------------------------------------------
 # Argmax aggregate (max_by): mode/dominant-value per group without a window
 # --------------------------------------------------------------------------
 def q_dominant_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2558,6 +2602,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_enrich": q_stream_enrich,
     "dominant_source": q_dominant_source,
     "text_chunks": q_text_chunks,
+    "pack_chunks": q_pack_chunks,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2635,6 +2680,7 @@ _ORACLES: dict[str, str] = {
     "stream_enrich": ORACLE_STREAM_ENRICH,
     "dominant_source": ORACLE_DOMINANT_SOURCE,
     "text_chunks": ORACLE_TEXT_CHUNKS,
+    "pack_chunks": ORACLE_PACK_CHUNKS,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and
     # tests/test_extensions bounds its error against the exact count.

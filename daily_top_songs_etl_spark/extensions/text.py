@@ -420,3 +420,49 @@ def chunk_documents(
             F.array_join(sliced, " ").alias("chunk_text"),
         )
     )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    token_budget: int = 512,
+    n_buckets: int = 32,
+    doc_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    tok_col: str = "n_tokens",
+) -> DataFrame:
+    """Pack chunks into fixed token-budget bins (training-batch sequence
+    packing), contiguous-fill: within a bucket, chunks are laid out in
+    (doc, chunk) order and a bin is the tokens-so-far DIV budget — a bin
+    may overflow by at most one chunk, never underfill mid-stream.
+
+    Scale shape: packing is inherently sequential, so a GLOBAL order
+    would serialize the corpus onto one task; instead chunks are sharded
+    into ``n_buckets`` deterministic md5 buckets (content-independent,
+    engine-portable — same trick as ``hash_split``) and packed per
+    bucket: one shuffle on the bucket key, ``n_buckets``-way parallel,
+    reproducible across runs/partitionings/engines.
+
+    Returns (bucket, bin_id, doc, chunk, n_tokens).
+    """
+    nib = lambda i: F.expr(  # noqa: E731
+        f"instr('0123456789abcdef', substring(md5(cast({doc_col} as string)), {i}, 1)) - 1"
+    )
+    bucket = ((nib(1) * 16 + nib(2)) % n_buckets).cast("int")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(doc_col, chunk_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tok_col).over(w)
+    return (
+        chunks.withColumn("bucket", bucket)
+        .select(
+            "bucket",
+            ((cum - F.col(tok_col)) / F.lit(int(token_budget)))
+            .cast("bigint")
+            .alias("bin_id"),
+            doc_col,
+            chunk_col,
+            F.col(tok_col).cast("bigint").alias("n_tokens"),
+        )
+    )

@@ -434,3 +434,32 @@ def test_chunk_documents_overlap_and_tail(spark):
     assert c1[1].chunk_text.split()[0] == "w25"
     assert by_doc[2][0].n_tokens == 4 and len(by_doc[2]) == 1
     assert 3 not in by_doc  # NULL text yields no chunks
+
+
+def test_pack_chunks_fill_invariants(spark):
+    """Within a (bucket, bin): tokens-before-last-chunk < budget (no bin
+    opens past the budget), bins are dense from 0, and every chunk is
+    assigned exactly once."""
+    from daily_top_songs_etl_spark.extensions.text import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(120))) for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    chunks = chunk_documents(docs, chunk_tokens=50, stride=25)
+    packed = pack_chunks(chunks, token_budget=100, n_buckets=4).collect()
+    assert len(packed) == chunks.count()
+    by_bucket = {}
+    for r in packed:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for rows in by_bucket.values():
+        rows.sort(key=lambda r: (r.doc_id, r.chunk_id))
+        cum = 0
+        for r in rows:
+            assert r.bin_id == cum // 100  # first-fit contiguous rule
+            cum += r.n_tokens
+        bins = sorted({r.bin_id for r in rows})
+        assert bins == list(range(len(bins)))  # dense from 0
