@@ -133,3 +133,55 @@ def test_random_batches_preserve_invariants(spark, tmp_path_factory, batches):
         assert deltas.artist_song_map.count() == 0
         assert deltas.ranking.count() == 0
     _assert_invariants(cat)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # user
+            st.integers(min_value=0, max_value=5000),   # offset minutes
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_sessionize_invariants(spark, data):
+    """For ANY event set: sessions partition the events; intra-session
+    consecutive gaps ≤ threshold; session ids are dense per user and
+    consecutive sessions are separated by > threshold."""
+    from daily_top_songs_etl_spark.operators.sessionize import sessionize
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (i, u, t0 + dt.timedelta(minutes=m))
+        for i, (u, m) in enumerate(data)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp"
+    )
+    out = sessionize(events, gap_minutes=30).collect()
+    gap = dt.timedelta(minutes=30)
+    assert sum(r.n_events for r in out) == len(rows)
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r)
+    ts_by_user = {}
+    for _, u, ts in rows:
+        ts_by_user.setdefault(u, []).append(ts)
+    for u, sess in per_user.items():
+        sess.sort(key=lambda r: r.session_id)
+        assert [r.session_id for r in sess] == list(range(1, len(sess) + 1))
+        for a, b in zip(sess, sess[1:]):
+            assert b.session_start - a.session_end > gap
+        # within a session, consecutive event gaps are all ≤ threshold
+        times = sorted(ts_by_user[u])
+        for r in sess:
+            inside = [t for t in times if r.session_start <= t <= r.session_end]
+            assert len(inside) >= r.n_events  # duplicates collapse into range
+            for x, y in zip(inside, inside[1:]):
+                assert y - x <= gap
