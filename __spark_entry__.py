@@ -2523,6 +2523,486 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q5 shape: multi-way join with a circular (cyclic) join constraint
+# --------------------------------------------------------------------------
+def q_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by supplier nation for one region/year where the customer
+    and the supplier share a nation (TPC-H Q5). The distinctive feature
+    is the CYCLIC join graph: lineitem→orders→customer and
+    lineitem→supplier meet again on c_nationkey = s_nationkey, so the
+    supplier join carries two conditions and closes the cycle without a
+    separate filter pass. nation/region are broadcast; the only shuffles
+    are the two fact-fact equi-joins (orderkey, suppkey is broadcast at
+    this dim size) and the final 5-group agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+ORACLE_REGIONAL_VOLUME = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem, orders, customer, supplier, nation, region
+WHERE l_orderkey = o_orderkey
+  AND o_custkey = c_custkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q7 shape: bi-directional nation-pair predicate (OR of ANDs on dims)
+# --------------------------------------------------------------------------
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping volume between two nations in both directions, per year
+    (TPC-H Q7). Two copies of the nation dim (supplier side / customer
+    side) with a disjunctive pair predicate — the optimizer must keep
+    both broadcast joins and apply the OR after both dims attach."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+ORACLE_NATION_TRADE_VOLUME = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem, orders, customer, supplier, nation n1, nation n2
+WHERE l_orderkey = o_orderkey
+  AND o_custkey = c_custkey
+  AND l_suppkey = s_suppkey
+  AND s_nationkey = n1.n_nationkey
+  AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q8 shape: conditional-aggregate market-share ratio
+# --------------------------------------------------------------------------
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year share of one supplier nation's revenue inside a region's
+    customer orders (TPC-H Q8). The ratio follows the exact-numerator
+    rule: both the conditional and the total sums stay DECIMAL until a
+    single double division, then round(…, 6) in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nc = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(region), F.col("nc_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    )
+    den = F.sum(rev)
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(num.cast("double") / den.cast("double"), 6).alias("mkt_share")
+        )
+    )
+
+
+ORACLE_MARKET_SHARE = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+       round(
+         CAST(SUM(CASE WHEN ns.n_name = 'NATION_3'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (CAST(1 AS DECIMAL(18,2)) -
+                             CAST(l_discount AS DECIMAL(18,2)))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(18,2)) -
+                     CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+         6) AS mkt_share
+FROM lineitem, orders, customer, supplier, nation nc, nation ns, region
+WHERE l_orderkey = o_orderkey
+  AND o_custkey = c_custkey
+  AND c_nationkey = nc.n_nationkey
+  AND nc.n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND l_suppkey = s_suppkey
+  AND s_nationkey = ns.n_nationkey
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q11 shape: HAVING against a global scalar subquery
+# --------------------------------------------------------------------------
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose revenue exceeds 0.06% of total revenue (TPC-H Q11's
+    HAVING > scalar-subquery shape). The global total is a 1-row
+    aggregate broadcast into the filter; the threshold compare is kept
+    EXACT by cross-multiplying decimals (v*10000 > 6*total) instead of
+    multiplying the total by a double fraction. One shuffle for the
+    per-part agg; the scalar side reuses the same aggregate via a
+    broadcast nested-loop join of a single row."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("v"))
+    total = per_part.agg(F.sum("v").alias("t"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("v") * 10000 > F.col("t") * 6)
+        .select("l_partkey", F.col("v").cast("double").alias("part_value"))
+    )
+
+
+ORACLE_IMPORTANT_PARTS = """
+WITH pv AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS v
+  FROM lineitem GROUP BY 1
+), tot AS (SELECT SUM(v) AS t FROM pv)
+SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+FROM pv, tot
+WHERE v * 10000 > t * 6
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14 shape: conditional-aggregate ratio per month (promo share)
+# --------------------------------------------------------------------------
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly % of revenue from PROMO-type parts over 1997 (TPC-H Q14).
+    part is broadcast; the ×100 rides the exact decimal numerator so
+    there is exactly one double division, then round 6."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    num = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    )
+    den = F.sum(rev)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round((num * 100).cast("double") / den.cast("double"), 6).alias(
+                "promo_share"
+            )
+        )
+    )
+
+
+ORACLE_PROMO_SHARE = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       round(
+         CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (CAST(1 AS DECIMAL(18,2)) -
+                             CAST(l_discount AS DECIMAL(18,2)))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(18,2)) -
+                     CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+         6) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive (OR-of-ANDs) join predicate
+# --------------------------------------------------------------------------
+def q_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue under an OR of three AND-groups that mix build-side
+    (p_brand/p_size) and probe-side (l_quantity) columns (TPC-H Q19).
+    Catalyst keeps the equi-join on partkey and evaluates the residual
+    OR post-join; part is broadcast so no shuffle at all beyond the
+    single-row agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    qty = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & qty.between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+ORACLE_DISJUNCTIVE_JOIN = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q2 shape: min-per-group with join-back (correlated MIN subquery)
+# --------------------------------------------------------------------------
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every part, the supplier(s) selling it at the minimum observed
+    line price (TPC-H Q2's correlated-MIN decorrelated into agg +
+    join-back). The join-back keys on the raw double price — exact,
+    because both sides read the identical parquet doubles and MIN picks
+    one of them verbatim. Ties yield one row per tying supplier in both
+    engines; DISTINCT collapses multi-line duplicates."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    min_price = li.groupBy(F.col("l_partkey").alias("mp_partkey")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        li.join(
+            min_price,
+            (F.col("l_partkey") == F.col("mp_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", "min_price", "s_name")
+        .distinct()
+    )
+
+
+ORACLE_MIN_COST_SUPPLIER = """
+WITH m AS (
+  SELECT l_partkey AS mp_partkey, MIN(l_extendedprice) AS min_price
+  FROM lineitem GROUP BY 1
+)
+SELECT DISTINCT l.l_partkey, m.min_price, s.s_name
+FROM lineitem l, m, supplier s
+WHERE l.l_partkey = m.mp_partkey
+  AND l.l_extendedprice = m.min_price
+  AND l.l_suppkey = s.s_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21 shape: EXISTS + NOT EXISTS with anti-correlated key (<>)
+# --------------------------------------------------------------------------
+def q_lonely_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the SOLE late shipper on multi-supplier orders
+    (TPC-H Q21): for each late line, another supplier's line must exist
+    on the order (EXISTS → left_semi) and no other supplier's line may
+    be late (NOT EXISTS → left_anti). Both correlations carry a non-equi
+    term (suppkey <>) riding the orderkey equi-join. ``late`` is built
+    once and reused for both the probe side and the anti side."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    ).select("l_orderkey", "l_suppkey")
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        late.join(
+            other,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+ORACLE_LONELY_LATE_SUPPLIER = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 shape: scalar-subquery threshold + anti-join (idle rich)
+# --------------------------------------------------------------------------
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation count/total of above-average-balance customers with no
+    recent orders (TPC-H Q22). The average is computed once (exact
+    decimal numerator, single double division) and broadcast; the "no
+    orders since 2000" NOT EXISTS becomes a left_anti against the
+    filtered orders — anti-join input is pre-filtered so the join state
+    is the small side."""
+    customer = _t(spark, sf_dir, "customer")
+    recent_orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            recent_orders,
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+ORACLE_IDLE_RICH_CUSTOMERS = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS a
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2603,6 +3083,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dominant_source": q_dominant_source,
     "text_chunks": q_text_chunks,
     "pack_chunks": q_pack_chunks,
+    "regional_volume": q_regional_volume,
+    "nation_trade_volume": q_nation_trade_volume,
+    "market_share": q_market_share,
+    "important_parts": q_important_parts,
+    "promo_share": q_promo_share,
+    "disjunctive_join": q_disjunctive_join,
+    "min_cost_supplier": q_min_cost_supplier,
+    "lonely_late_supplier": q_lonely_late_supplier,
+    "idle_rich_customers": q_idle_rich_customers,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2681,6 +3170,15 @@ _ORACLES: dict[str, str] = {
     "dominant_source": ORACLE_DOMINANT_SOURCE,
     "text_chunks": ORACLE_TEXT_CHUNKS,
     "pack_chunks": ORACLE_PACK_CHUNKS,
+    "regional_volume": ORACLE_REGIONAL_VOLUME,
+    "nation_trade_volume": ORACLE_NATION_TRADE_VOLUME,
+    "market_share": ORACLE_MARKET_SHARE,
+    "important_parts": ORACLE_IMPORTANT_PARTS,
+    "promo_share": ORACLE_PROMO_SHARE,
+    "disjunctive_join": ORACLE_DISJUNCTIVE_JOIN,
+    "min_cost_supplier": ORACLE_MIN_COST_SUPPLIER,
+    "lonely_late_supplier": ORACLE_LONELY_LATE_SUPPLIER,
+    "idle_rich_customers": ORACLE_IDLE_RICH_CUSTOMERS,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and
     # tests/test_extensions bounds its error against the exact count.
