@@ -121,3 +121,61 @@ def test_embedding_int8_stats_broadcast(spark):
     # per-dim stats collapse to one row and broadcast; encode never shuffles
     plan = _formatted_plan(spark, "embedding_int8")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_regional_volume_broadcasts_all_dims(spark):
+    # Q5 shape: customer/supplier/nation/region all broadcast; the cyclic
+    # c_nationkey = s_nationkey condition must NOT force an extra shuffle
+    plan = _formatted_plan(spark, "regional_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    # the only shuffle is the final group-by agg (orders side may add one
+    # at larger scale — allow ≤2, never a join-key cascade)
+    assert len(_shuffle_exchanges(plan)) <= 2
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # date pushdown
+
+
+def test_disjunctive_join_pushes_or_predicate_to_both_scans(spark):
+    # Q19 shape: the OR-of-ANDs must reach BOTH parquet scans as a pushed
+    # filter (quantity ranges on lineitem, brand/size on part) — losing
+    # either side means scanning the full fact at 100 TB
+    plan = _formatted_plan(spark, "disjunctive_join")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "Or(" in l]
+    assert len(pushed) >= 2, pushed
+    bhj_nodes = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("(") and "BroadcastHashJoin" in l
+    ]
+    assert len(bhj_nodes) == 1
+    assert len(_shuffle_exchanges(plan)) == 1  # single-row final agg
+
+
+def test_important_parts_scalar_threshold_broadcasts(spark):
+    # Q11 shape: the global total is a 1-row broadcast (nested-loop) join,
+    # and AQE reuses the per-part aggregate exchange at runtime so
+    # lineitem is aggregated once, not twice
+    df = entrymod.queries()["important_parts"](spark, SF_DIR)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "ReusedExchange" in plan
+
+
+def test_lonely_late_supplier_semi_and_anti(spark):
+    # Q21 shape: EXISTS → LeftSemi and NOT EXISTS → LeftAnti, both with
+    # the <> residual riding the orderkey equi-join (no cross product)
+    plan = _formatted_plan(spark, "lonely_late_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_idle_rich_customers_antijoin_prefiltered(spark):
+    # Q22 shape: the anti side is pre-filtered at the scan (date pushdown)
+    # and the scalar average arrives as a 1-row broadcast
+    plan = _formatted_plan(spark, "idle_rich_customers")
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate,2000-01-01" in plan
+    assert "BroadcastNestedLoopJoin" in plan
