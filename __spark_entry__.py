@@ -3003,6 +3003,325 @@ GROUP BY c_nationkey
 
 
 # --------------------------------------------------------------------------
+# Q6 shape: fully-pushed single-row filter aggregate
+# --------------------------------------------------------------------------
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-change forecast (TPC-H Q6 shape). Every predicate — date
+    range, discount band, quantity cap — pushes to the Parquet scan
+    (PushedFilters prune row groups via min/max stats), and the single
+    aggregate is a map-side partial + 1-row final: at 100 TB this query
+    is pure scan bandwidth, zero meaningful shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.col("l_discount").cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+ORACLE_FORECAST_REVENUE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# Q10 shape: returned-item revenue ranking (fact ⋈ 2 dims, top-20)
+# --------------------------------------------------------------------------
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top customers by revenue lost to returns (TPC-H Q10 shape).
+    Selective filters on both fact (returnflag) and orders (quarter)
+    push to their scans; customer/nation join broadcast; ordering is on
+    the exact decimal sum with a key tie-break, then a global top-20 via
+    TakeOrderedAndProject (per-partition heap, no full sort)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc)).alias("_rev")
+        )
+        .orderBy(F.desc("_rev"), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("_rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+ORACLE_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate < TIMESTAMP '1997-10-01'
+GROUP BY 1, 2, 3
+ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) DESC,
+         c_custkey
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Q15 shape: argmax over an aggregate (top revenue supplier)
+# --------------------------------------------------------------------------
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum quarterly revenue (TPC-H Q15 shape).
+    The per-supplier revenue relation feeds both the MAX scalar and the
+    equality filter; AQE's exchange reuse evaluates it once, and the
+    1-row max broadcasts. The max compare stays in exact decimals so no
+    float rounding can drop/add a tied winner."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc)).alias("_rev")
+    )
+    max_rev = revenue.agg(F.max("_rev").alias("_max_rev"))
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col("_rev") == F.col("_max_rev"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_TOP_SUPPLIER = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-10-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev = (SELECT MAX(rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Q18 shape: HAVING-filtered semi-reduction joined back to dims
+# --------------------------------------------------------------------------
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (TPC-H Q18 shape). The HAVING > 300
+    pre-aggregation reduces the fact table to a tiny qualifying-order
+    relation BEFORE any dim join — the orders/customer joins then see
+    dozens of rows, not millions; AQE turns them into broadcasts. The
+    alternative (join first, filter later) would shuffle the whole fact
+    twice at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_qty"))
+        .filter(F.col("_qty") > 300)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+ORACLE_LARGE_VOLUME_CUSTOMERS = """
+WITH big AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(qty AS DOUBLE) AS total_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Q20 shape: dominant-share detection via nested aggregate threshold
+# --------------------------------------------------------------------------
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part, supplier) pairs where one supplier shipped >10% of that
+    part's total quantity (TPC-H Q20's nested-threshold shape, adapted:
+    no partsupp table exists, so 'availability' becomes shipped share).
+    Both aggregation levels are two-phase on compact keys; the share
+    threshold cross-multiplies exact decimals (qty*10 > total) so no
+    division/rounding can flip a boundary pair; the reported share
+    divides once at output."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(qty).alias("_qty"))
+    totals = ps.groupBy("l_partkey").agg(F.sum("_qty").alias("_total"))
+    return (
+        ps.join(totals, "l_partkey")
+        .filter(F.col("_qty") * 10 > F.col("_total"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("_qty").cast("double").alias("supplier_qty"),
+            F.round(
+                F.col("_qty").cast("double") / F.col("_total").cast("double"), 6
+            ).alias("share"),
+        )
+    )
+
+
+ORACLE_DOMINANT_PART_SUPPLIERS = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem GROUP BY 1, 2
+), totals AS (
+  SELECT l_partkey, SUM(qty) AS total FROM ps GROUP BY 1
+)
+SELECT ps.l_partkey AS partkey, l_suppkey AS suppkey,
+       CAST(qty AS DOUBLE) AS supplier_qty,
+       ROUND(CAST(qty AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+FROM ps JOIN totals ON ps.l_partkey = totals.l_partkey
+WHERE qty * 10 > total
+"""
+
+
+# --------------------------------------------------------------------------
+# Event analytics: cohort retention, ordered funnel, rolling RANGE window
+# --------------------------------------------------------------------------
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daily_top_songs_etl_spark.extensions.events import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir))
+
+
+ORACLE_COHORT_RETENTION = """
+WITH act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+), first AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY 1
+)
+SELECT CAST(cohort_week AS DATE) AS cohort_week,
+       CAST(date_diff('day', cohort_week, week) / 7 AS INTEGER) AS week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+FROM act JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daily_top_songs_etl_spark.extensions.events import funnel_steps
+
+    return funnel_steps(
+        _events(spark, sf_dir), steps=["view", "click", "purchase"]
+    )
+
+
+ORACLE_FUNNEL_CONVERSION = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.v_ts
+  WHERE e.event_type = 'click' GROUP BY 1
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT * FROM (
+  SELECT 0 AS step_index, 'view' AS step,
+         CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS users
+  UNION ALL
+  SELECT 1, 'click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+  UNION ALL
+  SELECT 2, 'purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+)
+"""
+
+
+def q_rolling_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from daily_top_songs_etl_spark.extensions.events import rolling_range_sum
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    return rolling_range_sum(
+        ev, "user_id", "ts", "value", window_seconds=7 * 86400
+    ).select("event_id", "user_id", "rolling_sum", "rolling_count")
+
+
+ORACLE_ROLLING_WINDOW_RANGE = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS rolling_sum,
+       CAST(COUNT(*) OVER w AS BIGINT) AS rolling_count
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3092,6 +3411,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "min_cost_supplier": q_min_cost_supplier,
     "lonely_late_supplier": q_lonely_late_supplier,
     "idle_rich_customers": q_idle_rich_customers,
+    "forecast_revenue": q_forecast_revenue,
+    "returned_items": q_returned_items,
+    "top_supplier": q_top_supplier,
+    "large_volume_customers": q_large_volume_customers,
+    "dominant_part_suppliers": q_dominant_part_suppliers,
+    "cohort_retention": q_cohort_retention,
+    "funnel_conversion": q_funnel_conversion,
+    "rolling_window_range": q_rolling_window_range,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3179,6 +3506,14 @@ _ORACLES: dict[str, str] = {
     "min_cost_supplier": ORACLE_MIN_COST_SUPPLIER,
     "lonely_late_supplier": ORACLE_LONELY_LATE_SUPPLIER,
     "idle_rich_customers": ORACLE_IDLE_RICH_CUSTOMERS,
+    "forecast_revenue": ORACLE_FORECAST_REVENUE,
+    "returned_items": ORACLE_RETURNED_ITEMS,
+    "top_supplier": ORACLE_TOP_SUPPLIER,
+    "large_volume_customers": ORACLE_LARGE_VOLUME_CUSTOMERS,
+    "dominant_part_suppliers": ORACLE_DOMINANT_PART_SUPPLIERS,
+    "cohort_retention": ORACLE_COHORT_RETENTION,
+    "funnel_conversion": ORACLE_FUNNEL_CONVERSION,
+    "rolling_window_range": ORACLE_ROLLING_WINDOW_RANGE,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and
     # tests/test_extensions bounds its error against the exact count.

@@ -1,0 +1,141 @@
+"""Event-stream analytics operators: cohort retention, funnels, rolling
+time-range windows.
+
+These extend the reference's daily-snapshot time-series semantics
+(`ranking_tb`, reference create_schema_structure.sql:55-70; the LAG-based
+delta view, create_schema_behavior.sql:128-156) to the event-log shape a
+training-data pipeline works with: arbitrary-cadence user events rather
+than one row per (date, platform, rank).
+
+Scale notes (100 TB):
+
+- ``cohort_retention`` shuffles on ``user_id`` twice (first-touch agg +
+  the distinct pass) and once on the tiny (cohort, offset) key; every
+  aggregate is two-phase so shuffle volume is bounded by distinct
+  (user, week) pairs, not raw events.
+- ``funnel_steps`` is a chain of per-user min-aggregates and broadcast-able
+  joins: each stage's survivor set only shrinks, so stage k's join input
+  is bounded by stage k-1's user count.
+- ``rolling_range_sum`` is one shuffle on the partition key; the RANGE
+  frame is evaluated with a sliding two-pointer over each partition's
+  sort order, O(rows) per partition, state bounded by the frame span.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cohort_retention", "funnel_steps", "rolling_range_sum"]
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort-retention matrix.
+
+    Each user is assigned to the ISO week of their first event (the
+    cohort); the result counts, for every (cohort_week, week_offset),
+    how many of that cohort's users were active ``week_offset`` weeks
+    after their first week.
+
+    Returns ``(cohort_week date, week_offset int, active_users bigint)``.
+    """
+    week = F.date_trunc("week", F.col(ts_col))
+    active = events.select(F.col(user_col).alias("user_id"), week.alias("week")).distinct()
+    first = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct(F.col("user_id")).alias("active_users"))
+    )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion: users who performed ``steps[0]``, then
+    ``steps[1]`` strictly after it, then ``steps[2]`` strictly after
+    that, and so on.
+
+    Returns one row per funnel stage:
+    ``(step_index int, step string, users bigint)`` where ``users`` is
+    the number of users whose earliest qualifying completion of this
+    step follows their qualifying completion of the previous step.
+
+    The per-stage relation keeps one row per surviving user (the
+    earliest qualifying timestamp), so each successive join's build side
+    shrinks monotonically — at scale every stage after the first is a
+    broadcast-able survivor set.
+    """
+    if not steps:
+        raise ValueError("funnel_steps requires at least one step")
+    user, ts = F.col(user_col).alias("user_id"), F.col(ts_col)
+
+    survivors: DataFrame | None = None
+    counts: list[DataFrame] = []
+    for i, step in enumerate(steps):
+        stage = events.filter(F.col(type_col) == step).select(user, ts.alias("_ts"))
+        if survivors is not None:
+            # No broadcast hint: the survivor set starts as "every user who
+            # did step 0" (possibly huge); AQE downgrades to broadcast when
+            # a stage's survivors actually fit.
+            stage = stage.join(survivors, "user_id").filter(
+                F.col("_ts") > F.col("_prev_ts")
+            )
+        survivors = stage.groupBy("user_id").agg(F.min("_ts").alias("_prev_ts"))
+        counts.append(
+            survivors.agg(
+                F.lit(i).alias("step_index"),
+                F.lit(step).alias("step"),
+                F.count(F.lit(1)).alias("users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def rolling_range_sum(
+    df: DataFrame,
+    partition_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+    out_sum: str = "rolling_sum",
+    out_count: str = "rolling_count",
+) -> DataFrame:
+    """Time-RANGE rolling aggregate: for every row, the exact-decimal sum
+    and count of ``value_col`` over the preceding ``window_seconds``
+    (inclusive of the current row) within the same partition key.
+
+    A RANGE frame (value-based, on epoch seconds) — not ROWS — so rows
+    sharing a timestamp are frame-peers and the result is deterministic
+    under ties. The sum is carried as DECIMAL so the engine's
+    accumulation order can never change the output (cross-engine
+    determinism rule).
+    """
+    tsec = F.col(ts_col).cast("long")
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(tsec)
+        .rangeBetween(-window_seconds, Window.currentRow)
+    )
+    val: Column = F.col(value_col).cast("decimal(18,6)")
+    return df.select(
+        "*",
+        F.sum(val).over(w).cast("double").alias(out_sum),
+        F.count(F.lit(1)).over(w).alias(out_count),
+    )

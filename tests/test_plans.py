@@ -179,3 +179,56 @@ def test_idle_rich_customers_antijoin_prefiltered(spark):
     assert "LeftAnti" in plan
     assert "GreaterThanOrEqual(o_orderdate,2000-01-01" in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_forecast_revenue_all_predicates_pushed(spark):
+    # Q6 shape: date range, discount band, and quantity cap all reach the
+    # Parquet scan; the aggregate is partial+final over a 1-row result
+    plan = _formatted_plan(spark, "forecast_revenue")
+    read = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "l_shipdate" in read and "l_discount" in read and "l_quantity" in read
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,24" in plan
+
+
+def test_returned_items_topk_and_pushdown(spark):
+    # Q10 shape: returnflag pushes to the fact scan, the quarter to the
+    # orders scan; global top-20 never runs a full sort
+    plan = _formatted_plan(spark, "returned_items")
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_large_volume_customers_aggregates_before_joins(spark):
+    # Q18 shape: the HAVING>300 reduction must run before any dim join —
+    # the first join input is the filtered aggregate, not raw lineitem
+    plan = _formatted_plan(spark, "large_volume_customers")
+    # the HAVING filter exists as a post-aggregate Filter...
+    assert "> 300" in plan
+    # ...and the only non-broadcast exchange is the l_orderkey aggregation:
+    # both dim joins see the reduced relation and broadcast
+    exchanges = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("(") and "Exchange" in l
+        and "Broadcast" not in l and "Reused" not in l
+    ]
+    assert len(exchanges) == 1, exchanges
+    bhj = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("(") and "BroadcastHashJoin" in l
+    ]
+    assert len(bhj) == 2, bhj
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rolling_window_range_single_shuffle(spark):
+    # one hash exchange on user_id; the RANGE frame runs inside the
+    # partition (no SinglePartition global sort)
+    plan = _formatted_plan(spark, "rolling_window_range")
+    assert "SinglePartition" not in plan
+    exchanges = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
+    ]
+    assert len(exchanges) == 1, exchanges
