@@ -3322,6 +3322,67 @@ WINDOW w AS (PARTITION BY user_id
 
 
 # --------------------------------------------------------------------------
+# Blocked fuzzy matching + date-spine gap filling
+# --------------------------------------------------------------------------
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance ≤3 name pairs with (prefix, length-band) blocking.
+    The oracle is the unblocked intra-prefix formulation — matching it
+    proves the length-band candidate generation loses no qualifying
+    pair (edit distance ≥ length difference, so banding is sound)."""
+    from daily_top_songs_etl_spark.extensions.dedup import fuzzy_pairs
+
+    return fuzzy_pairs(_t(spark, sf_dir, "part"), "p_name", max_dist=3)
+
+
+ORACLE_FUZZY_PAIRS = """
+WITH vals AS (SELECT DISTINCT p_name AS v FROM part)
+SELECT a.v AS left_value, b.v AS right_value,
+       CAST(levenshtein(a.v, b.v) AS INTEGER) AS distance
+FROM vals a JOIN vals b
+  ON substr(a.v, 1, 2) = substr(b.v, 1, 2) AND a.v < b.v
+WHERE levenshtein(a.v, b.v) <= 3
+"""
+
+
+def q_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily value series densified onto the full January spine
+    with forward-fill (LOCF resample). Decimal sums keep the carried
+    values bit-identical across engines; days before a user's first
+    event stay NULL."""
+    from daily_top_songs_etl_spark.operators.gapfill import gapfill_forward
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("v"))
+    return gapfill_forward(
+        daily, "user_id", "day", "v", "2024-01-01", "2024-01-30"
+    ).select("user_id", "day", F.col("filled").cast("double").alias("filled"))
+
+
+ORACLE_GAPFILL_DAILY = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(18,6))) AS v
+  FROM events GROUP BY 1, 2
+), keys AS (SELECT DISTINCT user_id FROM daily),
+spine AS (
+  SELECT user_id, CAST(g AS DATE) AS day
+  FROM keys CROSS JOIN
+       generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                       INTERVAL '1 day') t(g)
+)
+SELECT s.user_id, s.day,
+       CAST(last_value(v IGNORE NULLS)
+            OVER (PARTITION BY s.user_id ORDER BY s.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS filled
+FROM spine s
+LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3419,6 +3480,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "funnel_conversion": q_funnel_conversion,
     "rolling_window_range": q_rolling_window_range,
+    "fuzzy_pairs": q_fuzzy_pairs,
+    "gapfill_daily": q_gapfill_daily,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3514,6 +3577,8 @@ _ORACLES: dict[str, str] = {
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "funnel_conversion": ORACLE_FUNNEL_CONVERSION,
     "rolling_window_range": ORACLE_ROLLING_WINDOW_RANGE,
+    "fuzzy_pairs": ORACLE_FUZZY_PAIRS,
+    "gapfill_daily": ORACLE_GAPFILL_DAILY,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and
     # tests/test_extensions bounds its error against the exact count.

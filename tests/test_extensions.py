@@ -463,3 +463,57 @@ def test_pack_chunks_fill_invariants(spark):
             cum += r.n_tokens
         bins = sorted({r.bin_id for r in rows})
         assert bins == list(range(len(bins)))  # dense from 0
+
+
+def test_gapfill_forward_leading_nulls_and_carry(spark):
+    """Days before a key's first observation stay NULL; values carry
+    forward across gaps; explicit bounds define the spine regardless of
+    observed min/max."""
+    import datetime as dt
+
+    from daily_top_songs_etl_spark.operators.gapfill import gapfill_forward
+
+    df = spark.createDataFrame(
+        [("a", dt.date(2024, 1, 3), 10.0), ("a", dt.date(2024, 1, 5), 20.0),
+         ("b", dt.date(2024, 1, 2), 7.0)],
+        "k string, day date, v double",
+    )
+    out = {
+        (r.k, r.day.isoformat()): r.filled
+        for r in gapfill_forward(
+            df, "k", "day", "v", "2024-01-01", "2024-01-06"
+        ).collect()
+    }
+    assert len(out) == 12  # 2 keys x 6 days
+    assert out[("a", "2024-01-01")] is None and out[("a", "2024-01-02")] is None
+    assert out[("a", "2024-01-03")] == 10.0 and out[("a", "2024-01-04")] == 10.0
+    assert out[("a", "2024-01-05")] == 20.0 and out[("a", "2024-01-06")] == 20.0
+    assert out[("b", "2024-01-01")] is None
+    assert all(out[("b", f"2024-01-0{d}")] == 7.0 for d in range(2, 7))
+
+
+def test_fuzzy_pairs_banding_loses_no_close_pair(spark):
+    """Length-band blocking must keep every pair at distance <= k with a
+    shared prefix — compare against the unblocked quadratic answer."""
+    from pyspark.sql import functions as F
+
+    from daily_top_songs_etl_spark.extensions.dedup import fuzzy_pairs
+
+    names = ["alpha", "alphb", "alphaxx", "alp", "alpine", "beta", "betas",
+             "be", "gamma", "gamma ray", "gammaray12", "a", "ab", "abcd"]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        (r.left_value, r.right_value, r.distance)
+        for r in fuzzy_pairs(df, "name", max_dist=2).collect()
+    }
+    vals = df.select(F.col("name").alias("v")).distinct()
+    exact = {
+        (r.l, r.r, r.d)
+        for r in vals.alias("a")
+        .crossJoin(vals.selectExpr("v as w").alias("b"))
+        .filter("substring(v,1,2) = substring(w,1,2) and v < w")
+        .selectExpr("v as l", "w as r", "levenshtein(v, w) as d")
+        .filter("d <= 2")
+        .collect()
+    }
+    assert got == exact and exact  # non-trivial and identical
