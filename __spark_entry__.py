@@ -3383,6 +3383,142 @@ LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
 
 
 # --------------------------------------------------------------------------
+# SCD Type 2 dimension versioning + running count-distinct
+# --------------------------------------------------------------------------
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One SCD2 batch apply over a synthesized dimension state: customers
+    are the open slice (plus a closed historical slice for custkey%10),
+    the update snapshot changes acctbal for custkey%7==0, repeats
+    identical attrs for custkey%7==1 (must NOT spawn versions), and adds
+    brand-new keys for custkey%13==0. The oracle replays the same
+    keep/close/insert semantics in plain SQL."""
+    from daily_top_songs_etl_spark.operators.scd import scd2_apply
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name", "c_acctbal"
+    )
+    open_rows = cust.select(
+        "custkey",
+        "c_name",
+        "c_acctbal",
+        F.lit("2023-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    closed_rows = cust.filter(F.col("custkey") % 10 == 0).select(
+        "custkey",
+        "c_name",
+        "c_acctbal",
+        F.lit("2022-01-01").cast("date").alias("valid_from"),
+        F.lit("2023-01-01").cast("date").alias("valid_to"),
+    )
+    current = closed_rows.unionByName(open_rows)
+    updates = (
+        cust.filter(F.col("custkey") % 7 == 0)
+        .select("custkey", "c_name", (F.col("c_acctbal") + 100).alias("c_acctbal"))
+        .unionByName(
+            cust.filter(F.col("custkey") % 7 == 1).select(
+                "custkey", "c_name", "c_acctbal"
+            )
+        )
+        .unionByName(
+            cust.filter(F.col("custkey") % 13 == 0).select(
+                (F.col("custkey") + 1000000).alias("custkey"),
+                F.concat(F.lit("NEW#"), F.col("custkey").cast("string")).alias(
+                    "c_name"
+                ),
+                "c_acctbal",
+            )
+        )
+    )
+    return scd2_apply(
+        current,
+        updates,
+        key=["custkey"],
+        attrs=["c_name", "c_acctbal"],
+        batch_date="2024-06-01",
+    )
+
+
+ORACLE_SCD2_APPLY = """
+WITH cust AS (SELECT c_custkey AS custkey, c_name, c_acctbal FROM customer),
+open_rows AS (
+  SELECT custkey, c_name, c_acctbal,
+         DATE '2023-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM cust
+),
+closed_rows AS (
+  SELECT custkey, c_name, c_acctbal,
+         DATE '2022-01-01' AS valid_from, DATE '2023-01-01' AS valid_to
+  FROM cust WHERE custkey % 10 = 0
+),
+upd AS (
+  SELECT custkey, c_name, c_acctbal + 100 AS c_acctbal
+  FROM cust WHERE custkey % 7 = 0
+  UNION ALL
+  SELECT custkey, c_name, c_acctbal FROM cust WHERE custkey % 7 = 1
+  UNION ALL
+  SELECT custkey + 1000000, 'NEW#' || CAST(custkey AS VARCHAR), c_acctbal
+  FROM cust WHERE custkey % 13 = 0
+),
+same AS (
+  SELECT o.custkey FROM open_rows o JOIN upd u ON o.custkey = u.custkey
+  WHERE o.c_name IS NOT DISTINCT FROM u.c_name
+    AND o.c_acctbal IS NOT DISTINCT FROM u.c_acctbal
+)
+SELECT * FROM closed_rows
+UNION ALL
+-- open rows with no update, or an identical update: survive open
+SELECT * FROM open_rows o
+WHERE o.custkey NOT IN (SELECT custkey FROM upd)
+   OR o.custkey IN (SELECT custkey FROM same)
+UNION ALL
+-- open rows with a differing update: closed at the batch date
+SELECT o.custkey, o.c_name, o.c_acctbal, o.valid_from,
+       DATE '2024-06-01' AS valid_to
+FROM open_rows o
+WHERE o.custkey IN (SELECT custkey FROM upd)
+  AND o.custkey NOT IN (SELECT custkey FROM same)
+UNION ALL
+-- differing or brand-new updates: new open versions
+SELECT u.custkey, u.c_name, u.c_acctbal,
+       DATE '2024-06-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+FROM upd u
+WHERE u.custkey NOT IN (SELECT custkey FROM same)
+"""
+
+
+def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-event-type count per user — DISTINCT is illegal
+    inside window frames in every SQL engine, so both faces use the
+    first-occurrence-flag + running-sum rewrite (the oracle spells it
+    out in SQL); event_id breaks timestamp ties to keep the running
+    values deterministic."""
+    from daily_top_songs_etl_spark.extensions.events import cumulative_distinct
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "event_type")
+    return cumulative_distinct(
+        ev, "user_id", ["ts", "event_id"], "event_type"
+    ).select("event_id", "user_id", "distinct_so_far")
+
+
+ORACLE_CUMULATIVE_DISTINCT = """
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT)
+         AS distinct_so_far
+FROM flagged
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3482,6 +3618,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_window_range": q_rolling_window_range,
     "fuzzy_pairs": q_fuzzy_pairs,
     "gapfill_daily": q_gapfill_daily,
+    "scd2_apply": q_scd2_apply,
+    "cumulative_distinct": q_cumulative_distinct,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3579,6 +3717,8 @@ _ORACLES: dict[str, str] = {
     "rolling_window_range": ORACLE_ROLLING_WINDOW_RANGE,
     "fuzzy_pairs": ORACLE_FUZZY_PAIRS,
     "gapfill_daily": ORACLE_GAPFILL_DAILY,
+    "scd2_apply": ORACLE_SCD2_APPLY,
+    "cumulative_distinct": ORACLE_CUMULATIVE_DISTINCT,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and
     # tests/test_extensions bounds its error against the exact count.

@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cohort_retention", "funnel_steps", "rolling_range_sum"]
+__all__ = [
+    "cohort_retention",
+    "cumulative_distinct",
+    "funnel_steps",
+    "rolling_range_sum",
+]
 
 
 def cohort_retention(
@@ -139,3 +144,34 @@ def rolling_range_sum(
         F.sum(val).over(w).cast("double").alias(out_sum),
         F.count(F.lit(1)).over(w).alias(out_count),
     )
+
+
+def cumulative_distinct(
+    df: DataFrame,
+    partition_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "distinct_so_far",
+) -> DataFrame:
+    """Running COUNT(DISTINCT value) over an ordered per-key window —
+    which no SQL engine supports directly (DISTINCT is illegal inside a
+    window frame). Rewritten as two plain windows: flag each (key,
+    value)'s first occurrence with row_number, then running-sum the
+    flags.
+
+    ``order_cols`` must make the order total (include a unique
+    tie-breaker like the event id) or the running values at ties would
+    be nondeterministic.
+
+    Scale: two window passes — one on (key, value) for the
+    first-occurrence flag, one on key for the running sum; both are
+    linear per partition with O(1) state.
+    """
+    first_w = Window.partitionBy(partition_col, value_col).orderBy(*order_cols)
+    run_w = (
+        Window.partitionBy(partition_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flag = (F.row_number().over(first_w) == 1).cast("int")
+    return df.withColumn(out_col, F.sum(flag).over(run_w))

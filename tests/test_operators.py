@@ -353,3 +353,39 @@ def test_clustered_write_produces_disjoint_file_ranges(spark, tmp_path):
         assert hi <= lo  # pairwise non-overlapping
     # and nothing lost in the rewrite
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_scd2_apply_version_rules_and_idempotency(spark):
+    """Identical re-application (including NULL attrs) must not spawn
+    versions; changed attrs close the open row and open a new one;
+    closed history passes through untouched."""
+    import datetime as dt
+
+    from daily_top_songs_etl_spark.operators.scd import scd2_apply
+
+    current = spark.createDataFrame(
+        [
+            (1, "a", None, dt.date(2023, 1, 1), None),
+            (2, "b", 5.0, dt.date(2023, 1, 1), None),
+            (2, "old", 1.0, dt.date(2022, 1, 1), dt.date(2023, 1, 1)),
+        ],
+        "k bigint, name string, bal double, valid_from date, valid_to date",
+    )
+    updates = spark.createDataFrame(
+        [(1, "a", None), (2, "b2", 5.0), (3, "c", 9.9)],
+        "k bigint, name string, bal double",
+    )
+    out1 = scd2_apply(current, updates, ["k"], ["name", "bal"], "2024-06-01")
+    rows = sorted(map(tuple, out1.collect()))
+    assert rows == sorted(
+        [
+            (2, "old", 1.0, dt.date(2022, 1, 1), dt.date(2023, 1, 1)),
+            (1, "a", None, dt.date(2023, 1, 1), None),  # NULL attr: no churn
+            (2, "b", 5.0, dt.date(2023, 1, 1), dt.date(2024, 6, 1)),
+            (2, "b2", 5.0, dt.date(2024, 6, 1), None),
+            (3, "c", 9.9, dt.date(2024, 6, 1), None),
+        ]
+    )
+    # re-applying the same snapshot later is a no-op (same multiset)
+    out2 = scd2_apply(out1, updates, ["k"], ["name", "bal"], "2024-07-01")
+    assert sorted(map(tuple, out2.collect())) == rows
