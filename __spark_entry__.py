@@ -3519,6 +3519,103 @@ FROM flagged
 
 
 # --------------------------------------------------------------------------
+# Snapshot reconciliation + portable table checksum
+# --------------------------------------------------------------------------
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed diff of two synthesized order-table snapshots: rows deleted
+    (orderkey%17), price-drifted (orderkey%11), and newly arrived (Q1
+    2000) — output bounded by the true drift, unchanged keys never
+    materialize."""
+    from daily_top_songs_etl_spark.operators.diff import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+    before = orders.filter(F.col("o_orderdate") < cutoff)
+    after = (
+        before.filter(F.col("o_orderkey") % 17 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 50
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            orders.filter(
+                (F.col("o_orderdate") >= cutoff)
+                & (F.col("o_orderdate") < F.lit("2000-03-01").cast("timestamp"))
+            )
+        )
+    )
+    return snapshot_diff(
+        before, after, key=["o_orderkey"], compare=["o_totalprice", "o_orderstatus"]
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH before_s AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+  WHERE o_orderdate < TIMESTAMP '2000-01-01'
+),
+after_s AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 50
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '2000-01-01' AND o_orderkey % 17 <> 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    AND o_orderdate < TIMESTAMP '2000-03-01'
+)
+SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+       CASE WHEN a.o_orderkey IS NULL THEN 'removed'
+            WHEN b.o_orderkey IS NULL THEN 'added'
+            ELSE 'changed' END AS status,
+       b.o_totalprice AS before_o_totalprice,
+       b.o_orderstatus AS before_o_orderstatus,
+       a.o_totalprice AS after_o_totalprice,
+       a.o_orderstatus AS after_o_orderstatus
+FROM before_s b FULL OUTER JOIN after_s a ON b.o_orderkey = a.o_orderkey
+WHERE b.o_orderkey IS NULL OR a.o_orderkey IS NULL
+   OR b.o_totalprice IS DISTINCT FROM a.o_totalprice
+   OR b.o_orderstatus IS DISTINCT FROM a.o_orderstatus
+"""
+
+
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint of the orders table from
+    canonical string projections (decimals, not raw doubles; explicit
+    timestamp format) — the run-on-both-systems migration audit."""
+    from daily_top_songs_etl_spark.operators.validate import table_checksum
+
+    orders = _t(spark, sf_dir, "orders")
+    cols = [
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.col("o_orderpriority"),
+    ]
+    return table_checksum(orders, cols)
+
+
+ORACLE_TABLE_CHECKSUM = """
+SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
+       CAST(SUM(CAST(CONCAT('0x', substr(md5(concat_ws('|',
+             CAST(o_orderkey AS VARCHAR),
+             CAST(o_custkey AS VARCHAR),
+             o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+             strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+             o_orderpriority)), 1, 15)) AS BIGINT))
+            AS DECIMAL(38,0)) AS content_checksum
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3620,6 +3717,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gapfill_daily": q_gapfill_daily,
     "scd2_apply": q_scd2_apply,
     "cumulative_distinct": q_cumulative_distinct,
+    "snapshot_diff": q_snapshot_diff,
+    "table_checksum": q_table_checksum,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3719,6 +3818,8 @@ _ORACLES: dict[str, str] = {
     "gapfill_daily": ORACLE_GAPFILL_DAILY,
     "scd2_apply": ORACLE_SCD2_APPLY,
     "cumulative_distinct": ORACLE_CUMULATIVE_DISTINCT,
+    "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+    "table_checksum": ORACLE_TABLE_CHECKSUM,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and
     # tests/test_extensions bounds its error against the exact count.

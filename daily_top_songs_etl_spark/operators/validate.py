@@ -9,7 +9,7 @@ upsert (SURVEY.md §1.3, §2.4 F8/F9).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .. import schemas
@@ -53,3 +53,30 @@ def assert_unique(df: DataFrame, key: list[str]) -> None:
     dupes = df.groupBy(*key).count().filter(F.col("count") > 1).limit(1).collect()
     if dupes:
         raise DataQualityError(f"duplicate key {key}: {dupes[0]}")
+
+
+def table_checksum(df: DataFrame, canonical_cols: list[Column]) -> DataFrame:
+    """Order-insensitive table content fingerprint: (row_count, sum of
+    per-row 60-bit md5 prefixes) — the cross-engine migration audit
+    ("did the Spark copy load exactly what the source holds?") that can
+    run independently on both systems and be compared as two numbers.
+
+    ``canonical_cols`` must be engine-portable string projections —
+    integers/strings cast to string, money through DECIMAL (Spark and
+    DuckDB/Postgres render decimal strings identically; raw double
+    formatting differs between engines), timestamps explicitly
+    formatted, NULLs coalesced to a sentinel (concat_ws would otherwise
+    silently skip them).
+
+    60 bits (15 hex chars) keeps each row hash positive in a signed
+    64-bit lane; the sum accumulates in DECIMAL(38,0) so it cannot
+    overflow before ~10^18 rows. Commutative sum ⇒ partition/order
+    independent — map-side combinable, one 1-row final aggregate.
+    """
+    row_hash = F.conv(
+        F.substring(F.md5(F.concat_ws("|", *canonical_cols)), 1, 15), 16, 10
+    ).cast("decimal(38,0)")
+    return df.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum(row_hash).cast("decimal(38,0)").alias("content_checksum"),
+    )
