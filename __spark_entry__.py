@@ -3616,6 +3616,125 @@ FROM orders
 
 
 # --------------------------------------------------------------------------
+# Multi-distinct aggregation, YoY growth, sweep-line concurrency
+# --------------------------------------------------------------------------
+def q_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two COUNT(DISTINCT) over different columns plus a plain SUM in one
+    aggregation — Catalyst rewrites this with an Expand (one replicated
+    row per distinct-group), keeping a single shuffle per grouping
+    rather than one scan per distinct column."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count_distinct(F.date_trunc("month", "o_orderdate")).alias("n_months"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+ORACLE_MULTI_DISTINCT = """
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT)
+         AS n_months,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY 1
+"""
+
+
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth: aggregate to (year, month),
+    LAG 1 year within the month partition, exact-decimal ratio rounded
+    once. The window runs over the tiny aggregate relation — at 100 TB
+    the fact table is touched once by the two-phase agg and never by the
+    window."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    monthly = li.groupBy(
+        F.year("l_shipdate").alias("yr"), F.month("l_shipdate").alias("mon")
+    ).agg(F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc)).alias("_rev"))
+    w = Window.partitionBy("mon").orderBy("yr")
+    prev = F.lag("_rev").over(w)
+    return monthly.select(
+        "yr",
+        "mon",
+        F.col("_rev").cast("double").alias("revenue"),
+        F.when(
+            prev.isNotNull() & (F.lag("yr").over(w) == F.col("yr") - 1),
+            F.round(F.col("_rev").cast("double") / prev.cast("double"), 6),
+        ).alias("yoy_ratio"),
+    )
+
+
+ORACLE_YOY_GROWTH = """
+WITH monthly AS (
+  SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
+         CAST(month(l_shipdate) AS INTEGER) AS mon,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS rev
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT yr, mon, CAST(rev AS DOUBLE) AS revenue,
+       CASE WHEN lag(rev) OVER w IS NOT NULL
+                 AND lag(yr) OVER w = yr - 1
+            THEN ROUND(CAST(rev AS DOUBLE) / CAST(lag(rev) OVER w AS DOUBLE), 6)
+       END AS yoy_ratio
+FROM monthly
+WINDOW w AS (PARTITION BY mon ORDER BY yr)
+"""
+
+
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user peak concurrent activity via sweep-line: each event opens
+    a 5-minute interval; +1/-1 boundary deltas, ordered with ends before
+    starts at ties, running-summed per user. Partitioned by user —
+    per-key sweeps, never a global single-task sort."""
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    points = ev.select(
+        "user_id", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        ev.select(
+            "user_id",
+            (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = points.withColumn("active", F.sum("delta").over(w))
+    return running.groupBy("user_id").agg(
+        F.max("active").alias("max_concurrent")
+    )
+
+
+ORACLE_MAX_CONCURRENCY = """
+WITH points AS (
+  SELECT user_id, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT user_id, ts + INTERVAL 300 SECOND, -1 FROM events
+),
+running AS (
+  SELECT user_id,
+         SUM(delta) OVER (PARTITION BY user_id ORDER BY t, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS active
+  FROM points
+)
+SELECT user_id, CAST(MAX(active) AS BIGINT) AS max_concurrent
+FROM running GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3719,6 +3838,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cumulative_distinct": q_cumulative_distinct,
     "snapshot_diff": q_snapshot_diff,
     "table_checksum": q_table_checksum,
+    "multi_distinct": q_multi_distinct,
+    "yoy_growth": q_yoy_growth,
+    "max_concurrency": q_max_concurrency,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3820,6 +3942,9 @@ _ORACLES: dict[str, str] = {
     "cumulative_distinct": ORACLE_CUMULATIVE_DISTINCT,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "table_checksum": ORACLE_TABLE_CHECKSUM,
+    "multi_distinct": ORACLE_MULTI_DISTINCT,
+    "yoy_growth": ORACLE_YOY_GROWTH,
+    "max_concurrency": ORACLE_MAX_CONCURRENCY,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and
     # tests/test_extensions bounds its error against the exact count.
