@@ -185,3 +185,63 @@ def test_sessionize_invariants(spark, data):
             assert len(inside) >= r.n_events  # duplicates collapse into range
             for x, y in zip(inside, inside[1:]):
                 assert y - x <= gap
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),          # key pool (collisions)
+            st.sampled_from(["a", "b", "c", None]),          # attr 1 (nullable)
+            st.sampled_from([1.0, 2.5, None]),               # attr 2 (nullable)
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+    n_batches=st.integers(min_value=1, max_value=3),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scd2_invariants_under_random_batches(spark, data, n_batches):
+    """After any sequence of random snapshot batches: at most one open
+    row per key; closed intervals are well-formed (from < to) and never
+    overlap per key; re-applying the final batch is a no-op."""
+    from daily_top_songs_etl_spark.operators.scd import scd2_apply
+
+    schema = "k bigint, name string, bal double, valid_from date, valid_to date"
+    state = spark.createDataFrame([], schema)
+    batch_rows = None
+    for i in range(n_batches):
+        # rotate the random pool so consecutive batches differ but collide
+        batch_rows = [
+            (k, (None if a is None else a + str((k + i) % 2)), b)
+            for k, a, b in {t[0]: t for t in data[i:]}.values()
+        ]
+        updates = spark.createDataFrame(batch_rows, "k bigint, name string, bal double")
+        state = scd2_apply(
+            state, updates, ["k"], ["name", "bal"], dt.date(2024, 1, 1 + i)
+        )
+    rows = state.collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append(r)
+    for k, krows in by_key.items():
+        open_rows = [r for r in krows if r.valid_to is None]
+        assert len(open_rows) <= 1, (k, krows)
+        closed = sorted(
+            (r for r in krows if r.valid_to is not None),
+            key=lambda r: r.valid_from,
+        )
+        for r in closed:
+            assert r.valid_from < r.valid_to, r
+        for r1, r2 in zip(closed, closed[1:]):
+            assert r1.valid_to <= r2.valid_from, (r1, r2)
+    # idempotency: same snapshot, later date -> identical multiset
+    if batch_rows is not None:
+        updates = spark.createDataFrame(batch_rows, "k bigint, name string, bal double")
+        again = scd2_apply(
+            state, updates, ["k"], ["name", "bal"], dt.date(2025, 1, 1)
+        )
+        assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
