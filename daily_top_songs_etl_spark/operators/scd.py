@@ -73,27 +73,44 @@ def scd2_apply(
     # to NULL (a NULL->NULL "change" must not spawn a version)
     same = cur_attrs.eqNullSafe(upd_attrs)
 
-    keep_open = j.filter(has_cur & (~has_upd | same)).select(
-        *key,
+    # Single pass over the join: each output rule becomes a conditional
+    # struct variant; a joined key can emit up to two rows (close + new
+    # version), produced by exploding the non-null variants. Three
+    # filter+union branches (the naive form) would re-evaluate the whole
+    # join — and at scale re-scan the open slice — three times.
+    null_date = F.lit(None).cast("date")
+    keep_v = F.struct(
         *[F.col(f"cur.{a}").alias(a) for a in attrs],
         F.col(f"cur.{valid_from}").alias(valid_from),
-        F.lit(None).cast("date").alias(valid_to),
+        null_date.alias(valid_to),
     )
-    close_changed = j.filter(has_cur & has_upd & ~same).select(
-        *key,
+    close_v = F.struct(
         *[F.col(f"cur.{a}").alias(a) for a in attrs],
         F.col(f"cur.{valid_from}").alias(valid_from),
         d.alias(valid_to),
     )
-    new_versions = j.filter(has_upd & (~has_cur | ~same)).select(
-        *key,
+    new_v = F.struct(
         *[F.col(f"upd.{a}").alias(a) for a in attrs],
         d.alias(valid_from),
-        F.lit(None).cast("date").alias(valid_to),
+        null_date.alias(valid_to),
+    )
+    variants = F.array(
+        F.when(has_cur & (~has_upd | same), keep_v),
+        F.when(has_cur & has_upd & ~same, close_v),
+        F.when(has_upd & (~has_cur | ~same), new_v),
+    )
+    exploded = j.select(
+        *key,
+        F.explode(F.filter(variants, lambda v: v.isNotNull())).alias("_r"),
     )
     return (
         closed.select(*key, *attrs, valid_from, valid_to)
-        .unionByName(keep_open)
-        .unionByName(close_changed)
-        .unionByName(new_versions)
+        .unionByName(
+            exploded.select(
+                *key,
+                *[F.col(f"_r.{a}").alias(a) for a in attrs],
+                F.col(f"_r.{valid_from}").alias(valid_from),
+                F.col(f"_r.{valid_to}").alias(valid_to),
+            )
+        )
     )

@@ -232,3 +232,15 @@ def test_rolling_window_range_single_shuffle(spark):
         if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
     ]
     assert len(exchanges) == 1, exchanges
+
+
+def test_scd2_single_join(spark):
+    # the keep/close/new rules must ride ONE full-outer join (explode of
+    # conditional variants); a filter-per-rule regression re-evaluates
+    # the join, re-scanning the open slice three times at scale
+    plan = _formatted_plan(spark, "scd2_apply")
+    joins = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("(") and "Join" in l
+    ]
+    assert len(joins) == 1, joins
