@@ -3735,6 +3735,48 @@ FROM running GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Multi-granularity time rollup (hypertable continuous-aggregate shape)
+# --------------------------------------------------------------------------
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily AND monthly event rollups in one pass via GROUPING SETS —
+    the hypertable continuous-aggregate shape. Like cube_agg, Expand
+    runs before partial aggregation, so both granularities ride one
+    shuffle bounded by |days + months| × partitions; the grouping_id
+    disambiguates the grain."""
+    ev = _events(spark, sf_dir)
+    d = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+        F.col("value"),
+    )
+    return d.groupingSets(
+        [[F.col("day"), F.col("month")], [F.col("month")]], "day", "month"
+    ).agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+ORACLE_TIME_ROLLUP = """
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(date_trunc('month', ts) AS DATE) AS month,
+         value
+  FROM events
+)
+SELECT day, month,
+       CAST(GROUPING(day, month) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM d
+GROUP BY GROUPING SETS ((day, month), (month))
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3841,6 +3883,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multi_distinct": q_multi_distinct,
     "yoy_growth": q_yoy_growth,
     "max_concurrency": q_max_concurrency,
+    "time_rollup": q_time_rollup,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3945,6 +3988,7 @@ _ORACLES: dict[str, str] = {
     "multi_distinct": ORACLE_MULTI_DISTINCT,
     "yoy_growth": ORACLE_YOY_GROWTH,
     "max_concurrency": ORACLE_MAX_CONCURRENCY,
+    "time_rollup": ORACLE_TIME_ROLLUP,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and
     # tests/test_extensions bounds its error against the exact count.

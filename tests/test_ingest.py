@@ -112,3 +112,77 @@ def test_apple_ldjson_projection():
     assert out == {"song_name": "Some Song", "artist_names": ["A", "B"]}
     with pytest.raises(ValueError):
         apple_song_data_from_ldjson("<html>no script</html>")
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    """Clean rows parse under the declared schema; corrupt lines land in
+    quarantine verbatim — nothing is silently dropped."""
+    from pyspark.sql import types as T
+
+    from daily_top_songs_etl_spark.sources.formats import read_jsonl, write_jsonl
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "part-0.jsonl").write_text(
+        '{"isrc": "A", "rank": 1}\n'
+        'not json at all\n'
+        '{"isrc": "B", "rank": "NaNope"}\n'
+        '{"isrc": "C", "rank": 3}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("isrc", T.StringType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    good, bad = read_jsonl(spark, str(src), schema)
+    assert sorted((r.isrc, r.rank) for r in good.collect()) == [
+        ("A", 1),
+        ("C", 3),
+    ]
+    bad_lines = sorted(r.raw_line for r in bad.collect())
+    assert bad_lines == ["not json at all", '{"isrc": "B", "rank": "NaNope"}']
+
+    out = tmp_path / "out"
+    write_jsonl(good, str(out))
+    good2, bad2 = read_jsonl(spark, str(out), schema)
+    assert sorted((r.isrc, r.rank) for r in good2.collect()) == [
+        ("A", 1),
+        ("C", 3),
+    ]
+    assert bad2.count() == 0
+
+
+def test_orc_roundtrip_preserves_schema_and_values(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from daily_top_songs_etl_spark.sources.formats import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "x", dt.date(2024, 1, 1), None), (2, None, dt.date(2024, 1, 2), 2.5)],
+        "id bigint, name string, day date, score double",
+    )
+    path = str(tmp_path / "orc")
+    write_orc(df, path)
+    back = read_orc(spark, path, df.schema)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_text_reader_line_and_wholetext_modes(spark, tmp_path):
+    from daily_top_songs_etl_spark.sources.formats import read_text
+
+    src = tmp_path / "txt"
+    src.mkdir()
+    (src / "a.txt").write_text("line one\nline two\n")
+    (src / "b.txt").write_text("single doc body\n")
+    lines = read_text(spark, str(src)).collect()
+    assert sorted(r.value for r in lines) == [
+        "line one",
+        "line two",
+        "single doc body",
+    ]
+    docs = read_text(spark, str(src), doc_per_file=True).collect()
+    assert len(docs) == 2 and any("line one\nline two" in r.value for r in docs)
