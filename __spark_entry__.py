@@ -3777,10 +3777,210 @@ GROUP BY GROUPING SETS ((day, month), (month))
 
 
 # --------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against an eval set)
+# --------------------------------------------------------------------------
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs sharing any 7-gram with a benchmark set (the
+    GPT-3-style 13-gram decontamination rule scaled to ~100-token docs).
+    Benchmark = docs with doc_id % 13 == 0 (stands in for an eval suite);
+    corpus = the rest. The benchmark gram set is broadcast — the corpus
+    side never shuffles for the match."""
+    from daily_top_songs_etl_spark.extensions.text import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 13 != 0)
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    return decontaminate(corpus, bench, n=7)
+
+
+ORACLE_DECONTAMINATE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(t) >= 7
+            THEN list_transform(generate_series(1, len(t)-6),
+                                i -> array_to_string(t[i:i+6], ' '))
+            ELSE [] END)) AS gram
+  FROM tok
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 13 = 0
+), hits AS (
+  SELECT c.doc_id, count(*) AS n
+  FROM grams c JOIN bench b USING (gram)
+  WHERE c.doc_id % 13 <> 0
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_shared_ngrams,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 13 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# Unigram corpus-frequency scoring (perplexity-filter proxy)
+# --------------------------------------------------------------------------
+def q_token_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean corpus-frequency of its tokens — the exact-integer
+    stand-in for a unigram-LM perplexity filter (BIGINT sums are
+    reduction-order-independent; float log-prob sums are not)."""
+    from daily_top_songs_etl_spark.extensions.text import token_freq_score
+
+    return token_freq_score(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_TOKEN_FREQ_SCORE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(t) AS tok FROM tok
+), vocab AS (
+  SELECT tok, count(*) AS tok_count FROM toks GROUP BY tok
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(tok_count) AS BIGINT) AS sum_tok_freq,
+       round(CAST(sum(tok_count) AS DOUBLE) / count(*), 6) AS mean_tok_freq
+FROM toks JOIN vocab USING (tok)
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Vocabulary build + token-ID encoding (tokenizer front-end)
+# --------------------------------------------------------------------------
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary with dense token ids (1-based; 0 is
+    reserved for OOV). The global row_number window is single-partition by
+    construction but runs over the *vocabulary*, which is bounded
+    regardless of corpus size."""
+    from daily_top_songs_etl_spark.extensions.text import build_vocab
+
+    return build_vocab(_t(spark, sf_dir, "documents"), vocab_size=4096)
+
+
+ORACLE_VOCAB_BUILD = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(t) AS tok FROM tok
+), counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS tok_count FROM toks GROUP BY tok
+)
+SELECT tok, tok_count,
+       CAST(row_number() OVER (ORDER BY tok_count DESC, tok) AS BIGINT)
+         AS token_id
+FROM counts
+QUALIFY token_id <= 4096
+"""
+
+
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document as its position-ordered token-id sequence
+    against the built vocabulary (OOV → 0). Space-joined string output —
+    engine-portable, unlike array columns. collect_list order is not
+    guaranteed, so order is restored by sorting (pos, id) structs."""
+    from daily_top_songs_etl_spark.extensions.text import (
+        build_vocab,
+        encode_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return encode_documents(docs, build_vocab(docs, vocab_size=4096))
+
+
+ORACLE_VOCAB_ENCODE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos FROM tok
+), toks AS (
+  SELECT doc_id, pos, t[pos] AS tok FROM pos
+), counts AS (
+  SELECT tok, count(*) AS tok_count FROM toks GROUP BY tok
+), vocab AS (
+  SELECT tok,
+         CAST(row_number() OVER (ORDER BY tok_count DESC, tok) AS BIGINT)
+           AS token_id
+  FROM counts
+  QUALIFY token_id <= 4096
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       string_agg(CAST(coalesce(v.token_id, 0) AS VARCHAR), ' ' ORDER BY pos)
+         AS token_ids
+FROM toks LEFT JOIN vocab v USING (tok)
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram via ntile (decile profile of a measure)
+# --------------------------------------------------------------------------
+def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth deciles of event value: ntile(10) over a total
+    order (value, event_id tie-break makes the bucket assignment
+    deterministic in both engines). min/max are exact stored doubles — no
+    float arithmetic, so they hash identically cross-engine.
+
+    Scale note: an unpartitioned ntile window funnels the table through
+    one task. This is the exact small-table variant; the 100 TB path is
+    approx_percentile boundaries + a range join (see length_percentiles),
+    or the range-exchange + per-partition-offset distributed row-number.
+    """
+    events = _t(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    return (
+        events.select(
+            "value", F.ntile(10).over(w).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+ORACLE_VALUE_DECILES = r"""
+WITH ranked AS (
+  SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS decile
+  FROM events
+)
+SELECT CAST(decile AS INTEGER) AS decile,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM ranked
+GROUP BY decile
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_agg": q_string_agg,
+    "decontaminate": q_decontaminate,
+    "token_freq_score": q_token_freq_score,
+    "vocab_build": q_vocab_build,
+    "vocab_encode": q_vocab_encode,
+    "value_deciles": q_value_deciles,
     "rank_delta_two_dates": q_rank_delta_two_dates,
     "flagship_delta": q_flagship_delta,
     "left_join": q_left_join,
@@ -3989,6 +4189,11 @@ _ORACLES: dict[str, str] = {
     "yoy_growth": ORACLE_YOY_GROWTH,
     "max_concurrency": ORACLE_MAX_CONCURRENCY,
     "time_rollup": ORACLE_TIME_ROLLUP,
+    "decontaminate": ORACLE_DECONTAMINATE,
+    "token_freq_score": ORACLE_TOKEN_FREQ_SCORE,
+    "vocab_build": ORACLE_VOCAB_BUILD,
+    "vocab_encode": ORACLE_VOCAB_ENCODE,
+    "value_deciles": ORACLE_VALUE_DECILES,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and
     # tests/test_extensions bounds its error against the exact count.

@@ -51,10 +51,23 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
 
-    # Warm the JVM/session so the first timed query isn't charged startup.
+    # Warm the JVM/session so the first timed query isn't charged startup:
+    # codegen + noop sink via the range query, then the parquet scan path
+    # (Hadoop FS init, footer reads, vectorized-reader codegen) via a
+    # trivial count over each input table.
     spark.range(1000).selectExpr("sum(id)").write.mode("overwrite").format(
         "noop"
     ).save()
+    for tbl in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        try:
+            spark.read.parquet(f"{SF_DIR}/{tbl}.parquet").selectExpr(
+                "count(*)"
+            ).write.mode("overwrite").format("noop").save()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in names:

@@ -422,6 +422,169 @@ def chunk_documents(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 7,
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    ``n``-gram with an evaluation/benchmark set (the GPT-3/PaLM-style 13-gram
+    overlap rule, scaled to this corpus's ~100-token docs).
+
+    Scale shape: the benchmark side is tiny relative to the corpus (eval
+    suites are KBs against TBs of training data), so its distinct gram set
+    is **broadcast** — the corpus side never shuffles; the whole operator is
+    scan → per-row gram construction (array domain) → explode →
+    broadcast-hash semi-match → per-doc re-aggregation. The per-doc
+    aggregation keys on the corpus id, which partial-aggregates map-side
+    (each doc's grams are colocated after explode), so the only exchange is
+    the final doc-count shuffle of *matched* docs — near-zero when the
+    corpus is clean.
+
+    Emits one row per corpus doc: distinct shared grams + contaminated flag
+    (full output, so clean docs are auditable too).
+    """
+    corpus_grams = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(_let_tokens(lambda t: _ngrams(t, n)))
+        ).alias("gram"),
+    )
+    bench_grams = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(_let_tokens(lambda t: _ngrams(t, n)))
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram", "inner")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_ngrams", F.lit(0)).cast("bigint").alias(
+                "n_shared_ngrams"
+            ),
+            (F.coalesce("n_shared_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def token_freq_score(documents: DataFrame) -> DataFrame:
+    """Unigram-LM-style commonness score: per document, the sum and mean of
+    each token's corpus-wide occurrence count. Rare-token-heavy docs (low
+    mean frequency) are OCR garbage / codes / boilerplate candidates —
+    the cheap proxy for a KenLM perplexity filter.
+
+    Determinism: the per-doc sum is a BIGINT sum of BIGINT counts
+    (order-independent, exact — unlike summing float log-probs, whose
+    result depends on reduction order); the mean is one final division,
+    rounded. Plan shape: vocabulary aggregate (map-side combinable, bounded
+    by |vocab| not corpus size) → broadcast back onto the exploded token
+    stream → per-doc aggregate (partials combine map-side because a doc's
+    tokens are colocated after explode).
+    """
+    toks = documents.select(
+        "doc_id", F.explode(tokens()).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("tok_count")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("tok_count").alias("sum_tok_freq"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("sum_tok_freq").cast("bigint").alias("sum_tok_freq"),
+            F.round(
+                F.col("sum_tok_freq").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("mean_tok_freq"),
+        )
+    )
+
+
+def build_vocab(documents: DataFrame, vocab_size: int = 4096) -> DataFrame:
+    """Frequency-ranked vocabulary: top ``vocab_size`` tokens by corpus
+    count, token_id = dense rank by (count DESC, token) starting at 1
+    (0 is reserved for OOV/UNK). The id assignment is a global row_number —
+    a single-partition window — which is correct at scale because the
+    *vocabulary* (not the corpus) crosses the window, and vocabularies are
+    bounded (≤ a few hundred thousand rows) regardless of corpus size.
+    """
+    counts = (
+        documents.select(F.explode(tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tok_count"))
+    )
+    w = Window.orderBy(F.desc("tok_count"), F.asc("tok"))
+    return (
+        counts.select(
+            "tok",
+            F.col("tok_count").cast("bigint").alias("tok_count"),
+            F.row_number().over(w).cast("bigint").alias("token_id"),
+        )
+        .filter(F.col("token_id") <= vocab_size)
+    )
+
+
+def encode_documents(
+    documents: DataFrame, vocab: DataFrame
+) -> DataFrame:
+    """Tokenize each document against a built vocabulary: every token maps
+    to its token_id (OOV → 0), output is the position-ordered id sequence
+    as a space-joined string (engine-portable; an array column hashes
+    differently across engines).
+
+    Plan shape: posexplode preserves position → broadcast join against the
+    (bounded) vocab → per-doc re-aggregation where order is restored by
+    sorting the (pos, id) structs — collect_list order is NOT guaranteed,
+    so the sort is mandatory, same rule as A1 string-agg.
+    """
+    exploded = documents.select(
+        "doc_id", F.posexplode(tokens()).alias("pos", "tok")
+    )
+    joined = exploded.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce("token_id", F.lit(0)).cast("bigint").alias("token_id"),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+        lambda s: s["token_id"].cast("string"),
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_join(ordered, " ").alias("token_ids"),
+            F.sum(F.when(F.col("token_id") == 0, 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_oov").cast("bigint").alias("n_oov"),
+            "token_ids",
+        )
+    )
+
+
 def pack_chunks(
     chunks: DataFrame,
     token_budget: int = 512,

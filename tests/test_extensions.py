@@ -517,3 +517,60 @@ def test_fuzzy_pairs_banding_loses_no_close_pair(spark):
         .collect()
     }
     assert got == exact and exact  # non-trivial and identical
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A corpus doc containing an exact 7-token span of a benchmark doc is
+    flagged; docs with at most 6 shared consecutive tokens are not."""
+    from daily_top_songs_etl_spark.extensions.text import decontaminate
+
+    bench_text = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    corpus = spark.createDataFrame(
+        [
+            # 7-token span b2..b8 lifted verbatim → contaminated
+            (1, "x1 b2 b3 b4 b5 b6 b7 b8 x2"),
+            # only 6 consecutive benchmark tokens → clean at n=7
+            (2, "x1 b2 b3 b4 b5 b6 b7 x2 x3"),
+            (3, "totally unrelated words only here now appear twice more"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id bigint, text string"
+    )
+    out = {
+        r.doc_id: (r.n_shared_ngrams, r.contaminated)
+        for r in decontaminate(corpus, bench, n=7).collect()
+    }
+    assert out[1] == (1, True)
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+    assert len(out) == 3
+
+
+def test_vocab_encode_round_trip(spark):
+    """Decoding the id sequence through the vocabulary reproduces the
+    whitespace-normalized token stream; OOV only when vocab is truncated."""
+    from daily_top_songs_etl_spark.extensions.text import (
+        build_vocab,
+        encode_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "red blue red green red blue"),
+            (2, "green RED  blue"),  # case/extra-space normalization
+        ],
+        "doc_id bigint, text string",
+    )
+    vocab = build_vocab(docs, vocab_size=4096)
+    v = {r.tok: (r.token_id, r.tok_count) for r in vocab.collect()}
+    # red(4) id 1, blue(3) id 2, green(2) id 3 — count desc, token asc
+    assert v == {"red": (1, 4), "blue": (2, 3), "green": (3, 2)}
+    enc = {r.doc_id: r for r in encode_documents(docs, vocab).collect()}
+    assert enc[1].token_ids == "1 2 1 3 1 2" and enc[1].n_oov == 0
+    assert enc[2].token_ids == "3 1 2" and enc[2].n_oov == 0
+    # truncated vocab: green falls out → OOV id 0
+    small = build_vocab(docs, vocab_size=2)
+    enc2 = {r.doc_id: r for r in encode_documents(docs, small).collect()}
+    assert enc2[1].token_ids == "1 2 1 0 1 2" and enc2[1].n_oov == 1
