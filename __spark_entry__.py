@@ -3972,6 +3972,41 @@ GROUP BY decile
 
 
 # --------------------------------------------------------------------------
+# Incremental aggregate maintenance (mergeable partial state)
+# --------------------------------------------------------------------------
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM: history and a new micro-batch are aggregated into per-key
+    monoid states (count/sum/min/max) separately, then MERGED — the
+    don't-recompute-history pattern. The oracle recomputes the full
+    aggregation directly, so the hash-match proves state ⊕ delta ≡ full
+    re-aggregation (exact decimal sums make the merge order-independent)."""
+    from daily_top_songs_etl_spark.operators.incremental import (
+        agg_state,
+        finalize,
+        merge_states,
+    )
+
+    ev = _events(spark, sf_dir)
+    cut = F.lit("2024-01-20").cast("timestamp")
+    hist = agg_state(ev.filter(F.col("ts") < cut), ["event_type"], "value")
+    delta = agg_state(ev.filter(F.col("ts") >= cut), ["event_type"], "value")
+    return finalize(merge_states(hist, delta, ["event_type"]), ["event_type"])
+
+
+ORACLE_INCREMENTAL_AGG = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         AS avg_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3981,6 +4016,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_build": q_vocab_build,
     "vocab_encode": q_vocab_encode,
     "value_deciles": q_value_deciles,
+    "incremental_agg": q_incremental_agg,
     "rank_delta_two_dates": q_rank_delta_two_dates,
     "flagship_delta": q_flagship_delta,
     "left_join": q_left_join,
@@ -4194,6 +4230,7 @@ _ORACLES: dict[str, str] = {
     "vocab_build": ORACLE_VOCAB_BUILD,
     "vocab_encode": ORACLE_VOCAB_ENCODE,
     "value_deciles": ORACLE_VALUE_DECILES,
+    "incremental_agg": ORACLE_INCREMENTAL_AGG,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and
     # tests/test_extensions bounds its error against the exact count.

@@ -389,3 +389,39 @@ def test_scd2_apply_version_rules_and_idempotency(spark):
     # re-applying the same snapshot later is a no-op (same multiset)
     out2 = scd2_apply(out1, updates, ["k"], ["name", "bal"], "2024-07-01")
     assert sorted(map(tuple, out2.collect())) == rows
+
+
+def test_incremental_state_merge_equals_recompute(spark):
+    """state(A) ⊕ state(B) ≡ state(A ∪ B) for any split, including keys
+    present on only one side."""
+    from daily_top_songs_etl_spark.operators.incremental import (
+        agg_state,
+        finalize,
+        merge_states,
+    )
+
+    rows = [
+        ("a", 1.5), ("a", 2.5), ("a", -1.0),
+        ("b", 10.0), ("b", 0.25),
+        ("c", 7.0),          # only in the "history" half
+        ("d", -3.5),         # only in the "delta" half
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    hist = df.limit(0).unionByName(
+        spark.createDataFrame(rows[:4], "k string, v double")
+    )
+    delta = spark.createDataFrame(rows[4:], "k string, v double")
+
+    merged = finalize(
+        merge_states(
+            agg_state(hist, ["k"], "v"), agg_state(delta, ["k"], "v"), ["k"]
+        ),
+        ["k"],
+    )
+    full = finalize(agg_state(df, ["k"], "v"), ["k"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    got = {r.k: r for r in merged.collect()}
+    assert got["a"].n_rows == 3 and got["a"].sum_value == 3.0
+    assert got["d"].min_value == -3.5 and got["d"].max_value == -3.5
