@@ -4007,6 +4007,100 @@ GROUP BY event_type
 
 
 # --------------------------------------------------------------------------
+# Distributed exact global row numbering
+# --------------------------------------------------------------------------
+def q_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global row_number over (value, event_id) WITHOUT the
+    single-task window: range exchange + per-partition offsets + local
+    windows (operators/rownumber.py). The oracle is the plain
+    single-partition ``row_number() OVER (ORDER BY ...)`` — the hash-match
+    proves the distributed rewrite numbers identically."""
+    from daily_top_songs_etl_spark.operators.rownumber import (
+        global_row_number,
+    )
+
+    ev = _events(spark, sf_dir).select("event_id", "value")
+    return global_row_number(
+        ev, [F.col("value"), F.col("event_id")], out_col="rn"
+    ).select("event_id", "value", "rn")
+
+
+ORACLE_GLOBAL_ROW_NUMBER = """
+SELECT event_id, value,
+       CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS rn
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-group OLS trend slope with exact sufficient statistics
+# --------------------------------------------------------------------------
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of daily spend per event type — drift/trend
+    profiling. The five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are
+    exact BIGINT/DECIMAL sums (reduction-order-independent, unlike
+    float-summed regr_slope); the closed form is evaluated once per group
+    in DOUBLE from those exact scalars. x = days since 2024-01-01."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("y")
+        )
+        .select(
+            "event_type",
+            F.datediff("day", F.lit("2024-01-01")).cast("bigint").alias("x"),
+            "y",
+        )
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(9,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx = F.col("n").cast("double"), F.col("sx").cast("double")
+    sy, sxy = F.col("sy").cast("double"), F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    return stats.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("slope"),
+    )
+
+
+ORACLE_TREND_SLOPE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+  FROM events GROUP BY 1, 2
+), pts AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '2024-01-01', day) AS BIGINT) AS x, y
+  FROM daily
+), stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         SUM(y) AS sy,
+         SUM(CAST(x AS DECIMAL(9,0)) * y) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pts GROUP BY event_type
+)
+SELECT event_type,
+       n AS n_days,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope
+FROM stats
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4017,6 +4111,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_encode": q_vocab_encode,
     "value_deciles": q_value_deciles,
     "incremental_agg": q_incremental_agg,
+    "global_row_number": q_global_row_number,
+    "trend_slope": q_trend_slope,
     "rank_delta_two_dates": q_rank_delta_two_dates,
     "flagship_delta": q_flagship_delta,
     "left_join": q_left_join,
@@ -4231,6 +4327,8 @@ _ORACLES: dict[str, str] = {
     "vocab_encode": ORACLE_VOCAB_ENCODE,
     "value_deciles": ORACLE_VALUE_DECILES,
     "incremental_agg": ORACLE_INCREMENTAL_AGG,
+    "global_row_number": ORACLE_GLOBAL_ROW_NUMBER,
+    "trend_slope": ORACLE_TREND_SLOPE,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and
     # tests/test_extensions bounds its error against the exact count.

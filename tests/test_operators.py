@@ -425,3 +425,36 @@ def test_incremental_state_merge_equals_recompute(spark):
     got = {r.k: r for r in merged.collect()}
     assert got["a"].n_rows == 3 and got["a"].sum_value == 3.0
     assert got["d"].min_value == -3.5 and got["d"].max_value == -3.5
+
+
+def test_global_row_number_matches_single_partition_window(spark):
+    """Distributed range-exchange numbering ≡ the single-task window, with
+    skew, duplicates on the value column, and negative values."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from daily_top_songs_etl_spark.operators.rownumber import (
+        global_row_number,
+    )
+
+    rows = [(i, float(v)) for i, v in enumerate(
+        [5, 5, 5, 5, -1, 3, 3, 0, 7, 7, 7, 2, -1, 9, 5, 5]
+    )]
+    df = spark.createDataFrame(rows, "id bigint, v double").repartition(7)
+    got = {
+        r.id: r.rn
+        for r in global_row_number(
+            df, [F.col("v"), F.col("id")], num_partitions=5
+        ).collect()
+    }
+    want = {
+        r.id: r.rn
+        for r in df.select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy("v", "id"))
+            .cast("bigint")
+            .alias("rn"),
+        ).collect()
+    }
+    assert got == want and len(got) == len(rows)
