@@ -34,3 +34,36 @@ def write_clustered(
     df: DataFrame, path: str, cols: list[str], n_files: int = 8
 ) -> None:
     cluster_by(df, cols, n_files).write.mode("overwrite").parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int = 16,
+    path: str | None = None,
+) -> None:
+    """Write ``df`` as a bucketed, per-bucket-sorted Parquet table.
+
+    Bucketing is the *pre-paid shuffle*: rows are hash-distributed into
+    ``n_buckets`` files on the join/aggregation key at write time, and the
+    catalog records that layout. Every later equi-join or aggregation on
+    the bucket key between co-bucketed tables then plans with NO exchange
+    on either side (the scan already satisfies the required
+    HashPartitioning) — at 100 TB this removes the dominant cost of
+    fact-to-fact joins that repeat across a workload. The per-bucket
+    ``sortBy`` additionally lets sort-merge joins skip their sort step.
+
+    Requires ``saveAsTable`` (bucket metadata lives in the catalog, not in
+    the files); ``path`` makes it an external table so tests can point it
+    at a temp directory.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *keys)
+        .sortBy(*keys)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

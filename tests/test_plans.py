@@ -244,3 +244,45 @@ def test_scd2_single_join(spark):
         if l.strip().startswith("(") and "Join" in l
     ]
     assert len(joins) == 1, joins
+
+
+def test_bucketed_join_and_agg_have_no_shuffle(spark, tmp_path):
+    """Co-bucketed tables join and aggregate on the bucket key with zero
+    Exchange operators — the pre-paid-shuffle layout contract."""
+    from daily_top_songs_etl_spark.operators.layout import write_bucketed
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed(li, "li_b", ["l_orderkey"], 4, str(tmp_path / "li"))
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "ord_b",
+        ["l_orderkey"],
+        4,
+        str(tmp_path / "ord"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_b").join(spark.table("ord_b"), "l_orderkey")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan and "Exchange" not in plan
+        n = joined.count()
+        assert n == li.count()  # every lineitem has its order
+
+        agg = spark.table("li_b").groupBy("l_orderkey").count()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            agg.explain("formatted")
+        assert "Exchange" not in buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
