@@ -4101,6 +4101,66 @@ FROM stats
 
 
 # --------------------------------------------------------------------------
+# Z-order (Morton) clustering value
+# --------------------------------------------------------------------------
+def q_zorder_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row 32-bit Morton value interleaving (l_partkey, l_suppkey) —
+    the clustering key that makes one sort order serve min/max file
+    skipping on BOTH columns (operators/layout.py zorder_cluster applies
+    it via repartitionByRange). Pure integer codegen, no UDF; the oracle
+    runs the identical expression text in DuckDB."""
+    from daily_top_songs_etl_spark.operators.layout import z16_sql
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        f"{z16_sql('l_partkey', 'l_suppkey')} AS zval",
+    )
+
+
+def _oracle_zorder() -> str:
+    from daily_top_songs_etl_spark.operators.layout import z16_sql
+
+    return (
+        "SELECT l_orderkey, l_linenumber, "
+        f"{z16_sql('l_partkey', 'l_suppkey')} AS zval FROM lineitem"
+    )
+
+
+# --------------------------------------------------------------------------
+# Column statistics profile (ANALYZE)
+# --------------------------------------------------------------------------
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column stats (nulls / exact distinct / typed min-max
+    as strings) unpivoted to long form — the ANALYZE step feeding join
+    planning and layout decisions."""
+    from daily_top_songs_etl_spark.operators.validate import profile_columns
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "l_shipdate", F.to_date("l_shipdate")
+    )
+    return profile_columns(li, ["l_shipdate", "l_returnflag", "l_orderkey"])
+
+
+_PROFILE_COL_SQL = """
+SELECT '{c}' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value
+FROM (SELECT CAST(l_shipdate AS DATE) AS l_shipdate, l_returnflag, l_orderkey
+      FROM lineitem)
+"""
+
+ORACLE_PROFILE_COLUMNS = " UNION ALL ".join(
+    _PROFILE_COL_SQL.format(c=c)
+    for c in ("l_shipdate", "l_returnflag", "l_orderkey")
+)
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4113,6 +4173,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_agg": q_incremental_agg,
     "global_row_number": q_global_row_number,
     "trend_slope": q_trend_slope,
+    "zorder_value": q_zorder_value,
+    "profile_columns": q_profile_columns,
     "rank_delta_two_dates": q_rank_delta_two_dates,
     "flagship_delta": q_flagship_delta,
     "left_join": q_left_join,
@@ -4329,6 +4391,8 @@ _ORACLES: dict[str, str] = {
     "incremental_agg": ORACLE_INCREMENTAL_AGG,
     "global_row_number": ORACLE_GLOBAL_ROW_NUMBER,
     "trend_slope": ORACLE_TREND_SLOPE,
+    "zorder_value": _oracle_zorder(),
+    "profile_columns": ORACLE_PROFILE_COLUMNS,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and
     # tests/test_extensions bounds its error against the exact count.

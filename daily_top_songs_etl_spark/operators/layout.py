@@ -67,3 +67,76 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def z16_sql(x: str, y: str) -> str:
+    """SQL expression for a 32-bit Morton (Z-order) value interleaving the
+    low 16 bits of two integer columns — engine-portable (identical text
+    runs in Spark SQL and DuckDB; only `>>`/`&`/`*`/`+` on integers).
+
+    Z-ordering is the multi-column generalization of :func:`cluster_by`:
+    range-clustering on the interleaved value gives every file a tight
+    bounding box in BOTH dimensions, so min/max file skipping works for
+    filters on either column (or both) — one sort order serving two
+    predicate columns, where a lexicographic sort serves only the leading
+    one. The bit-interleave is built as a flat sum of 32 masked terms:
+    pure integer codegen, no UDF, no lambda.
+    """
+    xm, ym = f"(({x}) & 65535)", f"(({y}) & 65535)"
+    terms = [f"((({xm} >> {i}) & 1) * {1 << (2 * i)})" for i in range(16)]
+    terms += [f"((({ym} >> {i}) & 1) * {1 << (2 * i + 1)})" for i in range(16)]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def zorder_cluster(
+    df: DataFrame, x: str, y: str, n_files: int
+) -> DataFrame:
+    """Arrange ``df`` for a write producing ``n_files`` files tightly
+    bounded in the (x, y) plane: compute the Morton value, range-cluster
+    on it, drop the helper column at write time if unwanted."""
+    from pyspark.sql import functions as F
+
+    return cluster_by(
+        df.withColumn("__z", F.expr(z16_sql(x, y))), ["__z"], n_files
+    )
+
+
+def compact(
+    spark,
+    src: str,
+    dest: str,
+    target_file_bytes: int = 128 << 20,
+    preserve_cluster: list[str] | None = None,
+) -> int:
+    """Small-file compaction (the lakehouse OPTIMIZE pass): bin-pack a
+    directory of parquet files into ~``target_file_bytes`` outputs.
+
+    Micro-batch appends (the reference's ~10-rows/day cadence) accumulate
+    tiny files whose per-file open/footer cost eventually dominates scans;
+    compaction rewrites them at the target size. File sizes are probed via
+    the local filesystem here (single-node test rig); the cluster version
+    swaps in the Hadoop FileSystem listing — the Spark plan is identical.
+    Round-robin ``repartition`` balances output bytes; pass
+    ``preserve_cluster`` to instead re-run :func:`cluster_by` so an
+    existing sort layout survives the rewrite. Writes to ``dest`` (swap is
+    the caller's atomic-rename step, mirroring the catalog's versioned
+    pointer flip). Returns the output file count.
+    """
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(src)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src)
+    arranged = (
+        cluster_by(df, preserve_cluster, n)
+        if preserve_cluster
+        else df.repartition(n)
+    )
+    arranged.write.mode("overwrite").parquet(dest)
+    return n

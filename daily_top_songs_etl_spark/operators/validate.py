@@ -80,3 +80,44 @@ def table_checksum(df: DataFrame, canonical_cols: list[Column]) -> DataFrame:
         F.count(F.lit(1)).alias("row_count"),
         F.sum(row_hash).cast("decimal(38,0)").alias("content_checksum"),
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Column-level statistics profile (the ANALYZE TABLE step): one output
+    row per profiled column with null count, exact distinct count, and
+    typed min/max rendered as strings (typed comparison first, THEN cast —
+    a lexicographic min over stringified numbers would be wrong).
+
+    Single scan: all per-column aggregates run in one hash-aggregate pass;
+    the wide 1-row result is unpivoted to long form with ``stack`` (a
+    projection, not a shuffle). Exact ``countDistinct`` over k columns
+    expands the input k-way — acceptable for a profiling pass; at 100 TB
+    swap in ``approx_count_distinct`` (documented trade: the oracle needs
+    exact).
+    """
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__nn`, `{c}__nd`, `{c}__min`, `{c}__max`" for c in cols
+    )
+    return wide.selectExpr(
+        "__n",
+        f"stack({len(cols)}, {stack_args}) as "
+        "(column_name, n_non_null, n_distinct, min_value, max_value)",
+    ).select(
+        "column_name",
+        F.col("__n").cast("bigint").alias("n_rows"),
+        (F.col("__n") - F.col("n_non_null")).cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_value",
+        "max_value",
+    )

@@ -47,7 +47,11 @@ def get_spark(
         # Parquet writers emit dates/timestamps readable by external tools
         # (DuckDB oracle, the reference's consumers).
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[32] puts driver and all 32 executor threads in ONE JVM; an
+        # undersized heap turns long sessions (the 110-query bench) into a
+        # full-GC crawl. 32g on the 128 GiB test box; on a real cluster this
+        # maps to ordinary per-executor memory sizing.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

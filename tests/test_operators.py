@@ -458,3 +458,43 @@ def test_global_row_number_matches_single_partition_window(spark):
         ).collect()
     }
     assert got == want and len(got) == len(rows)
+
+
+def test_z16_interleave_known_values(spark):
+    """Morton value matches a bit-level Python reference, including the
+    16-bit masking of oversized inputs."""
+    from daily_top_songs_etl_spark.operators.layout import z16_sql
+
+    def ref_z(x, y):
+        x, y = x & 0xFFFF, y & 0xFFFF
+        return sum(((x >> i) & 1) << (2 * i) for i in range(16)) + sum(
+            ((y >> i) & 1) << (2 * i + 1) for i in range(16)
+        )
+
+    cases = [(0, 0), (1, 0), (0, 1), (5, 3), (0xFFFF, 0xFFFF),
+             (70000, 2), (12345, 54321)]
+    df = spark.createDataFrame(cases, "x bigint, y bigint")
+    got = [
+        (r.x, r.y, r.z)
+        for r in df.selectExpr("x", "y", f"{z16_sql('x', 'y')} AS z").collect()
+    ]
+    assert all(z == ref_z(x, y) for x, y, z in got)
+    # z-curve property: sorting by z keeps both dims locally bounded
+    assert ref_z(5, 3) == 0b011011  # interleaved x=101 / y=011
+
+
+def test_compact_binpacks_small_files(spark, tmp_path):
+    import glob
+
+    from daily_top_songs_etl_spark.operators.layout import compact
+
+    src, dest = str(tmp_path / "src"), str(tmp_path / "dest")
+    spark.range(10000).selectExpr(
+        "id", "cast(id % 7 as double) as v"
+    ).repartition(16).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 16
+    n = compact(spark, src, dest, target_file_bytes=1 << 30)
+    assert n == 1 and len(glob.glob(f"{dest}/part-*.parquet")) == 1
+    a = spark.read.parquet(src).orderBy("id").collect()
+    b = spark.read.parquet(dest).orderBy("id").collect()
+    assert a == b
