@@ -4161,6 +4161,39 @@ ORACLE_PROFILE_COLUMNS = " UNION ALL ".join(
 
 
 # --------------------------------------------------------------------------
+# Ranking-window family (dense_rank / percent_rank / cume_dist / first_value)
+# --------------------------------------------------------------------------
+def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-window family per nation over customer balances,
+    under one shared window spec — one shuffle on the partition key serves
+    all five functions (Catalyst collapses same-spec windows into a single
+    Window operator). Total order via (c_acctbal, c_custkey) tie-break;
+    percent_rank/cume_dist are exact small-integer ratios, deterministic
+    in both engines."""
+    customer = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_nationkey",
+        "c_custkey",
+        F.dense_rank().over(w).cast("bigint").alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first_value(F.col("c_custkey")).over(w).alias("poorest_custkey"),
+    )
+
+
+ORACLE_WINDOW_RANK_FAMILY = """
+SELECT c_nationkey, c_custkey,
+       CAST(dense_rank() OVER w AS BIGINT) AS drank,
+       round(percent_rank() OVER w, 6) AS prank,
+       round(cume_dist() OVER w, 6) AS cdist,
+       first_value(c_custkey) OVER w AS poorest_custkey
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4175,6 +4208,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trend_slope": q_trend_slope,
     "zorder_value": q_zorder_value,
     "profile_columns": q_profile_columns,
+    "window_rank_family": q_window_rank_family,
     "rank_delta_two_dates": q_rank_delta_two_dates,
     "flagship_delta": q_flagship_delta,
     "left_join": q_left_join,
@@ -4393,6 +4427,7 @@ _ORACLES: dict[str, str] = {
     "trend_slope": ORACLE_TREND_SLOPE,
     "zorder_value": _oracle_zorder(),
     "profile_columns": ORACLE_PROFILE_COLUMNS,
+    "window_rank_family": ORACLE_WINDOW_RANK_FAMILY,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and
     # tests/test_extensions bounds its error against the exact count.

@@ -286,3 +286,16 @@ def test_bucketed_join_and_agg_have_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_window_rank_family_single_window_operator(spark):
+    """All five ranking functions share one window spec → Catalyst plans
+    ONE Window operator fed by ONE exchange, not five."""
+    plan = _formatted_plan(spark, "window_rank_family")
+    assert plan.count("Window") <= 3  # node + operator-detail lines
+    n_exchanges = sum(
+        1
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and "Exchange" in l
+    )
+    assert n_exchanges == 1
