@@ -36,12 +36,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark only reads as
-    raw int64; convert to microsecond timestamps with integer division
-    (truncation — matching DuckDB's ns→µs cast)."""
+    """Some generator versions store events.ts as TIMESTAMP(NANOS), which
+    Spark only reads as raw int64 (with nanosAsLong); others store
+    TIMESTAMP(MICROS), which reads natively. Normalize both to microsecond
+    timestamps (ns path truncates — matching DuckDB's ns→µs cast)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type != "timestamp":
+        # TIMESTAMP_NTZ → TIMESTAMP (session tz is pinned to UTC, so the
+        # wall-clock values are unchanged); watermarks and epoch casts
+        # require the LTZ timestamp type.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 # --------------------------------------------------------------------------
