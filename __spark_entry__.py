@@ -4203,6 +4203,160 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q9 shape: multi-join profit by nation and year
+# --------------------------------------------------------------------------
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on a product family by supplier nation and order year
+    (TPC-H Q9 shape). The synthetic schema has no partsupp table, so the
+    supply cost is proxied as half the part's retail price — the plan
+    shape is unchanged: a substring filter on the part dim prunes the
+    probe early (broadcast), the fact joins orders for the year, and the
+    two-term profit aggregates each side as an exact decimal before one
+    double subtraction. At 100 TB the only shuffle is the final
+    (nation, year) aggregation — every join side except lineitem⋈orders
+    is broadcast, and that one co-partitions on orderkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supplier = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    cost = F.col("p_retailprice").cast("decimal(18,2)") * F.col(
+        "l_quantity"
+    ).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            (
+                F.sum(rev).cast("double")
+                - F.lit(0.5) * F.sum(cost).cast("double")
+            ).alias("profit")
+        )
+    )
+
+
+ORACLE_PRODUCT_TYPE_PROFIT = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) -
+                 CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       - 0.5 * CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)) *
+                        CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         AS profit
+FROM lineitem, part, supplier, orders, nation
+WHERE l_partkey = p_partkey
+  AND l_suppkey = s_suppkey
+  AND l_orderkey = o_orderkey
+  AND s_nationkey = n_nationkey
+  AND p_name LIKE '%gear%'
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q12 shape: dual conditional counts per fact category
+# --------------------------------------------------------------------------
+def q_priority_shipment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High- vs low-priority order counts per line category for one ship
+    year (TPC-H Q12 shape; the synthetic schema has no l_shipmode /
+    commit/receipt dates, so l_returnflag is the grouping category and
+    the ship-year range the date band). The CASE pair aggregates
+    map-side; the only shuffle is lineitem⋈orders on orderkey plus a
+    tiny 3-group final — the Q12 plan exactly."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_PRIORITY_SHIPMENT_COUNTS = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate < TIMESTAMP '1999-01-01'
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q16 shape: distinct-supplier count per part attrs with NOT IN
+# --------------------------------------------------------------------------
+def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per (brand, type, size) over selected parts,
+    excluding flagged suppliers (TPC-H Q16 shape). The partsupp relation
+    is derived as the distinct (partkey, suppkey) pairs observed in
+    lineitem; "complaint" suppliers are proxied by negative account
+    balance. The NOT IN subquery is a left_anti (suppkey is non-null so
+    NOT IN ≡ anti-join); the part-attribute filters ride a broadcast.
+    The distinct pair derivation shuffles on (partkey, suppkey) once and
+    the count-distinct reuses that clustering."""
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2")
+        & (F.col("p_type") != "ECONOMY")
+        & (F.col("p_size").isin(2, 5, 11, 28, 37))
+    )
+    flagged = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        pairs.join(
+            F.broadcast(flagged),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+ORACLE_PART_SUPPLIER_COUNTS = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#2'
+  AND p_type <> 'ECONOMY'
+  AND p_size IN (2, 5, 11, 28, 37)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4321,6 +4475,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "yoy_growth": q_yoy_growth,
     "max_concurrency": q_max_concurrency,
     "time_rollup": q_time_rollup,
+    "product_type_profit": q_product_type_profit,
+    "priority_shipment_counts": q_priority_shipment_counts,
+    "part_supplier_counts": q_part_supplier_counts,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4437,6 +4594,9 @@ _ORACLES: dict[str, str] = {
     "zorder_value": _oracle_zorder(),
     "profile_columns": ORACLE_PROFILE_COLUMNS,
     "window_rank_family": ORACLE_WINDOW_RANK_FAMILY,
+    "product_type_profit": ORACLE_PRODUCT_TYPE_PROFIT,
+    "priority_shipment_counts": ORACLE_PRIORITY_SHIPMENT_COUNTS,
+    "part_supplier_counts": ORACLE_PART_SUPPLIER_COUNTS,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and
     # tests/test_extensions bounds its error against the exact count.
