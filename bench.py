@@ -1,10 +1,17 @@
 """Benchmark harness (driver contract).
 
-Runs the headline queries from ``__spark_entry__.queries()`` against
+Runs every query from ``__spark_entry__.queries()`` against
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line as the FINAL line
+of stdout:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The consumer keeps only a bounded tail of stdout (round 1: a 2000-char
+window sliced the 118-query JSON mid-line and parsing failed), so the
+final line carries the headline-subset timings only and MUST stay well
+under that window; the full per-query sweep is written to
+``BENCH_FULL.json`` next to this script and echoed to stderr.
 
 Each query executes to completion through the noop sink (full plan runs,
 no driver-side collect cost skewing the number).
@@ -77,17 +84,34 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+    print(json.dumps(full), file=sys.stderr, flush=True)
+
+    # Final stdout line: headline subset only — keeps the line far below
+    # the consumer's stdout-tail window so it always parses.
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: timings[n] for n in HEADLINE if n in timings},
+        "sf": sf,
+        "n_queries": len(timings),
+        "full_timings_file": "BENCH_FULL.json",
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1500, f"final bench line too long ({len(line)} chars)"
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
