@@ -82,26 +82,35 @@ def table_checksum(df: DataFrame, canonical_cols: list[Column]) -> DataFrame:
     )
 
 
-def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+def profile_columns(
+    df: DataFrame, cols: list[str], approx: bool = False
+) -> DataFrame:
     """Column-level statistics profile (the ANALYZE TABLE step): one output
-    row per profiled column with null count, exact distinct count, and
-    typed min/max rendered as strings (typed comparison first, THEN cast —
-    a lexicographic min over stringified numbers would be wrong).
+    row per profiled column with null count, distinct count, and typed
+    min/max rendered as strings (typed comparison first, THEN cast — a
+    lexicographic min over stringified numbers would be wrong).
 
     Single scan: all per-column aggregates run in one hash-aggregate pass;
     the wide 1-row result is unpivoted to long form with ``stack`` (a
     projection, not a shuffle). Exact ``countDistinct`` over k columns
-    expands the input k-way — acceptable for a profiling pass; at 100 TB
-    swap in ``approx_count_distinct`` (documented trade: the oracle needs
-    exact).
+    EXPANDS the input k-way (one Expand row per profiled column per input
+    row); ``approx=True`` swaps in HyperLogLog++
+    ``approx_count_distinct`` (rsd 2%) — no Expand, constant sketch
+    memory per column, the 100 TB mode. The DuckDB oracle needs exact,
+    so ``approx`` defaults off.
     """
     from pyspark.sql import functions as F
 
+    nd = (
+        (lambda c: F.approx_count_distinct(c, rsd=0.02))
+        if approx
+        else F.countDistinct
+    )
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
             F.count(c).alias(f"{c}__nn"),
-            F.countDistinct(c).alias(f"{c}__nd"),
+            nd(c).alias(f"{c}__nd"),
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]

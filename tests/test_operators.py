@@ -498,3 +498,31 @@ def test_compact_binpacks_small_files(spark, tmp_path):
     a = spark.read.parquet(src).orderBy("id").collect()
     b = spark.read.parquet(dest).orderBy("id").collect()
     assert a == b
+
+
+def test_profile_columns_approx_within_5pct(spark):
+    """approx=True (HyperLogLog++, rsd 2%) stays within 5% of the exact
+    distinct counts and drops the k-way Expand from the plan — the 100 TB
+    profiling mode."""
+    from daily_top_songs_etl_spark.operators.validate import profile_columns
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    cols = ["l_shipdate", "l_returnflag", "l_orderkey"]
+    exact = {
+        r.column_name: r.n_distinct
+        for r in profile_columns(li, cols).collect()
+    }
+    approx_df = profile_columns(li, cols, approx=True)
+    approx = {r.column_name: r.n_distinct for r in approx_df.collect()}
+    for c in cols:
+        assert abs(approx[c] - exact[c]) <= 0.05 * exact[c], (
+            c, approx[c], exact[c],
+        )
+    # the scale win: no Expand operator (exact countDistinct over k
+    # columns expands each input row k ways)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    exact_plan = (
+        profile_columns(li, cols)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in exact_plan

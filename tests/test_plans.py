@@ -299,3 +299,80 @@ def test_window_rank_family_single_window_operator(spark):
         if l.strip().startswith("(") and "Exchange" in l
     )
     assert n_exchanges == 1
+
+
+def test_flagship_delta_view_single_window_shuffle_sf01(spark, tmp_path):
+    """The flagship delta view over an sf0.1 events-derived ranking table:
+    ONE hashpartitioning Exchange (the (source,isrc) window — the
+    reference's composite-index analogue, create_schema_behavior.sql:10-12),
+    dims broadcast, and the ranking scan pruned to consumed columns. The
+    trailing rangepartitioning Exchange is the view's presentation sort.
+    """
+    from pyspark.sql import functions as F
+
+    from daily_top_songs_etl_spark.operators.topk import top_k_per_group
+    from daily_top_songs_etl_spark.plans.views import (
+        all_rankings_with_delta_view,
+    )
+
+    events = entrymod._t(spark, "/root/testdata/sf0.1", "events")
+    daily = events.groupBy(
+        F.to_date("ts").alias("ranking_date"), "user_id"
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("spend"))
+    chart = (
+        top_k_per_group(
+            daily,
+            ["ranking_date"],
+            [F.col("spend").desc(), F.col("user_id")],
+            10,
+        )
+        .select(
+            "ranking_date",
+            F.lit("Spotify").alias("ranking_source"),
+            F.format_string("US%010d", "user_id").alias("isrc"),
+            "rank",
+            F.lit("x").alias("unused_wide_col"),
+        )
+    )
+    root = str(tmp_path / "ranking")
+    chart.write.partitionBy("ranking_date").parquet(root)
+    ranking = spark.read.parquet(root)
+
+    # Dims are independent tables in the real catalog; materialize them so
+    # their derivation doesn't leak shuffles into the view plan under test.
+    ranking.select("isrc").distinct().select(
+        "isrc",
+        F.concat(F.lit("song-"), "isrc").alias("song_name"),
+        F.concat(F.lit("https://open.spotify.com/track/"), "isrc").alias(
+            "spotify_url"
+        ),
+        F.lit(None).cast("string").alias("apple_music_url"),
+    ).coalesce(1).write.parquet(str(tmp_path / "song"))
+    song = spark.read.parquet(str(tmp_path / "song"))
+    artist = spark.createDataFrame(
+        [(1, "a")], "artist_id long, artist_name string"
+    )
+    song.select(F.lit(1).alias("artist_id"), "isrc").coalesce(1).write.parquet(
+        str(tmp_path / "amap")
+    )
+    amap = spark.read.parquet(str(tmp_path / "amap"))
+
+    view = all_rankings_with_delta_view(ranking, artist, song, amap)
+    plan = view._jdf.queryExecution().executedPlan().toString()
+
+    hash_ex = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    # Fact side: exactly ONE shuffle — the (source, isrc) window. The only
+    # other hash exchange allowed is song_info's groupBy over the tiny
+    # artist bridge table (dim-bounded, documented in functions/song_info).
+    fact_ex = [l for l in hash_ex if "ranking_source" in l]
+    assert len(fact_ex) == 1, hash_ex
+    assert len(hash_ex) <= 2, hash_ex
+    assert plan.count("BroadcastHashJoin") >= 2  # urls + song_info dims
+    read = next(
+        l for l in plan.splitlines()
+        if "ReadSchema" in l and "isrc" in l and "rank" in l
+    )
+    assert "unused_wide_col" not in read  # column pruning reached the scan
+    assert len(view.take(5)) == 5
