@@ -25,6 +25,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import schemas
 
@@ -115,6 +116,59 @@ class Catalog:
         if table in PARTITIONED:
             writer = writer.partitionBy(*PARTITIONED[table])
         writer.parquet(p)
+
+    def overwrite_partitions(
+        self, df: DataFrame, table: str, touched: list
+    ) -> None:
+        """Touched-partition-only snapshot: the new version directory
+        hardlinks every UNTOUCHED partition's files from the current
+        snapshot (byte-identical, zero data movement — pruning the old
+        version later only unlinks names, the shared inodes survive) and
+        writes only the partitions in ``touched`` fresh. This is the
+        100 TB merge shape: a daily micro-batch rewrites one date
+        partition, not the table. On an object store the same contract is
+        met by manifest reuse (Iceberg/Delta) instead of hardlinks.
+
+        ``df`` must contain only rows whose partition value is in
+        ``touched`` — enforced, because a stray row would silently land in
+        a partition that was also hardlinked.
+        """
+        part_cols = PARTITIONED.get(table)
+        if not part_cols:
+            raise ValueError(f"{table} is not partitioned")
+        cur = self.path(table)
+        if cur is None:
+            self.write(df, table)
+            return
+        pcol = part_cols[0]
+        touched_dirs = {f"{pcol}={v}" for v in touched}
+        stray = df.filter(~F.col(pcol).isin(list(touched))).limit(1).count()
+        if stray:
+            raise ValueError(f"df contains partitions outside touched={touched}")
+        tdir = self._table_dir(table)
+        new_v = (self.current_version(table) or 0) + 1
+        target = os.path.join(tdir, f"v={new_v}")
+        os.makedirs(target)
+        for entry in os.listdir(cur):
+            src = os.path.join(cur, entry)
+            if (
+                entry.startswith(f"{pcol}=")
+                and entry not in touched_dirs
+                and os.path.isdir(src)
+            ):
+                dst = os.path.join(target, entry)
+                os.makedirs(dst)
+                for fname in os.listdir(src):
+                    if not fname.startswith("_"):
+                        os.link(
+                            os.path.join(src, fname), os.path.join(dst, fname)
+                        )
+        df.write.mode("append").partitionBy(*part_cols).parquet(target)
+        tmp = self._pointer(table) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(new_v))
+        os.replace(tmp, self._pointer(table))
+        self._prune(table, new_v)
 
     def _prune(self, table: str, newest: int) -> None:
         tdir = self._table_dir(table)

@@ -112,6 +112,47 @@ def merge_patch(
     )
 
 
+def merge_touched_partitions(
+    catalog,
+    table: str,
+    batch: DataFrame,
+    key: list[str],
+    patch_col: str | None = None,
+    priority: list[Column] | None = None,
+) -> DataFrame:
+    """Partition-scoped merge: rewrite ONLY the partitions the batch
+    touches (the 100 TB form of K1/K2 — ``operators/upsert.py`` merges
+    were documented as full-table rewrites; this makes the
+    partition-pruned answer code, not a comment).
+
+    Steps: (1) the batch's distinct partition values are collected —
+    driver-side metadata bounded by touched days, not data rows; (2) the
+    existing table is filtered with ``isin`` over those literals, which
+    Catalyst turns into partition pruning (only touched partitions are
+    scanned); (3) K2 NULL-fill patch (``patch_col``) or K1 ON CONFLICT DO
+    NOTHING (default) runs against that slice; (4)
+    ``Catalog.overwrite_partitions`` snapshots untouched partitions via
+    hardlink and writes only the touched ones.
+
+    Returns the new state of the touched partitions (post-merge slice).
+    """
+    from ..catalog import PARTITIONED
+
+    pcol = PARTITIONED[table][0]
+    touched = [
+        r[0] for r in batch.select(pcol).distinct().collect()
+    ]  # bounded: one value per touched partition
+    if not touched:
+        return catalog.read(table).limit(0)
+    slice_ = catalog.read(table).filter(F.col(pcol).isin(touched))
+    if patch_col is None:
+        merged = upsert(slice_, batch, key, priority).table
+    else:
+        merged = merge_patch(slice_, batch, key, patch_col).drop("__patched")
+    catalog.overwrite_partitions(merged, table, touched)
+    return catalog.read(table).filter(F.col(pcol).isin(touched))
+
+
 def merge_song(existing: DataFrame, batch: DataFrame) -> MergeSongResult:
     """The song-table merge (``etl_pipeline.py:622-742``):
 

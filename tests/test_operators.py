@@ -526,3 +526,71 @@ def test_profile_columns_approx_within_5pct(spark):
         profile_columns(li, cols)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Expand" in exact_plan
+
+
+def test_merge_touched_partitions_leaves_others_byte_identical(spark, tmp_path):
+    """Partition-scoped K1 merge: only the batch's date partitions are
+    rewritten; every other partition's data files are byte-identical
+    (hardlink-shared with the previous snapshot)."""
+    import datetime as dt
+    import glob
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.operators.upsert import (
+        merge_touched_partitions,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    d1, d2, d3 = (dt.date(2026, 8, i) for i in (1, 2, 3))
+    rows = [
+        (f"US{d.day:02d}{r:08d}", d, r, src)
+        for d in (d1, d2, d3)
+        for src in ("Spotify", "Apple Music")
+        for r in range(1, 11)
+    ]
+    ranking = spark.createDataFrame(
+        rows, "isrc string, ranking_date date, rank int, ranking_source string"
+    )
+    cat.write(ranking, "ranking")
+
+    def file_hashes(version_dir, day):
+        out = {}
+        for p in sorted(
+            glob.glob(f"{version_dir}/ranking_date={day}/*.parquet")
+        ):
+            with open(p, "rb") as fh:
+                out[p.split("/")[-1]] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    v1 = cat.path("ranking")
+    before = {d: file_hashes(v1, d.isoformat()) for d in (d1, d3)}
+
+    # batch: replaces/extends day 2 only — 5 conflicting keys + 5 new
+    batch = spark.createDataFrame(
+        [(f"US02{r:08d}", d2, r, "Spotify") for r in range(1, 6)]
+        + [(f"NEW{r:08d}", d2, r, "Tidal") for r in range(1, 6)],
+        "isrc string, ranking_date date, rank int, ranking_source string",
+    )
+    out = merge_touched_partitions(
+        cat, "ranking", batch, ["isrc", "ranking_date", "ranking_source"]
+    )
+    assert out.count() == 25  # 20 existing day-2 rows + 5 new Tidal rows
+
+    v2 = cat.path("ranking")
+    assert v2 != v1
+    after = {d: file_hashes(v2, d.isoformat()) for d in (d1, d3)}
+    assert before == after  # untouched partitions byte-identical
+    # and the whole-table contents equal a from-scratch full merge
+    full = cat.read("ranking")
+    assert full.count() == 65
+    # ON CONFLICT DO NOTHING: conflicting day-2 Spotify keys kept old rows
+    assert (
+        full.filter(
+            (F.col("ranking_date") == d2)
+            & (F.col("ranking_source") == "Spotify")
+        ).count()
+        == 10
+    )
