@@ -245,3 +245,72 @@ def test_scd2_invariants_under_random_batches(spark, data, n_batches):
             state, updates, ["k"], ["name", "bal"], dt.date(2025, 1, 1)
         )
         assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=st.lists(daily_batch(), min_size=2, max_size=4))
+def test_multi_day_replay_matches_reference_model(
+    spark, tmp_path_factory, batches
+):
+    """Randomized multi-day replay vs a from-scratch pure-Python model of
+    the reference's semantics (ON CONFLICT DO NOTHING inserts, per-batch
+    T1 purge keyed on the max *inserted* date, T2/T3 set-level GC). The
+    pipeline's final table identities must equal the model's — batch
+    count, ordering, and purge interleaving included."""
+    wh = str(tmp_path_factory.mktemp("pbt_replay_wh"))
+    cat = Catalog(spark, wh)
+
+    m_artists: set[str] = set()
+    m_songs: set[str] = set()
+    m_map: set[tuple[str, str]] = set()
+    m_ranking: dict[tuple[str, dt.date, str], int] = {}
+
+    for rows in batches:
+        df = spark.createDataFrame(rows, LANDING_SCHEMA)
+        run_daily_batch(cat, df)
+
+        # model: wave 1+2 inserts
+        for (pos, src, isrc, artists, *_rest, day) in rows:
+            m_songs.add(isrc)
+            for a in artists:
+                m_artists.add(a["artist_id"])
+                m_map.add((a["artist_id"], isrc))
+        inserted_days = []
+        for (pos, src, isrc, *_rest, day) in rows:
+            k = (isrc, day, src)
+            if k not in m_ranking:
+                m_ranking[k] = pos + 1
+                inserted_days.append(day)
+        # model: T1 purge at the batch's max INSERTED date, using Spark's
+        # own add_months semantics for the 1-year cutoff
+        if inserted_days:
+            wm = max(inserted_days)
+            cutoff = spark.sql(
+                f"SELECT add_months(date'{wm.isoformat()}', -12)"
+            ).first()[0]
+            m_ranking = {
+                k: v for k, v in m_ranking.items() if k[1] > cutoff
+            }
+        # model: T2 song GC -> FK cascade -> T3 artist GC
+        referenced = {k[0] for k in m_ranking}
+        m_songs &= referenced
+        m_map = {(a, i) for (a, i) in m_map if i in m_songs}
+        m_artists = {a for (a, _i) in m_map}
+
+    got_artists = {r.artist_id for r in cat.read("artist").collect()}
+    got_songs = {r.isrc for r in cat.read("song").collect()}
+    got_map = {
+        (r.artist_id, r.isrc) for r in cat.read("artist_song_map").collect()
+    }
+    got_ranking = {
+        (r.isrc, r.ranking_date, r.ranking_source): r.rank
+        for r in cat.read("ranking").collect()
+    }
+    assert got_artists == m_artists
+    assert got_songs == m_songs
+    assert got_map == m_map
+    assert got_ranking == m_ranking
