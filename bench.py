@@ -65,6 +65,16 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").write.mode("overwrite").format(
         "noop"
     ).save()
+    # Warm the Arrow Python-runner path (worker pool spawn + pandas/pyarrow
+    # import + Arrow codec init costs seconds ONCE per session; without
+    # this the first mapInPandas query is charged session setup, not its
+    # own work).
+    def _identity(batches):
+        yield from batches
+
+    spark.range(64).repartition(8).mapInPandas(
+        _identity, "id long"
+    ).write.mode("overwrite").format("noop").save()
     for tbl in (
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings",

@@ -107,6 +107,15 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                 }
             )
 
+    # The Python kernel is the per-core bottleneck: if the scan arrives
+    # under-partitioned (small corpus = few files), fan out to the session
+    # default parallelism so every core hosts a worker. At scale the scan
+    # already has >= parallelism partitions and this is a no-op (no
+    # shuffle is ever added for the big-corpus case).
+    sc = media.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if media.rdd.getNumPartitions() < target:
+        media = media.repartition(target)
     return media.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
