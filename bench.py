@@ -72,9 +72,11 @@ def main() -> None:
     def _identity(batches):
         yield from batches
 
-    spark.range(64).repartition(8).mapInPandas(
-        _identity, "id long"
-    ).write.mode("overwrite").format("noop").save()
+    spark.range(1024).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(_identity, "id long").write.mode("overwrite").format(
+        "noop"
+    ).save()
     for tbl in (
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings",

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def global_row_number(
@@ -34,12 +35,20 @@ def global_row_number(
     order: list[Column],
     out_col: str = "rn",
     num_partitions: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Append an exact 1-based global row number under a total order.
 
     ``order`` must define a total order (include a unique tie-break key);
     equal-key rows could otherwise straddle a range boundary and the
     between-partition guarantee would not pin their relative numbers.
+
+    The ranged relation feeds TWO actions (the per-partition count pass
+    and the numbered output); Spark does not reuse an exchange across
+    separate queries, so without ``persist`` the range shuffle runs
+    twice. MEMORY_AND_DISK persistence costs one materialization — the
+    same disk traffic the second shuffle would have paid — and halves
+    the job. Callers doing their own caching can pass ``persist=False``.
     """
     if not order:
         raise ValueError("order must contain at least one column")
@@ -49,6 +58,8 @@ def global_row_number(
         else df.repartitionByRange(*order)
     )
     with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    if persist:
+        with_pid = with_pid.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     rows = sorted((r["__pid"], r["__n"]) for r in sizes.collect())
     offsets, acc = [], 0
