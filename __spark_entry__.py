@@ -655,6 +655,63 @@ WHERE round(CAST(n_common AS DOUBLE)
 """
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span fraction (exact-substring-dedup signal,
+    Lee et al. ACL'22): distinct shingles shared with ≥1 other doc."""
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        duplicated_span_stats,
+    )
+
+    return duplicated_span_stats(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_SPANS = f"""{_SQL_SHINGLES}
+, freq AS (
+  SELECT shingle, count(DISTINCT doc_id) AS n_docs FROM sh GROUP BY 1
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared_spans,
+       round(CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS shared_ratio
+FROM sh s JOIN freq f USING (shingle)
+GROUP BY 1
+"""
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document, rounded-before-rank tie-break."""
+    from daily_top_songs_etl_spark.extensions.text import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
+ORACLE_TFIDF_TOPK = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, term, tf, df,
+         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, CAST(rk AS INTEGER) AS rk
+FROM rk WHERE rk <= 3
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daily_top_songs_etl_spark.extensions.dedup import simhash
 
@@ -4444,6 +4501,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_language_id": q_text_language_id,
     "text_quality": q_text_quality,
     "dedup_exact": q_dedup_exact,
+    "dedup_spans": q_dedup_spans,
+    "tfidf_topk": q_tfidf_topk,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
@@ -4559,6 +4618,8 @@ _ORACLES: dict[str, str] = {
     "text_language_id": ORACLE_TEXT_LANGUAGE_ID,
     "text_quality": ORACLE_TEXT_QUALITY,
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_spans": ORACLE_DEDUP_SPANS,
+    "tfidf_topk": ORACLE_TFIDF_TOPK,
     "dedup_minhash_pairs": ORACLE_DEDUP_MINHASH,
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,

@@ -75,6 +75,41 @@ def _shingled(documents: DataFrame) -> DataFrame:
     )
 
 
+def duplicated_span_stats(documents: DataFrame) -> DataFrame:
+    """Per-document duplicated-span fraction — the corpus-level
+    exact-substring-dedup signal (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL'22, §3: spans occurring in
+    more than one document are cut): for each doc, how many of its
+    distinct shingles occur in at least one OTHER document, and the
+    ratio. Pipelines threshold the ratio to route docs to span-cutting.
+
+    Scale shape: O(corpus shingles), never O(pairs) — a groupBy on the
+    8-byte shingle hash counts distinct docs per shingle (two-phase agg),
+    joins back on the same hash key (exchange reuse: both sides are
+    already partitioned by ``sh``), and re-aggregates per doc. Docs with
+    fewer than 3 tokens have no shingles and produce no row (strict —
+    same rule as the SQL oracle).
+    """
+    keyed = _shingled(documents).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    )
+    freq = keyed.groupBy("sh").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    shared = (F.col("n_docs") >= 2).cast("int")
+    return (
+        keyed.join(freq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(shared).cast("bigint").alias("n_shared_spans"),
+            F.round(
+                F.sum(shared).cast("double") / F.count(F.lit(1)), 6
+            ).alias("shared_ratio"),
+        )
+    )
+
+
 def minhash_signatures(documents: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """MinHash signature per document.
 

@@ -261,6 +261,50 @@ def quality_gate(documents: DataFrame) -> DataFrame:
     )
 
 
+def tfidf_topk(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic salient-term /
+    keyword-extraction pass (corpus indexing, topic tagging, quality
+    filtering by term informativeness).
+
+    tfidf = tf · ln(N / df), rounded to 6 places BEFORE ranking so the
+    (tfidf DESC, term ASC) tie-break is engine-portable.
+
+    Scale shape: tf is a (doc, term) two-phase hash agg; df re-aggregates
+    the tf relation by term, so the df join reuses the term-partitioned
+    exchange (no extra fact shuffle); the corpus size N is a one-row
+    broadcast. The vocabulary is NOT assumed broadcast-sized (web-scale
+    vocabularies aren't) — the tf⋈df join shuffles on term; AQE may
+    downgrade it to broadcast when the vocab is small. Top-k per doc is a
+    WindowGroupLimit, not a global sort.
+    """
+    tok = documents.select("doc_id", F.explode(tokens()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+    )
+
+
 def sample_stratified(
     documents: DataFrame,
     stratum_col: str = "lang",

@@ -574,3 +574,50 @@ def test_vocab_encode_round_trip(spark):
     small = build_vocab(docs, vocab_size=2)
     enc2 = {r.doc_id: r for r in encode_documents(docs, small).collect()}
     assert enc2[1].token_ids == "1 2 1 0 1 2" and enc2[1].n_oov == 1
+
+
+def test_duplicated_span_stats_planted(spark):
+    from pyspark.sql import functions as F
+
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        duplicated_span_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # clone of 2
+            (2, "the quick brown fox jumps"),
+            (3, "entirely different words here"),
+            (4, "xy"),                            # < 3 tokens: no shingles
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in duplicated_span_stats(docs).collect()}
+    assert set(out) == {1, 2, 3}  # doc 4 emits no row
+    assert out[1].shared_ratio == 1.0 and out[2].shared_ratio == 1.0
+    assert out[3].shared_ratio == 0.0
+    assert out[1].n_spans == 3  # 5 tokens -> 3 distinct 3-gram shingles
+
+
+def test_tfidf_topk_hand_computed(spark):
+    import math
+
+    from daily_top_songs_etl_spark.extensions.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {(r.doc_id, r.term): r for r in tfidf_topk(docs, k=2).collect()}
+    # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    assert out[(1, "apple")].rk == 1
+    assert abs(out[(1, "apple")].tfidf - round(2 * math.log(3), 6)) < 1e-9
+    assert out[(1, "banana")].rk == 2
+    # doc 3: cherry tf=3 df=2 -> 3*ln(1.5)=1.216...; durian tf=1 df=1 -> ln(3)
+    assert out[(3, "cherry")].rk == 1
+    assert out[(3, "durian")].rk == 2
+    assert abs(out[(3, "durian")].tfidf - round(math.log(3), 6)) < 1e-9
