@@ -376,3 +376,36 @@ def test_flagship_delta_view_single_window_shuffle_sf01(spark, tmp_path):
     )
     assert "unused_wide_col" not in read  # column pruning reached the scan
     assert len(view.take(5)) == 5
+
+
+def test_catalog_date_filter_prunes_partitions(spark, tmp_path):
+    """A date-pinned read of the partitioned fact table must prune at the
+    source: the scan's PartitionFilters carry the date predicate (the
+    reference's index-scan analogue), so a one-day query touches one
+    partition directory regardless of table history size."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    rows = [
+        (f"US{d:02d}{r:04d}", dt.date(2026, 8, d), r, "Spotify")
+        for d in (1, 2, 3)
+        for r in range(1, 11)
+    ]
+    cat.write(
+        spark.createDataFrame(
+            rows,
+            "isrc string, ranking_date date, rank int, ranking_source string",
+        ),
+        "ranking",
+    )
+    pinned = cat.read("ranking").filter(
+        F.col("ranking_date") == dt.date(2026, 8, 2)
+    )
+    plan = pinned._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "ranking_date" in scan.split("PartitionFilters", 1)[1].split("]")[0]
+    assert pinned.count() == 10
