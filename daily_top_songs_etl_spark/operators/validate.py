@@ -90,15 +90,19 @@ def profile_columns(
     min/max rendered as strings (typed comparison first, THEN cast — a
     lexicographic min over stringified numbers would be wrong).
 
-    Single scan: all per-column aggregates run in one hash-aggregate pass;
-    the wide 1-row result is unpivoted to long form with ``stack`` (a
-    projection, not a shuffle). Exact ``countDistinct`` over k columns
-    EXPANDS the input k-way (one Expand row per profiled column per input
-    row); ``approx=True`` swaps in HyperLogLog++
-    ``approx_count_distinct`` (rsd 2%) — no Expand, constant sketch
-    memory per column, the 100 TB mode. The DuckDB oracle needs exact,
-    so ``approx`` defaults off.
+    One aggregate branch PER COLUMN, unioned: each branch's parquet scan
+    prunes to exactly its own column, and a single-distinct aggregate
+    plans as an ordinary two-phase partial-distinct hash agg — no Expand.
+    (The one-pass all-columns form needs multi-distinct, which Expands
+    the input k-way: one duplicated row per profiled column per input
+    row — strictly more I/O than k slim column scans on a columnar
+    store.) ``approx=True`` swaps in HyperLogLog++
+    ``approx_count_distinct`` (rsd 2%) — constant sketch memory, no
+    distinct shuffle at all, the 100 TB mode. The DuckDB oracle needs
+    exact, so ``approx`` defaults off.
     """
+    from functools import reduce
+
     from pyspark.sql import functions as F
 
     nd = (
@@ -106,27 +110,21 @@ def profile_columns(
         if approx
         else F.countDistinct
     )
-    aggs = [F.count(F.lit(1)).alias("__n")]
+    parts = []
     for c in cols:
-        aggs += [
-            F.count(c).alias(f"{c}__nn"),
-            nd(c).alias(f"{c}__nd"),
-            F.min(c).cast("string").alias(f"{c}__min"),
-            F.max(c).cast("string").alias(f"{c}__max"),
-        ]
-    wide = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', `{c}__nn`, `{c}__nd`, `{c}__min`, `{c}__max`" for c in cols
-    )
-    return wide.selectExpr(
-        "__n",
-        f"stack({len(cols)}, {stack_args}) as "
-        "(column_name, n_non_null, n_distinct, min_value, max_value)",
-    ).select(
-        "column_name",
-        F.col("__n").cast("bigint").alias("n_rows"),
-        (F.col("__n") - F.col("n_non_null")).cast("bigint").alias("n_nulls"),
-        F.col("n_distinct").cast("bigint").alias("n_distinct"),
-        "min_value",
-        "max_value",
-    )
+        one = df.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count(c).alias("__nn"),
+            nd(c).alias("__nd"),
+            F.min(c).cast("string").alias("min_value"),
+            F.max(c).cast("string").alias("max_value"),
+        ).select(
+            F.lit(c).alias("column_name"),
+            F.col("__n").cast("bigint").alias("n_rows"),
+            (F.col("__n") - F.col("__nn")).cast("bigint").alias("n_nulls"),
+            F.col("__nd").cast("bigint").alias("n_distinct"),
+            "min_value",
+            "max_value",
+        )
+        parts.append(one)
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -518,14 +518,20 @@ def test_profile_columns_approx_within_5pct(spark):
         assert abs(approx[c] - exact[c]) <= 0.05 * exact[c], (
             c, approx[c], exact[c],
         )
-    # the scale win: no Expand operator (exact countDistinct over k
-    # columns expands each input row k ways)
-    plan = approx_df._jdf.queryExecution().executedPlan().toString()
-    assert "Expand" not in plan
+    # the per-column-branch form never Expands (multi-distinct in one
+    # pass would duplicate every input row k ways), and each branch's
+    # scan prunes to its own column
+    for mode_df in (approx_df, profile_columns(li, cols)):
+        plan = mode_df._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" not in plan
     exact_plan = (
         profile_columns(li, cols)._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Expand" in exact_plan
+    assert exact_plan.count("ReadSchema") == len(cols)
+    for line in exact_plan.splitlines():
+        if "ReadSchema" in line:
+            schema = line.rsplit("ReadSchema: struct<", 1)[1]
+            assert schema.count(":") == 1, line  # one column per scan
 
 
 def test_merge_touched_partitions_leaves_others_byte_identical(spark, tmp_path):
