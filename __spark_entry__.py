@@ -3550,12 +3550,22 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return scd2_apply(
+    out = scd2_apply(
         current,
         updates,
         key=["custkey"],
         attrs=["c_name", "c_acctbal"],
         batch_date="2024-06-01",
+    )
+    # valid_from/valid_to as ISO strings: a nullable DATE column reaches
+    # pandas as None (Spark, object dtype) vs NaT (DuckDB, datetime64) —
+    # string-typed on BOTH sides, NULL is None in both engines.
+    return out.select(
+        "custkey",
+        "c_name",
+        "c_acctbal",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.col("valid_to").cast("string").alias("valid_to"),
     )
 
 
@@ -3585,6 +3595,7 @@ same AS (
   WHERE o.c_name IS NOT DISTINCT FROM u.c_name
     AND o.c_acctbal IS NOT DISTINCT FROM u.c_acctbal
 )
+, unioned AS (
 SELECT * FROM closed_rows
 UNION ALL
 -- open rows with no update, or an identical update: survive open
@@ -3604,6 +3615,11 @@ SELECT u.custkey, u.c_name, u.c_acctbal,
        DATE '2024-06-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
 FROM upd u
 WHERE u.custkey NOT IN (SELECT custkey FROM same)
+)
+SELECT custkey, c_name, c_acctbal,
+       CAST(valid_from AS VARCHAR) AS valid_from,
+       CAST(valid_to AS VARCHAR) AS valid_to
+FROM unioned
 """
 
 
@@ -3718,19 +3734,24 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
         F.col("o_orderpriority"),
     ]
-    return table_checksum(orders, cols)
+    # checksum as digits-string: DECIMAL(38,0) survives Spark's pandas
+    # conversion as an exact Decimal but DuckDB's as a lossy float64.
+    return table_checksum(orders, cols).select(
+        "row_count",
+        F.col("content_checksum").cast("string").alias("content_checksum"),
+    )
 
 
 ORACLE_TABLE_CHECKSUM = """
 SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
-       CAST(SUM(CAST(CONCAT('0x', substr(md5(concat_ws('|',
+       CAST(CAST(SUM(CAST(CONCAT('0x', substr(md5(concat_ws('|',
              CAST(o_orderkey AS VARCHAR),
              CAST(o_custkey AS VARCHAR),
              o_orderstatus,
              CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
              strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
              o_orderpriority)), 1, 15)) AS BIGINT))
-            AS DECIMAL(38,0)) AS content_checksum
+            AS DECIMAL(38,0)) AS VARCHAR) AS content_checksum
 FROM orders
 """
 
@@ -3869,7 +3890,7 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", "ts").cast("date").alias("month"),
         F.col("value"),
     )
-    return d.groupingSets(
+    rolled = d.groupingSets(
         [[F.col("day"), F.col("month")], [F.col("month")]], "day", "month"
     ).agg(
         F.grouping_id().cast("bigint").alias("gid"),
@@ -3877,6 +3898,16 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,6)"))
         .cast("double")
         .alias("sum_value"),
+    )
+    # day is NULL on month-grain rows: emit both grains as ISO strings so
+    # the nullable date reaches pandas as None on both engines (Spark
+    # object-None vs DuckDB datetime64-NaT otherwise).
+    return rolled.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("month").cast("string").alias("month"),
+        "gid",
+        "n_events",
+        "sum_value",
     )
 
 
@@ -3887,7 +3918,7 @@ WITH d AS (
          value
   FROM events
 )
-SELECT day, month,
+SELECT CAST(day AS VARCHAR) AS day, CAST(month AS VARCHAR) AS month,
        CAST(GROUPING(day, month) AS BIGINT) AS gid,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
