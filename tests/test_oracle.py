@@ -86,6 +86,22 @@ def test_query_matches_oracle(spark, duck, name):
     mism = [(a, b) for a, b in zip(sm, dm) if a != b]
     assert not mism, f"{name}: {len(mism)} value mismatches; first: {mism[:3]}"
 
+    # Second face: the PANDAS conversion path an external harness uses
+    # (toPandas vs duckdb .df() + string formatting). This catches
+    # representation hazards the native-row compare above structurally
+    # cannot: nullable DATE → object-None (Spark) vs datetime64-NaT
+    # (DuckDB), DECIMAL(38,0) → exact Decimal vs lossy float64, etc.
+    spdf = sdf.toPandas().reindex(sorted(scols), axis=1)
+    dpdf = duck.execute(sql).df().reindex(sorted(dcols), axis=1)
+    sset = sorted("|".join(r) for r in spdf.astype(str).values.tolist())
+    dset = sorted("|".join(r) for r in dpdf.astype(str).values.tolist())
+    pmism = [(a, b) for a, b in zip(sset, dset) if a != b]
+    assert not pmism, (
+        f"{name}: pandas-path mismatch "
+        f"(dtypes spark={dict(spdf.dtypes.astype(str))} "
+        f"duck={dict(dpdf.dtypes.astype(str))}); first: {pmism[:2]}"
+    )
+
 
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
