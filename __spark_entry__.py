@@ -4499,6 +4499,205 @@ GROUP BY p_brand, p_type, p_size
 
 
 # --------------------------------------------------------------------------
+# Data-mixture operators: domain-weighted sampling, linear quality model,
+# PMI collocations (extensions/mixture.py)
+# --------------------------------------------------------------------------
+_MIXTURE_RATES = {"en": 0.25, "zh": 0.75}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling to a target mixture
+    (en→25%, zh→75%, everything else kept): broadcast rates join + the
+    engine-portable md5-bucket filter — no corpus shuffle, no RNG."""
+    from daily_top_songs_etl_spark.extensions.mixture import mixture_sample
+
+    return mixture_sample(
+        _t(spark, sf_dir, "documents"), _MIXTURE_RATES, domain_col="lang"
+    )
+
+
+ORACLE_MIXTURE_SAMPLE = """
+WITH h AS (
+  SELECT lang, doc_id, text, source, n_chars,
+         CAST((instr('0123456789abcdef',
+                     substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef',
+                       substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+              AS INTEGER) AS hash_bucket
+  FROM documents
+)
+SELECT * FROM h
+WHERE hash_bucket < CASE lang WHEN 'en' THEN 64 WHEN 'zh' THEN 192
+                    ELSE 256 END
+"""
+
+
+def q_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-model margin over exact-integer-derived features
+    (classifier-filter pattern; raw margin, not sigmoid — exp() rounding
+    is engine-specific, fixed-order double multiply/add is not)."""
+    from daily_top_songs_etl_spark.extensions.mixture import linear_quality_score
+
+    return linear_quality_score(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_QUALITY_LINEAR = rf"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+             AS n_punct
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         CAST(len(t) AS INTEGER) AS n_tokens,
+         CAST(len(t) AS DOUBLE) / 100.0 AS x0,
+         CAST(len(list_filter(t, w -> list_contains({_STOPLIST_SQL}, w)))
+              AS DOUBLE) / CAST(len(t) AS DOUBLE) AS x1,
+         CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS x2,
+         (CAST(n_chars - len(t) + 1 AS DOUBLE) / CAST(len(t) AS DOUBLE))
+             / 10.0 AS x3
+  FROM tok
+)
+SELECT doc_id, n_tokens,
+       round(0.35 * x0 + 2.0 * x1 + -4.0 * x2 + -0.8 * x3 + -0.15, 6)
+           AS quality_margin,
+       (0.35 * x0 + 2.0 * x1 + -4.0 * x2 + -0.8 * x3 + -0.15) > 0 AS keep
+FROM f
+"""
+
+
+def q_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by PMI ratio (rounded-before-rank,
+    log-free monotone form; term-keyed shuffle joins, one-row broadcast
+    totals)."""
+    from daily_top_songs_etl_spark.extensions.mixture import pmi_topk
+
+    return pmi_topk(_t(spark, sf_dir, "documents"), k=20, min_count=5)
+
+
+ORACLE_PMI_TOPK = r"""
+WITH tok AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+), uni AS (
+  SELECT unnest(t) AS w FROM tok
+), uc AS (
+  SELECT w, count(*) AS c_w FROM uni GROUP BY w
+), bi AS (
+  SELECT unnest(CASE WHEN len(t) >= 2
+      THEN list_transform(generate_series(1, len(t) - 1),
+                          i -> {'w1': t[i], 'w2': t[i + 1]})
+      ELSE [] END) AS p
+  FROM tok
+), bc AS (
+  SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c_xy
+  FROM bi GROUP BY 1, 2 HAVING count(*) >= 5
+), tot AS (
+  SELECT (SELECT count(*) FROM uni) AS n_uni,
+         (SELECT sum(greatest(len(t) - 1, 0)) FROM tok) AS n_bi
+)
+SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+       round((CAST(c_xy AS DOUBLE) / CAST(n_bi AS DOUBLE))
+             * (CAST(n_uni AS DOUBLE) / CAST(cx.c_w AS DOUBLE))
+             * (CAST(n_uni AS DOUBLE) / CAST(cy.c_w AS DOUBLE)), 6)
+           AS pmi_ratio
+FROM bc
+JOIN uc cx ON bc.w1 = cx.w
+JOIN uc cy ON bc.w2 = cy.w
+CROSS JOIN tot
+ORDER BY pmi_ratio DESC, w1, w2
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer: distributed merge training (iterative, like kmeans) and
+# codegen'd encode (extensions/bpe.py)
+# --------------------------------------------------------------------------
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 8 BPE merges from the corpus. Iterative fixpoint (one argmax
+    row to the driver per iteration; pair counting is a distributed
+    explode+groupBy over the vocabulary-sized distinct-word table) — not
+    SQL-expressible, so rows-only like kmeans; unit-tested against a
+    pure-Python BPE reference."""
+    from daily_top_songs_etl_spark.extensions.bpe import bpe_train
+
+    merges, words = bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
+    words.unpersist()
+    rows = [
+        (i + 1, left, right, left + right, freq)
+        for i, (left, right, freq) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "merge_rank int, left string, right string, merged string, pair_freq bigint",
+    )
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document with the fixed merge table: per-word char
+    split + one chained regexp_replace per merge — pure codegen
+    projection, no shuffle, no Python."""
+    from daily_top_songs_etl_spark.extensions.bpe import (
+        FIXED_MERGES,
+        encode_with_merges,
+    )
+
+    return encode_with_merges(_t(spark, sf_dir, "documents"), FIXED_MERGES)
+
+
+def _bpe_chain_sql() -> str:
+    """The DuckDB mirror of extensions.bpe.apply_merges over FIXED_MERGES
+    (RE2 backrefs, double-space separator contract)."""
+    from daily_top_songs_etl_spark.extensions.bpe import FIXED_MERGES
+
+    expr = r"' ' || regexp_replace(w, '(.)', ' \1 ', 'g') || ' '"
+    for left, right in FIXED_MERGES:
+        expr = (
+            f"regexp_replace({expr}, ' {left}  {right} ', ' {left}{right} ', 'g')"
+        )
+    return expr
+
+
+ORACLE_BPE_ENCODE = rf"""
+WITH enc AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(trim(lower(text)), '\s+'),
+                        w -> trim({_bpe_chain_sql()})) AS ew
+  FROM documents
+)
+SELECT doc_id,
+       CAST(list_sum(list_transform(ew,
+                ws -> CASE WHEN ws = '' THEN 0
+                      ELSE len(string_split_regex(ws, '  ')) END))
+            AS BIGINT) AS n_bpe_tokens,
+       substring(array_to_string(ew, ' | '), 1, 80) AS encoded_prefix
+FROM enc
+"""
+
+
+# --------------------------------------------------------------------------
+# Approximate percentile sketch (rows-only: sketch outputs are
+# approximation-bounded, not value-reproducible across engines)
+# --------------------------------------------------------------------------
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group p50/p95/p99 via percentile_approx (KLL-style sketch,
+    mergeable across partitions — the 100 TB path where exact
+    percentile's global sort is off the table). Error bound vs the exact
+    answer is unit-tested; the driver records a rows-only check."""
+    li = _t(spark, sf_dir, "lineitem")
+    pctl = lambda p: F.percentile_approx(  # noqa: E731
+        "l_extendedprice", p, 10000
+    ).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        pctl(0.5).alias("p50_approx"),
+        pctl(0.95).alias("p95_approx"),
+        pctl(0.99).alias("p99_approx"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4615,6 +4814,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "product_type_profit": q_product_type_profit,
     "priority_shipment_counts": q_priority_shipment_counts,
     "part_supplier_counts": q_part_supplier_counts,
+    "mixture_sample": q_mixture_sample,
+    "quality_linear": q_quality_linear,
+    "pmi_topk": q_pmi_topk,
+    "bpe_encode": q_bpe_encode,
+    "bpe_train": q_bpe_train,
+    "approx_percentile": q_approx_percentile,
     # --- registry tail: queries whose internal kernels produce complex
     # (array/struct) types. Their registry outputs are flattened to scalars,
     # but they sit LAST so a canonicalizer incident in an external harness
@@ -4748,6 +4953,10 @@ _ORACLES: dict[str, str] = {
     "product_type_profit": ORACLE_PRODUCT_TYPE_PROFIT,
     "priority_shipment_counts": ORACLE_PRIORITY_SHIPMENT_COUNTS,
     "part_supplier_counts": ORACLE_PART_SUPPLIER_COUNTS,
+    "mixture_sample": ORACLE_MIXTURE_SAMPLE,
+    "quality_linear": ORACLE_QUALITY_LINEAR,
+    "pmi_topk": ORACLE_PMI_TOPK,
+    "bpe_encode": ORACLE_BPE_ENCODE,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and
     # tests/test_extensions bounds its error against the exact count.

@@ -1,0 +1,171 @@
+"""Byte-pair-encoding tokenizer: distributed merge training + codegen
+encode.
+
+The train step is the classic BPE loop (Sennrich et al. 2016, public
+algorithm): represent each distinct word as a space-separated symbol
+sequence, repeatedly find the corpus-frequency-weighted most frequent
+adjacent symbol pair, fuse it, repeat. Like k-means, it is an iterative
+fixpoint the driver must sequence — but each iteration is fully
+distributed (one explode+groupBy over the *distinct-word* table, which is
+vocabulary-sized, not corpus-sized) and only the single argmax row ever
+reaches the driver.
+
+The encode step is pure column expressions: one ``regexp_replace`` per
+learned merge, chained — codegen'd, shuffle-free, linear in corpus size.
+
+Engine-portable merge semantics (no regex lookarounds, so the same
+expression runs on RE2-based engines like DuckDB): symbol sequences are
+rendered with DOUBLE-space separators and a double-space border. Every
+symbol is then flanked by two spaces, so the pattern ``" a  b "`` (one
+space consumed on each side) leaves one space on each side after every
+non-overlapping left-to-right match — adjacent occurrences never steal
+each other's separator, and greedy left-to-right matching is exactly the
+standard BPE merge order.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+#: Merges used by the static-vocabulary encode query (common English
+#: letter pairs) — fixed so the encode is expressible as the same chain
+#: of replaces in any SQL engine.
+FIXED_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("an", "d"), ("o", "n"), ("r", "e"), ("a", "t"), ("s", "t"),
+]
+
+
+def _spaced_symbols(word: Column) -> Column:
+    """Render a word as its double-space-separated character sequence with
+    a double-space border: "low" → "  l  o  w  ".
+
+    Implemented as a single regexp_replace (each char → " char ", so
+    adjacent chars share a double space and the borders pick up the
+    outer concat spaces) — the identical expression runs on RE2-based
+    engines (DuckDB oracle uses ``\\1`` in place of ``$1``)."""
+    return F.concat(
+        F.lit(" "), F.regexp_replace(word, "(.)", " $1 "), F.lit(" ")
+    )
+
+
+def _merge_pattern(left: str, right: str) -> str:
+    return " " + re.escape(left) + "  " + re.escape(right) + " "
+
+
+def _merge_replacement(left: str, right: str) -> str:
+    # Java replacement strings treat \ and $ specially (Matcher rules).
+    fused = (left + right).replace("\\", "\\\\").replace("$", "\\$")
+    return " " + fused + " "
+
+
+def apply_merges(
+    seq: Column, merges: list[tuple[str, str]]
+) -> Column:
+    """Apply a learned merge list, in order, to a double-spaced symbol
+    sequence — one codegen'd regexp_replace per merge."""
+    out = seq
+    for left, right in merges:
+        out = F.regexp_replace(
+            out, _merge_pattern(left, right), _merge_replacement(left, right)
+        )
+    return out
+
+
+def word_symbol_counts(documents: DataFrame) -> DataFrame:
+    """Distinct-word frequency table with initial character-split symbol
+    sequences — the training working set (vocabulary-sized)."""
+    return (
+        documents.select(F.explode(tokens()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("syms", _spaced_symbols(F.col("word")))
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-symbol-pair frequencies, weighted by word frequency."""
+    symbol_arr = F.split(F.trim("syms"), "  ")
+    pairs = F.when(
+        F.size(symbol_arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(symbol_arr) - 1),
+            lambda i: F.struct(
+                F.element_at(symbol_arr, i).alias("left"),
+                F.element_at(symbol_arr, i + 1).alias("right"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+    return (
+        words.select("freq", F.explode(pairs).alias("p"))
+        .groupBy("p.left", "p.right")
+        .agg(F.sum("freq").cast("bigint").alias("pair_freq"))
+    )
+
+
+def bpe_train(
+    documents: DataFrame, n_merges: int = 10
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn ``n_merges`` BPE merges from the corpus.
+
+    Returns (merges, final_words): merges as ``(left, right, pair_freq)``
+    in learned order (ties broken lexicographically for determinism), and
+    the final distinct-word table with fully merged symbol sequences.
+
+    Driver involvement per iteration: ONE row (the argmax pair). The
+    word table is cached between iterations and re-derived by a single
+    narrow ``regexp_replace`` projection per merge — no shuffle after the
+    initial vocabulary groupBy.
+    """
+    words = word_symbol_counts(documents).persist()
+    words.count()  # materialize once; iterations reuse the cached table
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.col("pair_freq").desc(), F.col("left"), F.col("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, freq = top[0]["left"], top[0]["right"], top[0]["pair_freq"]
+        merges.append((left, right, int(freq)))
+        merged = words.withColumn(
+            "syms", apply_merges(F.col("syms"), [(left, right)])
+        ).persist()
+        merged.count()
+        words.unpersist()
+        words = merged
+    return merges, words
+
+
+def encode_with_merges(
+    documents: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Encode documents with a (trained or fixed) merge list: per-word
+    char split → chained merges → per-document symbol count and encoded
+    rendering. Pure projection: no shuffle, no Python."""
+    t = tokens()
+    encoded_words = F.transform(
+        t, lambda w: F.trim(apply_merges(_spaced_symbols(w), merges))
+    )
+    # symbols within a word are "  "-separated; words join with " | "
+    doc_syms = F.array_join(encoded_words, " | ")
+    n_syms = F.aggregate(
+        encoded_words,
+        F.lit(0).cast("bigint"),
+        lambda acc, ws: acc
+        + F.when(ws == "", F.lit(0)).otherwise(F.size(F.split(ws, "  "))),
+    )
+    return documents.select(
+        "doc_id",
+        n_syms.alias("n_bpe_tokens"),
+        F.substring(doc_syms, 1, 80).alias("encoded_prefix"),
+    )

@@ -1,0 +1,198 @@
+"""Data-mixture operators: domain-weighted sampling, model-based quality
+scoring, and collocation (PMI) mining over a documents corpus.
+
+These are the "decide what goes into the training set" steps of a
+large-scale pipeline: rebalance the per-domain mix (e.g. upsample
+low-resource languages), score documents with a (linear) quality model,
+and surface corpus-level collocations.
+
+Scale design:
+- ``mixture_sample`` is a broadcast join against a tiny rates table plus a
+  codegen'd deterministic hash filter — no shuffle of the corpus, no RNG
+  state, reproducible across runs/engines/partitionings (same md5-bucket
+  contract as :func:`..text.hash_split`).
+- ``linear_quality_score`` is a pure column expression (the "apply a small
+  linear classifier" pattern: with a real model the weight vector rides in
+  as a broadcast array; with 4 features it folds into literals). All
+  arithmetic is fixed-order IEEE double ops, so scores are bit-identical
+  across engines.
+- ``pmi_topk`` shuffles on the term key only (unigram and bigram count
+  tables are corpus-vocabulary sized, NOT assumed broadcastable — the
+  joins are ordinary shuffle joins keyed by term, the same layout the
+  tf-idf operator uses). The only broadcast is the one-row corpus-total
+  aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def _md5_bucket256(col: str) -> Column:
+    """Deterministic engine-portable bucket 0-255: first md5 hex byte of
+    the stringified key (identical expression to text.hash_split)."""
+    nib = lambda i: F.expr(  # noqa: E731
+        f"instr('0123456789abcdef', substring(md5(cast({col} as string)), {i}, 1)) - 1"
+    )
+    return (nib(1) * 16 + nib(2)).cast("int")
+
+
+def mixture_sample(
+    documents: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    domain_col: str = "lang",
+) -> DataFrame:
+    """Deterministic per-domain downsampling to a target mixture.
+
+    ``rates`` maps domain value → keep probability in [0, 1]. A document
+    is kept iff its content-independent hash bucket (md5 of the id,
+    0-255) falls below ``floor(256 * rate)`` for its domain — so the kept
+    set is reproducible, nested (rate 0.25 ⊂ rate 0.5), and independent
+    of partitioning. Domains absent from ``rates`` use ``default_rate``.
+
+    The rates ride as a broadcast-joined one-row-per-domain table (the
+    realistic shape: mixture configs come from a file, not literals).
+    """
+    spark = documents.sparkSession
+    rows = [(d, int(256 * r)) for d, r in sorted(rates.items())]
+    rates_df = spark.createDataFrame(
+        rows, f"{domain_col} string, __keep_below int"
+    )
+    bucket = _md5_bucket256(id_col)
+    default_below = int(256 * default_rate)
+    return (
+        documents.join(F.broadcast(rates_df), domain_col, "left")
+        .withColumn("hash_bucket", bucket)
+        .filter(
+            F.col("hash_bucket")
+            < F.coalesce(F.col("__keep_below"), F.lit(default_below))
+        )
+        .drop("__keep_below")
+    )
+
+
+#: Feature weights for the linear quality margin: (weight, bias) over
+#: [n_tokens/100, stopword_ratio, punct_ratio, mean_word_len/10].
+DEFAULT_QUALITY_WEIGHTS = (0.35, 2.0, -4.0, -0.8)
+DEFAULT_QUALITY_BIAS = -0.15
+
+
+def linear_quality_score(
+    documents: DataFrame,
+    weights: tuple[float, float, float, float] = DEFAULT_QUALITY_WEIGHTS,
+    bias: float = DEFAULT_QUALITY_BIAS,
+) -> DataFrame:
+    """Score documents with a linear quality model (the classifier-filter
+    step, e.g. a fastText/logreg quality model distilled to its weights).
+
+    Emits the raw linear margin w·x + b (NOT a sigmoid: exp() rounding
+    differs across engines, while fixed-order double multiply/add does
+    not), rounded to 6 places, and ``keep = margin > 0``. Pure projection
+    — codegen'd, shuffle-free, scales linearly.
+    """
+    t = tokens()
+    n_tok = F.size(t)
+    n_chars = F.length("text")
+    from .text import EN_STOPWORDS
+
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda w: F.array_contains(stop_arr, w)))
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+
+    x0 = n_tok.cast("double") / F.lit(100.0)
+    x1 = n_stop.cast("double") / n_tok.cast("double")
+    x2 = n_punct.cast("double") / n_chars.cast("double")
+    x3 = ((n_chars - n_tok + 1).cast("double") / n_tok.cast("double")) / F.lit(10.0)
+    w0, w1, w2, w3 = weights
+    margin = (
+        F.lit(w0) * x0 + F.lit(w1) * x1 + F.lit(w2) * x2 + F.lit(w3) * x3
+        + F.lit(bias)
+    )
+    return documents.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(margin, 6).alias("quality_margin"),
+        (margin > 0).alias("keep"),
+    )
+
+
+def pmi_topk(
+    documents: DataFrame, k: int = 20, min_count: int = 5
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information.
+
+    PMI = log p(xy) / (p(x)·p(y)) with p(xy) = c_xy/N_bi, p(x) = c_x/N_uni.
+    Emitted as the rounded PMI *ratio* (no log — log() rounding differs
+    across engines; the ranking is identical since log is monotone):
+
+        pmi_ratio = (c_xy / N_bi) · (N_uni / c_x) · (N_uni / c_y)
+
+    computed in that exact association order on both engines. Rounded to
+    6 places BEFORE ranking so the rank compare is engine-portable; ties
+    break on the bigram text.
+
+    Shuffle layout: unigram and bigram counts each shuffle once on the
+    term key; the bigram→unigram joins are shuffle joins on the term key
+    (vocabulary is corpus-sized — never assumed broadcastable). The two
+    corpus totals are a one-row broadcast.
+    """
+    t = tokens()
+    uni = (
+        documents.select(F.explode(t).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    bi = (
+        documents.select(
+            F.explode(
+                F.when(
+                    F.size(t) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(t) - 1),
+                        lambda i: F.struct(
+                            F.element_at(t, i).alias("w1"),
+                            F.element_at(t, i + 1).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    totals = uni.agg(
+        F.sum("c_w").cast("bigint").alias("n_uni"),
+    )
+    n_bi_df = documents.select(
+        F.sum(F.greatest(F.size(t) - 1, F.lit(0))).cast("bigint").alias("n_bi")
+    )
+    scored = (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_bi_df))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("bigint").alias("c_xy"),
+            F.round(
+                (F.col("c_xy").cast("double") / F.col("n_bi").cast("double"))
+                * (F.col("n_uni").cast("double") / F.col("c_x").cast("double"))
+                * (F.col("n_uni").cast("double") / F.col("c_y").cast("double")),
+                6,
+            ).alias("pmi_ratio"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("pmi_ratio").desc(), F.col("w1"), F.col("w2")
+        )
+        .limit(k)
+    )

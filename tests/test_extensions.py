@@ -621,3 +621,176 @@ def test_tfidf_topk_hand_computed(spark):
     assert out[(3, "cherry")].rk == 1
     assert out[(3, "durian")].rk == 2
     assert abs(out[(3, "durian")].tfidf - round(math.log(3), 6)) < 1e-9
+
+
+# --------------------------------------------------------------------------
+# Data-mixture operators (extensions/mixture.py)
+# --------------------------------------------------------------------------
+def test_mixture_sample_nested_and_deterministic(spark, documents):
+    from daily_top_songs_etl_spark.extensions.mixture import mixture_sample
+
+    quarter = mixture_sample(documents, {"en": 0.25}, domain_col="lang")
+    half = mixture_sample(documents, {"en": 0.5}, domain_col="lang")
+    q_ids = {r.doc_id for r in quarter.filter(F.col("lang") == "en").collect()}
+    h_ids = {r.doc_id for r in half.filter(F.col("lang") == "en").collect()}
+    # nested: the 25% sample is a subset of the 50% sample
+    assert q_ids <= h_ids
+    # deterministic: re-running yields the identical kept set
+    again = {
+        r.doc_id
+        for r in mixture_sample(documents, {"en": 0.25}, domain_col="lang")
+        .filter(F.col("lang") == "en")
+        .collect()
+    }
+    assert again == q_ids
+    # domains without a configured rate keep everything by default
+    n_other = documents.filter(F.col("lang") != "en").count()
+    assert half.filter(F.col("lang") != "en").count() == n_other
+    # rate ~ observed keep fraction (md5 buckets are uniform; generous band)
+    n_en = documents.filter(F.col("lang") == "en").count()
+    assert 0.1 <= len(h_ids) / n_en <= 0.9
+
+
+def test_pmi_topk_hand_computed(spark):
+    from daily_top_songs_etl_spark.extensions.mixture import pmi_topk
+
+    # corpus: "a b" ×3 plus "c d" noise; bigram (a,b) occurs 3×,
+    # unigrams a=3, b=3; n_uni=10, n_bi=5.
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a b"), (3, "c d"), (4, "c d")],
+        "doc_id long, text string",
+    )
+    out = pmi_topk(docs, k=5, min_count=2).collect()
+    top = {(r.w1, r.w2): (r.c_xy, r.pmi_ratio) for r in out}
+    # pmi_ratio(a,b) = (3/5) * (10/3) * (10/3) = 6.666667
+    assert top[("a", "b")][0] == 3
+    assert abs(top[("a", "b")][1] - 6.666667) < 1e-6
+    # pmi_ratio(c,d) = (2/5) * (10/2) * (10/2) = 10.0 — rarer pair, higher PMI
+    assert abs(top[("c", "d")][1] - 10.0) < 1e-6
+    assert out[0].w1 == "c"  # ranked first
+
+
+def test_linear_quality_margin_matches_python(spark):
+    from daily_top_songs_etl_spark.extensions.mixture import (
+        DEFAULT_QUALITY_BIAS,
+        DEFAULT_QUALITY_WEIGHTS,
+        linear_quality_score,
+    )
+    from daily_top_songs_etl_spark.extensions.text import EN_STOPWORDS
+
+    text = "the quick brown fox jumps over the lazy dog!"
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    row = linear_quality_score(docs).collect()[0]
+    toks = text.lower().strip().split()
+    n_tok = len(toks)
+    n_chars = len(text)
+    n_stop = sum(1 for w in toks if w in EN_STOPWORDS)
+    n_punct = sum(1 for ch in text if not (ch.isalnum() or ch == "_" or ch.isspace()))
+    x = (
+        n_tok / 100.0,
+        n_stop / n_tok,
+        n_punct / n_chars,
+        ((n_chars - n_tok + 1) / n_tok) / 10.0,
+    )
+    w = DEFAULT_QUALITY_WEIGHTS
+    margin = sum(wi * xi for wi, xi in zip(w, x)) + DEFAULT_QUALITY_BIAS
+    assert abs(row.quality_margin - margin) < 1e-6
+    assert row.keep == (margin > 0)
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer (extensions/bpe.py)
+# --------------------------------------------------------------------------
+def _python_bpe_reference(word_freqs: dict[str, int], n_merges: int):
+    """Pure-Python BPE trainer (Sennrich-style): returns the merge list
+    learned with frequency-desc, pair-lexicographic tie-break order."""
+    words = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, f in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + f
+        if not pairs:
+            break
+        (left, right), freq = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((left, right, freq))
+        new_words = {}
+        for syms, f in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + f
+        words = new_words
+    return merges, words
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from daily_top_songs_etl_spark.extensions.bpe import bpe_train
+
+    corpus = [
+        (0, "low low low lower lower newest newest newest newest widest"),
+        (1, "widest widest low newest the the the then then than"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    word_freqs: dict[str, int] = {}
+    for _, text in corpus:
+        for w in text.split():
+            word_freqs[w] = word_freqs.get(w, 0) + 1
+    expect_merges, expect_words = _python_bpe_reference(word_freqs, 6)
+    merges, words = bpe_train(docs, n_merges=6)
+    assert merges == expect_merges
+    got_words = {
+        tuple(r.syms.strip().split("  ")): r.freq for r in words.collect()
+    }
+    words.unpersist()
+    assert got_words == expect_words
+
+
+def test_bpe_encode_known_values(spark):
+    from daily_top_songs_etl_spark.extensions.bpe import (
+        FIXED_MERGES,
+        encode_with_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "the thin rat"), (1, "stand")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in encode_with_merges(docs, FIXED_MERGES).collect()}
+    # "the"→[the], "thin"→[th,in], "rat"→[r,at] ⇒ 1+2+2 = 5 symbols
+    assert rows[0].n_bpe_tokens == 5
+    assert rows[0].encoded_prefix == "the | th  in | r  at"
+    # "stand"→ st,an,d? merges: (s,t)→st, (a,n)→an, (an,d)→and ⇒ [st, and]
+    assert rows[1].n_bpe_tokens == 2
+    assert rows[1].encoded_prefix == "st  and"
+
+
+def test_approx_percentile_within_error_bound(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    approx = {
+        r.l_returnflag: r
+        for r in __import__("__spark_entry__")
+        .queries()["approx_percentile"](spark, SF_DIR)
+        .collect()
+    }
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    for flag, a in approx.items():
+        e = exact[flag]
+        # accuracy=10000 ⇒ rank error ≤ n/10000; generous value-space band
+        assert abs(a.p50_approx - e.p50) / e.p50 < 0.02
+        assert abs(a.p95_approx - e.p95) / e.p95 < 0.02

@@ -409,3 +409,24 @@ def test_catalog_date_filter_prunes_partitions(spark, tmp_path):
     scan = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "ranking_date" in scan.split("PartitionFilters", 1)[1].split("]")[0]
     assert pinned.count() == 10
+
+
+def test_bpe_encode_is_pure_codegen(spark):
+    """The chained-merge encode is a projection: no shuffle, no Python
+    eval — one whole-stage-codegen span over the scan."""
+    plan = _formatted_plan(spark, "bpe_encode")
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
+
+
+def test_quality_linear_is_pure_codegen(spark):
+    plan = _formatted_plan(spark, "quality_linear")
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_mixture_sample_broadcasts_rates_only(spark):
+    """The rates table rides a broadcast; the corpus never shuffles."""
+    plan = _formatted_plan(spark, "mixture_sample")
+    assert "BroadcastHashJoin" in plan
+    assert not _shuffle_exchanges(plan), _shuffle_exchanges(plan)
