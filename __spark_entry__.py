@@ -4648,10 +4648,12 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_chain_sql() -> str:
     """The DuckDB mirror of extensions.bpe.apply_merges over FIXED_MERGES
-    (RE2 backrefs, double-space separator contract)."""
-    from daily_top_songs_etl_spark.extensions.bpe import FIXED_MERGES
+    (RE2 backrefs, double-space separator contract, whole-document pass
+    with the ¤ word-boundary marker — identical to encode_with_merges)."""
+    from daily_top_songs_etl_spark.extensions.bpe import FIXED_MERGES, WORD_MARKER
 
-    expr = r"' ' || regexp_replace(w, '(.)', ' \1 ', 'g') || ' '"
+    inner = f"array_to_string(t, '{WORD_MARKER}')"
+    expr = rf"' ' || regexp_replace({inner}, '(.)', ' \1 ', 'g') || ' '"
     for left, right in FIXED_MERGES:
         expr = (
             f"regexp_replace({expr}, ' {left}  {right} ', ' {left}{right} ', 'g')"
@@ -4660,18 +4662,20 @@ def _bpe_chain_sql() -> str:
 
 
 ORACLE_BPE_ENCODE = rf"""
-WITH enc AS (
-  SELECT doc_id,
-         list_transform(string_split_regex(trim(lower(text)), '\s+'),
-                        w -> trim({_bpe_chain_sql()})) AS ew
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
   FROM documents
+), enc AS (
+  SELECT doc_id, trim({_bpe_chain_sql()}) AS s, len(t) AS n_words
+  FROM tok
 )
 SELECT doc_id,
-       CAST(list_sum(list_transform(ew,
-                ws -> CASE WHEN ws = '' THEN 0
-                      ELSE len(string_split_regex(ws, '  ')) END))
+       CAST((CASE WHEN s = '' THEN 0
+             ELSE len(string_split_regex(s, '  ')) END)
+            - (CASE WHEN n_words > 0 THEN n_words - 1 ELSE 0 END)
             AS BIGINT) AS n_bpe_tokens,
-       substring(array_to_string(ew, ' | '), 1, 80) AS encoded_prefix
+       substring(regexp_replace(s, '  ¤  ', ' | ', 'g'), 1, 80)
+           AS encoded_prefix
 FROM enc
 """
 

@@ -90,18 +90,24 @@ def word_symbol_counts(documents: DataFrame) -> DataFrame:
 
 
 def _pair_counts(words: DataFrame) -> DataFrame:
-    """Adjacent-symbol-pair frequencies, weighted by word frequency."""
-    symbol_arr = F.split(F.trim("syms"), "  ")
-    pairs = F.when(
-        F.size(symbol_arr) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(symbol_arr) - 1),
-            lambda i: F.struct(
-                F.element_at(symbol_arr, i).alias("left"),
-                F.element_at(symbol_arr, i + 1).alias("right"),
+    """Adjacent-symbol-pair frequencies, weighted by word frequency.
+
+    The symbol array is let-bound (single-element-array transform) so the
+    split runs once per word — a bare split expression inside the pair
+    lambda would re-split per element (O(symbols²) per word)."""
+    pairs = F.transform(
+        F.array(F.split(F.trim("syms"), "  ")),
+        lambda sa: F.when(
+            F.size(sa) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(sa) - 1),
+                lambda i: F.struct(
+                    F.element_at(sa, i).alias("left"),
+                    F.element_at(sa, i + 1).alias("right"),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+        ).otherwise(F.array().cast("array<struct<left:string,right:string>>")),
+    )[0]
     return (
         words.select("freq", F.explode(pairs).alias("p"))
         .groupBy("p.left", "p.right")
@@ -119,16 +125,23 @@ def bpe_train(
     the final distinct-word table with fully merged symbol sequences.
 
     Driver involvement per iteration: ONE row (the argmax pair). The
-    word table is cached between iterations and re-derived by a single
-    narrow ``regexp_replace`` projection per merge — no shuffle after the
-    initial vocabulary groupBy.
+    vocabulary table is cached ONCE; each iteration re-derives the
+    current symbol state by chaining the learned merges as codegen
+    regexes over that cached table — k chained regexes over a
+    vocabulary-sized table beat k persist+materialize jobs for any
+    practical merge count (at very large k, checkpoint the chain every
+    ~64 merges to bound expression depth).
     """
-    words = word_symbol_counts(documents).persist()
-    words.count()  # materialize once; iterations reuse the cached table
+    base = word_symbol_counts(documents).persist()
+    base.count()  # materialize once; every iteration reuses this table
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
+        current = base.withColumn(
+            "syms",
+            apply_merges(F.col("syms"), [(l, r) for l, r, _ in merges]),
+        )
         top = (
-            _pair_counts(words)
+            _pair_counts(current)
             .orderBy(F.col("pair_freq").desc(), F.col("left"), F.col("right"))
             .limit(1)
             .collect()
@@ -137,35 +150,44 @@ def bpe_train(
             break
         left, right, freq = top[0]["left"], top[0]["right"], top[0]["pair_freq"]
         merges.append((left, right, int(freq)))
-        merged = words.withColumn(
-            "syms", apply_merges(F.col("syms"), [(left, right)])
-        ).persist()
-        merged.count()
-        words.unpersist()
-        words = merged
+    words = base.withColumn(
+        "syms", apply_merges(F.col("syms"), [(l, r) for l, r, _ in merges])
+    )
+    base.unpersist()  # lazily freed; a later words action just recomputes
     return merges, words
+
+
+#: Word-boundary marker symbol: rides the symbol stream like any other
+#: symbol (so the double-space invariant holds) but appears in no merge
+#: rule, so merges can never fuse across a word boundary.
+WORD_MARKER = "¤"  # ¤
 
 
 def encode_with_merges(
     documents: DataFrame, merges: list[tuple[str, str]]
 ) -> DataFrame:
-    """Encode documents with a (trained or fixed) merge list: per-word
-    char split → chained merges → per-document symbol count and encoded
-    rendering. Pure projection: no shuffle, no Python."""
+    """Encode documents with a (trained or fixed) merge list. Pure
+    projection: no shuffle, no Python.
+
+    The merges run over the WHOLE document in one regex pass per merge —
+    words are joined with :data:`WORD_MARKER` before the char split, so
+    the marker is itself a symbol that no merge rule touches and merges
+    cannot cross word boundaries. One long-string regex per (doc, merge)
+    beats one short-string regex per (word, merge) by the per-invocation
+    matcher overhead (~|doc|/|word| fewer invocations).
+    """
     t = tokens()
-    encoded_words = F.transform(
-        t, lambda w: F.trim(apply_merges(_spaced_symbols(w), merges))
+    doc_syms = F.trim(
+        apply_merges(_spaced_symbols(F.array_join(t, WORD_MARKER)), merges)
     )
-    # symbols within a word are "  "-separated; words join with " | "
-    doc_syms = F.array_join(encoded_words, " | ")
-    n_syms = F.aggregate(
-        encoded_words,
-        F.lit(0).cast("bigint"),
-        lambda acc, ws: acc
-        + F.when(ws == "", F.lit(0)).otherwise(F.size(F.split(ws, "  "))),
+    # symbols (incl. one marker per word gap) are "  "-separated
+    n_with_markers = F.when(doc_syms == "", F.lit(0)).otherwise(
+        F.size(F.split(doc_syms, "  "))
     )
+    n_markers = F.when(F.size(t) > 0, F.size(t) - 1).otherwise(F.lit(0))
+    rendered = F.regexp_replace(doc_syms, f"  {WORD_MARKER}  ", " | ")
     return documents.select(
         "doc_id",
-        n_syms.alias("n_bpe_tokens"),
-        F.substring(doc_syms, 1, 80).alias("encoded_prefix"),
+        (n_with_markers - n_markers).cast("bigint").alias("n_bpe_tokens"),
+        F.substring(rendered, 1, 80).alias("encoded_prefix"),
     )

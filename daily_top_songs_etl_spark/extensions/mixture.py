@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import tokens
+from .text import _let_tokens, tokens
 
 
 def _md5_bucket256(col: str) -> Column:
@@ -142,26 +142,33 @@ def pmi_topk(
     corpus totals are a one-row broadcast.
     """
     t = tokens()
+    # The unigram count table feeds THREE consumers (the corpus total and
+    # both sides of the bigram join); without a persist each consumer
+    # re-tokenizes the corpus. One materialization of the vocabulary-sized
+    # table replaces two full corpus passes.
     uni = (
         documents.select(F.explode(t).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c_w"))
+        .persist()
+    )
+    # Bigram pairs via a let-bound token array (_let_tokens): a bare
+    # tokens() expression inside the lambda would re-split the text once
+    # per element — O(tokens²) regex work per document.
+    bigrams = _let_tokens(
+        lambda tt: F.when(
+            F.size(tt) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tt) - 1),
+                lambda i: F.struct(
+                    F.element_at(tt, i).alias("w1"),
+                    F.element_at(tt, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     )
     bi = (
-        documents.select(
-            F.explode(
-                F.when(
-                    F.size(t) >= 2,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(t) - 1),
-                        lambda i: F.struct(
-                            F.element_at(t, i).alias("w1"),
-                            F.element_at(t, i + 1).alias("w2"),
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-            ).alias("p")
-        )
+        documents.select(F.explode(bigrams).alias("p"))
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_xy"))
