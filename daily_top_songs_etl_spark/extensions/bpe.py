@@ -80,8 +80,11 @@ def apply_merges(
 def word_symbol_counts(documents: DataFrame) -> DataFrame:
     """Distinct-word frequency table with initial character-split symbol
     sequences — the training working set (vocabulary-sized)."""
+    from .fanout import fan_out_small_scan
+
     return (
-        documents.select(F.explode(tokens()).alias("word"))
+        fan_out_small_scan(documents)
+        .select(F.explode(tokens()).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))

@@ -70,7 +70,13 @@ def exact_dedup(documents: DataFrame, keep: str = "min") -> DataFrame:
 
 
 def _shingled(documents: DataFrame) -> DataFrame:
-    return documents.select(
+    # Every consumer aggregates/joins after the explode (a shuffle is
+    # already in the plan), so widening an under-partitioned scan first
+    # costs nothing at scale and parallelizes the tokenize+shingle CPU
+    # at small file counts.
+    from .fanout import fan_out_small_scan
+
+    return fan_out_small_scan(documents).select(
         "doc_id", F.explode(shingles()).alias("shingle")
     )
 

@@ -141,6 +141,9 @@ def pmi_topk(
     (vocabulary is corpus-sized — never assumed broadcastable). The two
     corpus totals are a one-row broadcast.
     """
+    from .fanout import fan_out_small_scan
+
+    documents = fan_out_small_scan(documents)
     t = tokens()
     # The unigram count table feeds THREE consumers (the corpus total and
     # both sides of the bigram join); without a persist each consumer

@@ -148,6 +148,9 @@ def ngram_topk(documents: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
     compiles to ``TakeOrderedAndProject`` — each partition keeps k rows, no
     full sort. Ties broken by gram text so the top-k set is deterministic.
     """
+    from .fanout import fan_out_small_scan
+
+    documents = fan_out_small_scan(documents)
     grams = _let_tokens(lambda t: _ngrams(t, n))
     exploded = documents.select(
         "doc_id", F.explode(grams).alias("gram")
@@ -277,7 +280,11 @@ def tfidf_topk(documents: DataFrame, k: int = 3) -> DataFrame:
     downgrade it to broadcast when the vocab is small. Top-k per doc is a
     WindowGroupLimit, not a global sort.
     """
-    tok = documents.select("doc_id", F.explode(tokens()).alias("term"))
+    from .fanout import fan_out_small_scan
+
+    tok = fan_out_small_scan(documents).select(
+        "doc_id", F.explode(tokens()).alias("term")
+    )
     tf = tok.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
@@ -490,7 +497,9 @@ def decontaminate(
     Emits one row per corpus doc: distinct shared grams + contaminated flag
     (full output, so clean docs are auditable too).
     """
-    corpus_grams = corpus.select(
+    from .fanout import fan_out_small_scan
+
+    corpus_grams = fan_out_small_scan(corpus).select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.array_distinct(_let_tokens(lambda t: _ngrams(t, n)))
@@ -536,7 +545,9 @@ def token_freq_score(documents: DataFrame) -> DataFrame:
     stream → per-doc aggregate (partials combine map-side because a doc's
     tokens are colocated after explode).
     """
-    toks = documents.select(
+    from .fanout import fan_out_small_scan
+
+    toks = fan_out_small_scan(documents).select(
         "doc_id", F.explode(tokens()).alias("tok")
     )
     vocab = toks.groupBy("tok").agg(
@@ -570,8 +581,11 @@ def build_vocab(documents: DataFrame, vocab_size: int = 4096) -> DataFrame:
     *vocabulary* (not the corpus) crosses the window, and vocabularies are
     bounded (≤ a few hundred thousand rows) regardless of corpus size.
     """
+    from .fanout import fan_out_small_scan
+
     counts = (
-        documents.select(F.explode(tokens()).alias("tok"))
+        fan_out_small_scan(documents)
+        .select(F.explode(tokens()).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("tok_count"))
     )
