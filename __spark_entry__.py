@@ -4733,6 +4733,32 @@ FROM enc
 """
 
 
+def q_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental COUNT DISTINCT via mergeable HLL sketch state:
+    history and a new micro-batch each contribute a per-key DataSketches
+    HLL sketch; the state merge is a per-register max — associative and
+    idempotent, so accuracy does not degrade with the number of merges
+    (unit-tested against single-shot and exact counts). Rows-only:
+    sketch estimates are not reproducible in other engines."""
+    from daily_top_songs_etl_spark.operators.incremental import (
+        distinct_state,
+        finalize_distinct,
+        merge_distinct_states,
+    )
+
+    ev = _events(spark, sf_dir)
+    cut = F.lit("2024-01-20").cast("timestamp")
+    hist = distinct_state(
+        ev.filter(F.col("ts") < cut), ["event_type"], "user_id"
+    )
+    delta = distinct_state(
+        ev.filter(F.col("ts") >= cut), ["event_type"], "user_id"
+    )
+    return finalize_distinct(
+        merge_distinct_states(hist, delta, ["event_type"]), ["event_type"]
+    )
+
+
 # --------------------------------------------------------------------------
 # Approximate percentile sketch (rows-only: sketch outputs are
 # approximation-bounded, not value-reproducible across engines)
@@ -4877,6 +4903,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_encode": q_bpe_encode,
     "bpe_train": q_bpe_train,
     "approx_percentile": q_approx_percentile,
+    "incremental_distinct": q_incremental_distinct,
     # --- registry tail: queries whose internal kernels produce complex
     # (array/struct) types. Their registry outputs are flattened to scalars,
     # but they sit LAST so a canonicalizer incident in an external harness

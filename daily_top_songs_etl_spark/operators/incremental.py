@@ -73,3 +73,53 @@ def finalize(state: DataFrame, keys: list[str]) -> DataFrame:
         F.col("min_val").alias("min_value"),
         F.col("max_val").alias("max_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental DISTINCT: mergeable HLL sketch state
+# --------------------------------------------------------------------------
+# count-distinct is NOT a monoid on scalars (you cannot merge two distinct
+# counts), but it IS one on HLL sketches: union is a per-register max, so
+# merge is associative, commutative, and idempotent — estimate accuracy
+# does not degrade with the NUMBER of merges (unlike resketching counts),
+# staying within the sketch's configured error regardless of how history
+# was batched. (Not bit-exact vs a single-shot sketch: DataSketches HLL
+# promotes sparse→dense lazily, and the promotion point differs between
+# the union path and the direct-build path.) That makes per-key sketch
+# columns the incremental analogue of the count/sum/min/max state above:
+# each micro-batch contributes a delta sketch, history is never rescanned.
+# Spark's hll_sketch_agg / hll_union_agg / hll_sketch_estimate are the
+# Apache DataSketches HLL, binary-stable for storage in a state table.
+
+def distinct_state(
+    df: DataFrame, keys: list[str], value_col: str, lgk: int = 12
+) -> DataFrame:
+    """Per-key HLL sketch of ``value_col`` (the distinct-count state)."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("hll_state")
+    )
+
+
+def merge_distinct_states(
+    state: DataFrame, delta: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Union-by-key of two sketch state tables: union-all + one
+    ``hll_union_agg`` re-aggregation (no join — sketch union is itself an
+    aggregate, exactly like the scalar monoid merge above)."""
+    cols = [*keys, "hll_state"]
+    return (
+        state.select(*cols)
+        .unionByName(delta.select(*cols))
+        .groupBy(*keys)
+        .agg(F.hll_union_agg("hll_state").alias("hll_state"))
+    )
+
+
+def finalize_distinct(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Read-time estimate projection from the sketch state."""
+    return state.select(
+        *keys,
+        F.hll_sketch_estimate("hll_state").cast("bigint").alias(
+            "approx_n_distinct"
+        ),
+    )

@@ -794,3 +794,40 @@ def test_approx_percentile_within_error_bound(spark):
         # accuracy=10000 ⇒ rank error ≤ n/10000; generous value-space band
         assert abs(a.p50_approx - e.p50) / e.p50 < 0.02
         assert abs(a.p95_approx - e.p95) / e.p95 < 0.02
+
+
+def test_hll_distinct_state_merge_equals_recompute(spark):
+    """HLL sketch union is a per-register max: merging per-batch sketches
+    must land within the sketch error of the single-shot estimate (merge
+    count does not degrade accuracy) and near the exact distinct count.
+    (Not bit-identical: DataSketches promotes sparse→dense at different
+    points on the union vs direct-build paths.)"""
+    from daily_top_songs_etl_spark.operators.incremental import (
+        distinct_state,
+        finalize_distinct,
+        merge_distinct_states,
+    )
+
+    df = spark.range(20000).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        (F.col("id") % 4097).alias("v"),
+    )
+    a = df.filter(F.col("id") < 9000)
+    b = df.filter(F.col("id") >= 9000)
+    merged = finalize_distinct(
+        merge_distinct_states(
+            distinct_state(a, ["k"], "v"), distinct_state(b, ["k"], "v"), ["k"]
+        ),
+        ["k"],
+    )
+    single = finalize_distinct(distinct_state(df, ["k"], "v"), ["k"])
+    m = {r.k: r.approx_n_distinct for r in merged.collect()}
+    s = {r.k: r.approx_n_distinct for r in single.collect()}
+    for k in s:
+        assert abs(m[k] - s[k]) / s[k] < 0.02
+    exact = {
+        r.k: r.n
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    for k, est in m.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05
