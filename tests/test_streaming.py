@@ -293,3 +293,80 @@ def test_streaming_enrichment_matches_batch(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) == 1000
+
+
+def test_distinct_state_stream_matches_batch_and_is_replay_safe(spark, tmp_path):
+    """Drain three landed event files through the sketch-state stream:
+    the final estimate must match a single-shot batch sketch within the
+    sketch error, and re-landing an already-represented batch must leave
+    the state estimate EXACTLY unchanged (HLL union idempotency — the
+    at-least-once story without processed-batch bookkeeping)."""
+    from pyspark.sql import types as T
+
+    from daily_top_songs_etl_spark.operators.incremental import (
+        distinct_state,
+        finalize_distinct,
+    )
+    from daily_top_songs_etl_spark.streaming.distinct_state import (
+        read_distinct_state,
+        run_distinct_state_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    all_rows = []
+    for b in range(3):
+        rows = [
+            ("click" if u % 2 else "view", (b * 400 + u) % 900)
+            for u in range(500)
+        ]
+        all_rows += rows
+        land(rows)
+    run_distinct_state_stream(
+        spark, landing, schema, state, ckpt, ["event_type"], "user_id"
+    )
+    streamed = {
+        r.event_type: r.approx_n_distinct
+        for r in finalize_distinct(
+            read_distinct_state(spark, state), ["event_type"]
+        ).collect()
+    }
+    batch = {
+        r.event_type: r.approx_n_distinct
+        for r in finalize_distinct(
+            distinct_state(
+                spark.createDataFrame(all_rows, schema), ["event_type"], "user_id"
+            ),
+            ["event_type"],
+        ).collect()
+    }
+    assert set(streamed) == {"click", "view"}
+    for k in streamed:
+        assert abs(streamed[k] - batch[k]) / batch[k] < 0.02
+
+    # replay: land a content-identical copy of batch 0 as a new file
+    land([("click" if u % 2 else "view", u % 900) for u in range(500)])
+    run_distinct_state_stream(
+        spark, landing, schema, state, ckpt, ["event_type"], "user_id"
+    )
+    replayed = {
+        r.event_type: r.approx_n_distinct
+        for r in finalize_distinct(
+            read_distinct_state(spark, state), ["event_type"]
+        ).collect()
+    }
+    assert replayed == streamed  # register max(x, x) = x — exact
