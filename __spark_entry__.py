@@ -2695,6 +2695,20 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: train m=4 subspace codebooks (k=8, 2 Lloyd
+    iterations each — the kmeans loop per 16-dim slice), then encode
+    every vector as 4 integer codes + its exact quantized-domain error.
+    Iterative training ⇒ rows-only like kmeans; unit tests pin
+    determinism, code range, and that the trained codebook beats the
+    k=1 (subspace-mean) baseline error."""
+    from daily_top_songs_etl_spark.extensions.pq import pq_encode, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codebook = pq_train(emb, m=4, k=8, iters=2)
+    return pq_encode(emb, codebook, m=4)
+
+
 # --------------------------------------------------------------------------
 # TPC-H Q5 shape: multi-way join with a circular (cyclic) join constraint
 # --------------------------------------------------------------------------
@@ -4916,6 +4930,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_normalize": q_embedding_normalize,
     "embedding_int8": q_embedding_int8,
     "kmeans": q_kmeans,
+    "pq_codes": q_pq_codes,
 }
 
 _ORACLES: dict[str, str] = {

@@ -1,0 +1,126 @@
+"""Product quantization (PQ) for embedding compression.
+
+The classic ANN storage trick (Jégou et al. 2011, public method): split
+each D-dim vector into ``m`` subvectors, k-means each subspace
+independently (reusing :func:`similarity.kmeans_fit` — the same
+broadcast-centroid Lloyd loop), and store each vector as ``m`` small
+integer codes. With m=4, k=16 a 64-dim float vector compresses
+256 bytes → 4 half-byte codes (PQ16x4 shape).
+
+Scale shape:
+- **train**: m independent kmeans fits over sliced subvectors — each
+  iteration broadcasts a k×(D/m) centroid table; the corpus never
+  shuffles except the per-(cluster, dim) centroid update aggregate.
+- **encode**: the full m-subspace codebook is m×k rows — broadcast onto
+  the corpus; the argmin per (vector, subspace) folds into ONE hash
+  aggregate on vec_id (min-of-struct per subspace via conditional
+  aggregates), so encode costs one map-side-combinable shuffle of
+  |vectors| rows.
+
+Determinism: identical to kmeans_fit — quantized-integer distance math,
+lowest-id initialization, struct-ordered tie-breaks.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import QUANT_SCALE, kmeans_fit
+
+
+def _dim(embeddings: DataFrame, col: str) -> int:
+    row = embeddings.select(F.size(col).alias("d")).first()
+    if row is None:
+        raise ValueError("empty embeddings table")
+    return int(row["d"])
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> DataFrame:
+    """Train the PQ codebook: one kmeans per subspace.
+
+    Returns (subspace, code, centroid array<double>, n_vectors)."""
+    d = _dim(embeddings, col)
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = []
+    for j in range(m):
+        sub_df = embeddings.select(
+            id_col, F.slice(col, j * sub + 1, sub).alias("embedding")
+        )
+        books.append(
+            kmeans_fit(sub_df, k=k, iters=iters, id_col=id_col).select(
+                F.lit(j).alias("subspace"),
+                F.col("cluster").alias("code"),
+                "centroid",
+                "n_vectors",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), books)
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors as m integer codes (columns ``code_0..code_{m-1}``)
+    plus the total quantization error ``q_err`` (exact integer math in
+    the quantized domain). One broadcast join + one hash aggregate."""
+    d = _dim(embeddings, col)
+    sub = d // m
+    # (vec, subspace) relation: quantized subvectors
+    subs = embeddings.select(
+        id_col,
+        F.posexplode(
+            F.array(*[F.slice(col, j * sub + 1, sub) for j in range(m)])
+        ).alias("subspace", "svec_f"),
+    ).select(
+        id_col,
+        "subspace",
+        F.transform(
+            "svec_f",
+            lambda x: F.round(x.cast("double") * QUANT_SCALE, 0).cast("bigint"),
+        ).alias("svec"),
+    )
+    cb = codebook.select(
+        "subspace",
+        "code",
+        F.transform(
+            "centroid",
+            lambda x: F.round(x * QUANT_SCALE, 0).cast("bigint"),
+        ).alias("cvec"),
+    )
+    dist = F.aggregate(
+        F.zip_with("svec", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    scored = subs.join(F.broadcast(cb), "subspace").withColumn("d2", dist)
+    best_per_sub = [
+        F.min(
+            F.when(F.col("subspace") == j, F.struct("d2", "code"))
+        ).alias(f"_best_{j}")
+        for j in range(m)
+    ]
+    agg = scored.groupBy(id_col).agg(*best_per_sub)
+    total_err = reduce(
+        lambda a, b: a + b, [F.col(f"_best_{j}.d2") for j in range(m)]
+    )
+    return agg.select(
+        id_col,
+        *[F.col(f"_best_{j}.code").alias(f"code_{j}") for j in range(m)],
+        total_err.cast("bigint").alias("q_err"),
+    )

@@ -831,3 +831,28 @@ def test_hll_distinct_state_merge_equals_recompute(spark):
     }
     for k, est in m.items():
         assert abs(est - exact[k]) / exact[k] < 0.05
+
+
+def test_pq_codes_deterministic_and_better_than_mean(spark, embeddings):
+    from daily_top_songs_etl_spark.extensions.pq import pq_encode, pq_train
+
+    cb = pq_train(embeddings, m=4, k=8, iters=2)
+    rows = cb.collect()
+    # full codebook: 4 subspaces × 8 codes, 16-dim centroids
+    assert {r.subspace for r in rows} == {0, 1, 2, 3}
+    assert all(0 <= r.code < 8 and len(r.centroid) == 16 for r in rows)
+
+    enc = pq_encode(embeddings, cb, m=4)
+    e1 = sorted(map(tuple, enc.collect()))
+    assert all(0 <= r[j] < 8 for r in e1 for j in range(1, 5))
+    # deterministic end-to-end
+    e2 = sorted(
+        map(tuple, pq_encode(embeddings, pq_train(embeddings, m=4, k=8, iters=2), m=4).collect())
+    )
+    assert e1 == e2
+
+    # trained k=8 codebook must beat the k=1 (subspace mean) baseline
+    base_cb = pq_train(embeddings, m=4, k=1, iters=1)
+    base_err = pq_encode(embeddings, base_cb, m=4).agg(F.sum("q_err")).first()[0]
+    pq_err = enc.agg(F.sum("q_err")).first()[0]
+    assert pq_err < base_err * 0.9, (pq_err, base_err)
