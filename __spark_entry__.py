@@ -2695,6 +2695,18 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-5 ANN: per-query subspace-centroid
+    lookup tables (|Q|·m·k rows, broadcast) + m integer adds per
+    (query, vector) — the PQ speedup over D-dim multiply-accumulate.
+    Rows-only (trained codebook); unit test pins self-recovery."""
+    from daily_top_songs_etl_spark.extensions.pq import pq_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codebook = pq_train(emb, m=4, k=8, iters=2)
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 8), codebook, m=4, k=5)
+
+
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization: train m=4 subspace codebooks (k=8, 2 Lloyd
     iterations each — the kmeans loop per 16-dim slice), then encode
@@ -4931,6 +4943,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_int8": q_embedding_int8,
     "kmeans": q_kmeans,
     "pq_codes": q_pq_codes,
+    "pq_topk_adc": q_pq_topk,
 }
 
 _ORACLES: dict[str, str] = {

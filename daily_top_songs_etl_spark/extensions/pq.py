@@ -124,3 +124,82 @@ def pq_encode(
         *[F.col(f"_best_{j}.code").alias(f"code_{j}") for j in range(m)],
         total_err.cast("bigint").alias("q_err"),
     )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    m: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes.
+
+    Per query, the distance to every subspace centroid is precomputed
+    into a |Q|·m·k_codes lookup table (tiny — broadcast); the corpus side
+    then needs only m table lookups + adds per (query, vector) instead of
+    a D-dim multiply-accumulate — the actual PQ speedup. Plan: encode
+    corpus → melt codes to (vec, subspace, code) → broadcast-join the
+    lookup table → one hash aggregate on (query, vec) summing m partial
+    distances → per-query top-k via WindowGroupLimit.
+
+    Exact integer math throughout; ties break on neighbor id.
+    """
+    from pyspark.sql import Window
+
+    d = _dim(embeddings, col)
+    sub = d // m
+    codes = pq_encode(embeddings, codebook, m=m, id_col=id_col, col=col)
+    melted = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(
+            F.array(*[F.col(f"code_{j}") for j in range(m)])
+        ).alias("subspace", "code"),
+    )
+    qsubs = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.posexplode(
+            F.array(*[F.slice(col, j * sub + 1, sub) for j in range(m)])
+        ).alias("subspace", "svec_f"),
+    ).select(
+        query_id_col,
+        "subspace",
+        F.transform(
+            "svec_f",
+            lambda x: F.round(x.cast("double") * QUANT_SCALE, 0).cast("bigint"),
+        ).alias("svec"),
+    )
+    cb = codebook.select(
+        "subspace",
+        "code",
+        F.transform(
+            "centroid", lambda x: F.round(x * QUANT_SCALE, 0).cast("bigint")
+        ).alias("cvec"),
+    )
+    lut = (
+        qsubs.join(F.broadcast(cb), "subspace")
+        .select(
+            query_id_col,
+            "subspace",
+            "code",
+            F.aggregate(
+                F.zip_with("svec", "cvec", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ).alias("d_part"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        melted.join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy(query_id_col, "neighbor_id")
+        .agg(F.sum("d_part").alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "adc_dist", "rank")
+    )

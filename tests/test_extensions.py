@@ -856,3 +856,21 @@ def test_pq_codes_deterministic_and_better_than_mean(spark, embeddings):
     base_err = pq_encode(embeddings, base_cb, m=4).agg(F.sum("q_err")).first()[0]
     pq_err = enc.agg(F.sum("q_err")).first()[0]
     assert pq_err < base_err * 0.9, (pq_err, base_err)
+
+
+def test_pq_adc_topk_self_recovery(spark, embeddings):
+    """ADC sanity: querying with vectors FROM the corpus, the vector
+    itself (quantization error only) must appear in its own top-5 for
+    the vast majority of queries."""
+    from daily_top_songs_etl_spark.extensions.pq import pq_topk, pq_train
+
+    cb = pq_train(embeddings, m=4, k=8, iters=2)
+    queries = embeddings.filter(F.col("vec_id") < 20)
+    out = pq_topk(embeddings, queries, cb, m=4, k=5)
+    tops = {}
+    for r in out.collect():
+        tops.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert len(tops) == 20
+    assert all(len(v) == 5 for v in tops.values())
+    hits = sum(1 for q, v in tops.items() if q in v)
+    assert hits >= 16, f"self-recovery only {hits}/20"
