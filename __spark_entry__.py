@@ -4262,6 +4262,37 @@ FROM events
 """
 
 
+def q_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order permutation: every epoch's "random"
+    shuffle is a total order on (md5(seed‖doc_id), doc_id) — reproducible
+    across runs/engines/partitionings with no RNG state, and positions
+    are assigned by the DISTRIBUTED global row number (range exchange +
+    offsets), never a single-task sort. Epoch 2 is a different
+    deterministic permutation (seed folded into the hash)."""
+    from daily_top_songs_etl_spark.operators.rownumber import (
+        global_row_number,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    epoch = F.md5(F.concat(F.lit("epoch2-"), F.col("doc_id").cast("string")))
+    ordered = global_row_number(
+        docs.withColumn("order_key", epoch),
+        [F.col("order_key"), F.col("doc_id")],
+        out_col="position",
+    )
+    return ordered.select("doc_id", "order_key", "position")
+
+
+ORACLE_TRAIN_ORDER = """
+SELECT doc_id,
+       md5('epoch2-' || CAST(doc_id AS VARCHAR)) AS order_key,
+       CAST(row_number() OVER (
+            ORDER BY md5('epoch2-' || CAST(doc_id AS VARCHAR)), doc_id)
+        AS BIGINT) AS position
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Per-group OLS trend slope with exact sufficient statistics
 # --------------------------------------------------------------------------
@@ -4818,6 +4849,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_deciles": q_value_deciles,
     "incremental_agg": q_incremental_agg,
     "global_row_number": q_global_row_number,
+    "train_order": q_train_order,
     "trend_slope": q_trend_slope,
     "zorder_value": q_zorder_value,
     "profile_columns": q_profile_columns,
@@ -5058,6 +5090,7 @@ _ORACLES: dict[str, str] = {
     "value_deciles": ORACLE_VALUE_DECILES,
     "incremental_agg": ORACLE_INCREMENTAL_AGG,
     "global_row_number": ORACLE_GLOBAL_ROW_NUMBER,
+    "train_order": ORACLE_TRAIN_ORDER,
     "trend_slope": ORACLE_TREND_SLOPE,
     "zorder_value": _oracle_zorder(),
     "profile_columns": ORACLE_PROFILE_COLUMNS,
