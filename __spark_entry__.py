@@ -4642,6 +4642,42 @@ WHERE hash_bucket < CASE lang WHEN 'en' THEN 64 WHEN 'zh' THEN 192
 """
 
 
+def q_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language UP-sampling by repetition (zh→2.5×,
+    de→1.25×): copies = floor(rate) + 1 extra iff md5 bucket < 256·frac.
+    Broadcast rates + explode(sequence) — no corpus shuffle, no RNG."""
+    from daily_top_songs_etl_spark.extensions.mixture import mixture_upsample
+
+    return mixture_upsample(
+        _t(spark, sf_dir, "documents"),
+        {"zh": 2.5, "de": 1.25},
+        domain_col="lang",
+    )
+
+
+ORACLE_MIXTURE_UPSAMPLE = """
+WITH h AS (
+  SELECT lang, doc_id, text, source, n_chars,
+         (instr('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         + (instr('0123456789abcdef',
+                  substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS b
+  FROM documents
+), c AS (
+  SELECT lang, doc_id, text, source, n_chars,
+         CAST(CASE lang WHEN 'zh' THEN 2 WHEN 'de' THEN 1 ELSE 1 END
+              + CASE WHEN b < CASE lang WHEN 'zh' THEN 128
+                                WHEN 'de' THEN 64 ELSE 0 END
+                     THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+  FROM h
+)
+SELECT lang, doc_id, text, source, n_chars, n_copies,
+       CAST(u.copy_idx AS INTEGER) AS copy_idx
+FROM c, LATERAL unnest(generate_series(1, n_copies)) AS u(copy_idx)
+WHERE n_copies > 0
+"""
+
+
 def q_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear quality-model margin over exact-integer-derived features
     (classifier-filter pattern; raw margin, not sigmoid — exp() rounding
@@ -4956,6 +4992,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_shipment_counts": q_priority_shipment_counts,
     "part_supplier_counts": q_part_supplier_counts,
     "mixture_sample": q_mixture_sample,
+    "mixture_upsample": q_mixture_upsample,
     "quality_linear": q_quality_linear,
     "pmi_topk": q_pmi_topk,
     "bpe_encode": q_bpe_encode,
@@ -5099,6 +5136,7 @@ _ORACLES: dict[str, str] = {
     "priority_shipment_counts": ORACLE_PRIORITY_SHIPMENT_COUNTS,
     "part_supplier_counts": ORACLE_PART_SUPPLIER_COUNTS,
     "mixture_sample": ORACLE_MIXTURE_SAMPLE,
+    "mixture_upsample": ORACLE_MIXTURE_UPSAMPLE,
     "quality_linear": ORACLE_QUALITY_LINEAR,
     "pmi_topk": ORACLE_PMI_TOPK,
     "bpe_encode": ORACLE_BPE_ENCODE,

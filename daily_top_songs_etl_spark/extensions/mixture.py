@@ -206,3 +206,49 @@ def pmi_topk(
         )
         .limit(k)
     )
+
+
+def mixture_upsample(
+    documents: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    domain_col: str = "lang",
+) -> DataFrame:
+    """Deterministic per-domain UP-sampling by repetition — mixture
+    weights above 1 (e.g. 2.5× a low-resource language) emit each
+    document ⌊rate⌋ or ⌈rate⌉ times so the expected multiplicity equals
+    the rate exactly: copies = floor(rate) + 1 extra iff the document's
+    hash bucket < 256·frac(rate). Same md5-bucket determinism contract as
+    :func:`mixture_sample` (nested, partition-independent, no RNG);
+    rates below 1 degenerate to downsampling (0 or 1 copies).
+
+    Output: one row per emitted copy with ``copy_idx`` (1-based) — the
+    epoch-repetition shape a data loader consumes. Pure projection +
+    explode after a broadcast rates join; no corpus shuffle.
+    """
+    spark = documents.sparkSession
+    rows = [
+        (d, int(r), int(256 * (r - int(r)))) for d, r in sorted(rates.items())
+    ]
+    rates_df = spark.createDataFrame(
+        rows, f"{domain_col} string, __base int, __extra_below int"
+    )
+    bucket = _md5_bucket256(id_col)
+    d_base, d_extra = int(default_rate), int(256 * (default_rate - int(default_rate)))
+    n_copies = (
+        F.coalesce(F.col("__base"), F.lit(d_base))
+        + F.when(
+            bucket < F.coalesce(F.col("__extra_below"), F.lit(d_extra)),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    )
+    return (
+        documents.join(F.broadcast(rates_df), domain_col, "left")
+        .withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .withColumn(
+            "copy_idx", F.explode(F.sequence(F.lit(1), F.col("n_copies")))
+        )
+        .drop("__base", "__extra_below")
+    )

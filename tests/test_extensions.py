@@ -874,3 +874,34 @@ def test_pq_adc_topk_self_recovery(spark, embeddings):
     assert all(len(v) == 5 for v in tops.values())
     hits = sum(1 for q, v in tops.items() if q in v)
     assert hits >= 16, f"self-recovery only {hits}/20"
+
+
+def test_mixture_upsample_multiplicity(spark, documents):
+    from daily_top_songs_etl_spark.extensions.mixture import mixture_upsample
+
+    out = mixture_upsample(documents, {"en": 2.5, "zh": 0.5}, domain_col="lang")
+    rows = out.collect()
+    # copy_idx enumerates 1..n_copies per doc
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.copy_idx)
+    for doc, idxs in by_doc.items():
+        assert sorted(idxs) == list(range(1, len(idxs) + 1))
+    # en docs appear 2 or 3 times; zh 0 or 1; others exactly once
+    en = [len(v) for d, v in by_doc.items()]
+    n_en = documents.filter(F.col("lang") == "en").count()
+    en_copies = sum(
+        1 for r in rows if r.lang == "en"
+    )
+    assert all(
+        len(v) in (2, 3) for r in rows if r.lang == "en"
+        for v in [by_doc[r.doc_id]]
+    )
+    # expected multiplicity 2.5 ± sampling noise
+    assert 2.0 <= en_copies / n_en <= 3.0
+    other = documents.filter(~F.col("lang").isin("en", "zh")).count()
+    assert sum(1 for r in rows if r.lang not in ("en", "zh")) == other
+    # deterministic
+    again = sorted((r.doc_id, r.copy_idx) for r in mixture_upsample(
+        documents, {"en": 2.5, "zh": 0.5}, domain_col="lang").collect())
+    assert again == sorted((r.doc_id, r.copy_idx) for r in rows)
