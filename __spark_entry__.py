@@ -4262,6 +4262,19 @@ FROM events
 """
 
 
+def q_pretrain_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-preparation chain (quality gate → exact dedup →
+    MinHash near-dup removal → decontamination vs a held-out benchmark
+    slice → mixture rebalance → chunk → pack), emitting the per-stage
+    survivor funnel. Every stage is an oracle-verified operator; the
+    composition is rows-only (unit test pins monotonicity + determinism)."""
+    from daily_top_songs_etl_spark.plans.pretrain import pretrain_corpus_funnel
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") < 3).select("doc_id", "text")
+    return pretrain_corpus_funnel(docs.filter(F.col("doc_id") >= 3), benchmark)
+
+
 def q_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order permutation: every epoch's "random"
     shuffle is a total order on (md5(seed‖doc_id), doc_id) — reproducible
@@ -4886,6 +4899,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_agg": q_incremental_agg,
     "global_row_number": q_global_row_number,
     "train_order": q_train_order,
+    "pretrain_funnel": q_pretrain_funnel,
     "trend_slope": q_trend_slope,
     "zorder_value": q_zorder_value,
     "profile_columns": q_profile_columns,

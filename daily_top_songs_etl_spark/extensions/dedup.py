@@ -414,7 +414,43 @@ def connected_components(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .persist()
     )
+    # Hybrid execution: the candidate-pair graph is tiny relative to the
+    # corpus (only docs appearing in a candidate pair are nodes — dedup
+    # edge lists are ~0.1-1% of corpus rows even at heavy duplication).
+    # When it fits comfortably on the driver, union-find there replaces
+    # O(component diameter) distributed rounds of ~4 jobs each; the
+    # min-label-propagation loop below remains the big-graph path and
+    # computes the identical (doc_id, min-label) assignment.
+    SMALL_EDGE_LIMIT = 200_000
+    n_edges = edges.limit(SMALL_EDGE_LIMIT + 1).count()
+    if n_edges <= SMALL_EDGE_LIMIT:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for row in edges.collect():
+            a, b = row["a"], row["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp_min: dict = {}
+        for node in parent:
+            r = find(node)
+            m = comp_min.get(r)
+            comp_min[r] = node if m is None or node < m else m
+        out = [(node, comp_min[find(node)]) for node in sorted(parent)]
+        edges.unpersist()
+        return pairs.sparkSession.createDataFrame(
+            out, "doc_id bigint, cluster_id bigint"
+        )
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
@@ -440,6 +476,7 @@ def connected_components(
         labels = propagated
         if changed == 0:
             break
+    edges.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )

@@ -905,3 +905,26 @@ def test_mixture_upsample_multiplicity(spark, documents):
     again = sorted((r.doc_id, r.copy_idx) for r in mixture_upsample(
         documents, {"en": 2.5, "zh": 0.5}, domain_col="lang").collect())
     assert again == sorted((r.doc_id, r.copy_idx) for r in rows)
+
+
+def test_pretrain_funnel_monotone_and_deterministic(spark, documents):
+    from daily_top_songs_etl_spark.plans.pretrain import pretrain_corpus_funnel
+
+    bench = documents.filter(F.col("doc_id") < 3).select("doc_id", "text")
+    corpus = documents.filter(F.col("doc_id") >= 3)
+    out = {r.stage: (r.stage_idx, r.n_rows)
+           for r in pretrain_corpus_funnel(corpus, bench).collect()}
+    assert list(sorted(v[0] for v in out.values())) == list(range(1, 9))
+    # filtering stages only shrink the corpus
+    chain = ["raw", "quality_gate", "exact_dedup", "near_dedup",
+             "decontaminated", "mixture"]
+    for a, b in zip(chain, chain[1:]):
+        assert out[b][1] <= out[a][1], (a, b, out)
+    assert out["raw"][1] == corpus.count()
+    # chunking fans out; packing only groups
+    assert out["chunks"][1] >= out["mixture"][1]
+    assert out["packed_bins"][1] <= out["chunks"][1]
+    # deterministic end-to-end
+    again = {r.stage: (r.stage_idx, r.n_rows)
+             for r in pretrain_corpus_funnel(corpus, bench).collect()}
+    assert again == out
