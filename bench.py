@@ -93,8 +93,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for i, name in enumerate(names):
-        df = registry[name](spark, SF_DIR)
+        # Time construction + execution: iterative operators (kmeans, BPE
+        # train, the pretrain funnel) legitimately run driver-sequenced
+        # actions while BUILDING their result, so timing only the final
+        # noop write would under-charge them.
         t0 = time.perf_counter()
+        df = registry[name](spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         # Between-query hygiene (outside the timed region): drop persisted
