@@ -4781,8 +4781,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-Python BPE reference."""
     from daily_top_songs_etl_spark.extensions.bpe import bpe_train
 
-    merges, words = bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
-    words.unpersist()
+    merges, _words = bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
     rows = [
         (i + 1, left, right, left + right, freq)
         for i, (left, right, freq) in enumerate(merges)
@@ -4837,6 +4836,15 @@ SELECT doc_id,
            AS encoded_prefix
 FROM enc
 """
+
+
+def q_text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility per document (boilerplate/junk quality
+    signal) — the legitimate Arrow mapInPandas case: zlib has no column-
+    function form. Rows-only: compressed sizes are zlib-build-specific."""
+    from daily_top_songs_etl_spark.extensions.text import compression_ratio
+
+    return compression_ratio(_t(spark, sf_dir, "documents"))
 
 
 def q_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5013,6 +5021,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train": q_bpe_train,
     "approx_percentile": q_approx_percentile,
     "incremental_distinct": q_incremental_distinct,
+    "text_compress_ratio": q_text_compress_ratio,
     # --- registry tail: queries whose internal kernels produce complex
     # (array/struct) types. Their registry outputs are flattened to scalars,
     # but they sit LAST so a canonicalizer incident in an external harness

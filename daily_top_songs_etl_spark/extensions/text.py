@@ -687,3 +687,58 @@ def pack_chunks(
             F.col(tok_col).cast("bigint").alias("n_tokens"),
         )
     )
+
+
+def compression_ratio(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document zlib compressibility — the classic cheap boilerplate /
+    repetition quality signal (highly compressible text is template spam;
+    near-incompressible text is often binary junk or random strings).
+
+    This is the legitimate Python-kernel case (like the multimodal
+    decode): zlib is not expressible as column functions, so it rides an
+    Arrow-batched ``mapInPandas`` — one Python worker round-trip per
+    batch, not per row, and only (id, text) enter Python. Fixed zlib
+    level 6 keeps output deterministic for a given zlib build; outputs
+    are engine-specific, so the operator is rows-only (unit-tested on
+    planted repetitive vs high-entropy text).
+    """
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .fanout import fan_out_small_scan
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_raw, n_comp, ratio = [], [], []
+            for text in pdf[text_col]:
+                if text is None:
+                    n_raw.append(0)
+                    n_comp.append(0)
+                    ratio.append(None)
+                    continue
+                raw = text.encode("utf-8")
+                comp = zlib.compress(raw, 6)
+                n_raw.append(len(raw))
+                n_comp.append(len(comp))
+                ratio.append(
+                    round(len(comp) / len(raw), 6) if raw else None
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": n_raw,
+                    "n_compressed": n_comp,
+                    "compress_ratio": ratio,
+                }
+            )
+
+    narrow = fan_out_small_scan(documents.select(id_col, text_col))
+    return narrow.mapInPandas(
+        kernel,
+        f"{id_col} bigint, n_bytes int, n_compressed int, "
+        "compress_ratio double",
+    )

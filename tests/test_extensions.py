@@ -928,3 +928,25 @@ def test_pretrain_funnel_monotone_and_deterministic(spark, documents):
     again = {r.stage: (r.stage_idx, r.n_rows)
              for r in pretrain_corpus_funnel(corpus, bench).collect()}
     assert again == out
+
+
+def test_compression_ratio_separates_boilerplate_from_entropy(spark):
+    from daily_top_songs_etl_spark.extensions.text import compression_ratio
+
+    import hashlib
+    noisy = " ".join(
+        hashlib.md5(str(i).encode()).hexdigest() for i in range(60)
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam " * 100),  # template boilerplate
+            (1, noisy),                      # high-entropy
+            (2, None),                       # null text
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    assert rows[0].compress_ratio < 0.1      # repetitive → tiny ratio
+    assert rows[1].compress_ratio > 0.5      # random hex barely compresses
+    assert rows[2].compress_ratio is None and rows[2].n_bytes == 0
+    assert rows[0].n_bytes == len("spam spam spam " * 100)
