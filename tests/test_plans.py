@@ -430,3 +430,38 @@ def test_mixture_sample_broadcasts_rates_only(spark):
     plan = _formatted_plan(spark, "mixture_sample")
     assert "BroadcastHashJoin" in plan
     assert not _shuffle_exchanges(plan), _shuffle_exchanges(plan)
+
+
+# Suite-wide plan invariants: every registered query, one explain each.
+# Queries that run driver-sequenced actions during construction (kmeans,
+# BPE train, PQ, the funnel) still participate — their *returned* plan is
+# what executes downstream.
+_SANCTIONED_PYTHON_EVAL = {
+    # the two documented Python-kernel operators (Arrow mapInPandas)
+    "multimodal_features",
+    "text_compress_ratio",
+}
+
+
+def test_registry_wide_plan_invariants(spark):
+    import io as _io
+
+    offenders_python, offenders_cartesian = [], []
+    for name, q in entrymod.queries().items():
+        df = q(spark, SF_DIR)
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        if (
+            ("BatchEvalPython" in plan or "ArrowEvalPython" in plan
+             or "MapInPandas" in plan)
+            and name not in _SANCTIONED_PYTHON_EVAL
+        ):
+            offenders_python.append(name)
+        # BroadcastNestedLoopJoin (bounded side broadcast) is sanctioned;
+        # a real CartesianProduct operator is never acceptable.
+        if "CartesianProduct" in plan:
+            offenders_cartesian.append(name)
+    assert not offenders_python, f"row-at-a-time/unsanctioned Python: {offenders_python}"
+    assert not offenders_cartesian, f"cartesian products: {offenders_cartesian}"
