@@ -4838,6 +4838,46 @@ FROM enc
 """
 
 
+def q_observed_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight data-quality observation: metrics accumulate ON the
+    write job itself (df.observe) — zero extra scans, the 100 TB
+    validation pattern. The oracle recomputes the same aggregates with a
+    plain query, so the hash-match proves observe-on-write ≡ re-scan."""
+    from daily_top_songs_etl_spark.operators.observe import (
+        checked_write,
+        standard_metrics,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    got = checked_write(
+        li,
+        lambda d: d.write.mode("overwrite").format("noop").save(),
+        standard_metrics("l_quantity"),
+        {"has_rows": lambda m: m["n_rows"] > 0},
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(got["n_rows"]),
+                int(got["n_null_values"]),
+                float(got["min_value"]),
+                float(got["max_value"]),
+            )
+        ],
+        "n_rows bigint, n_null_values bigint, min_value double, max_value double",
+    )
+
+
+ORACLE_OBSERVED_WRITE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_values,
+       CAST(min(l_quantity) AS DOUBLE) AS min_value,
+       CAST(max(l_quantity) AS DOUBLE) AS max_value
+FROM lineitem
+"""
+
+
 def q_text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compressibility per document (boilerplate/junk quality
     signal) — the legitimate Arrow mapInPandas case: zlib has no column-
@@ -5022,6 +5062,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_percentile": q_approx_percentile,
     "incremental_distinct": q_incremental_distinct,
     "text_compress_ratio": q_text_compress_ratio,
+    "observed_write": q_observed_write,
     # --- registry tail: queries whose internal kernels produce complex
     # (array/struct) types. Their registry outputs are flattened to scalars,
     # but they sit LAST so a canonicalizer incident in an external harness
@@ -5160,6 +5201,7 @@ _ORACLES: dict[str, str] = {
     "part_supplier_counts": ORACLE_PART_SUPPLIER_COUNTS,
     "mixture_sample": ORACLE_MIXTURE_SAMPLE,
     "mixture_upsample": ORACLE_MIXTURE_UPSAMPLE,
+    "observed_write": ORACLE_OBSERVED_WRITE,
     "quality_linear": ORACLE_QUALITY_LINEAR,
     "pmi_topk": ORACLE_PMI_TOPK,
     "bpe_encode": ORACLE_BPE_ENCODE,

@@ -600,3 +600,44 @@ def test_merge_touched_partitions_leaves_others_byte_identical(spark, tmp_path):
         ).count()
         == 10
     )
+
+
+def test_checked_write_observes_in_flight_and_enforces_rules(spark, tmp_path):
+    import pytest as _pytest
+
+    from daily_top_songs_etl_spark.operators.observe import (
+        QualityViolation,
+        checked_write,
+        standard_metrics,
+    )
+
+    df = spark.range(1000).selectExpr(
+        "id", "CASE WHEN id % 10 = 0 THEN NULL ELSE CAST(id AS DOUBLE) END AS v"
+    )
+    out = str(tmp_path / "out")
+
+    got = checked_write(
+        df,
+        lambda d: d.write.mode("overwrite").parquet(out),
+        standard_metrics("v"),
+        {
+            "has_rows": lambda m: m["n_rows"] > 0,
+            "null_rate_under_15pct": lambda m: m["n_null_values"] / m["n_rows"] < 0.15,
+        },
+    )
+    # metrics observed on the write itself match a direct aggregation
+    assert got["n_rows"] == 1000
+    assert got["n_null_values"] == 100
+    assert got["min_value"] == 1.0 and got["max_value"] == 999.0
+    # and the data actually landed
+    assert spark.read.parquet(out).count() == 1000
+
+    with _pytest.raises(QualityViolation) as exc:
+        checked_write(
+            df,
+            lambda d: d.write.mode("overwrite").parquet(str(tmp_path / "o2")),
+            standard_metrics("v"),
+            {"no_nulls_at_all": lambda m: m["n_null_values"] == 0},
+        )
+    assert exc.value.failures == ["no_nulls_at_all"]
+    assert exc.value.metrics["n_null_values"] == 100
