@@ -64,15 +64,25 @@ class Catalog:
         return self.path(table) is not None
 
     def read(self, table: str) -> DataFrame:
+        declared = schemas.TABLE_SCHEMAS.get(table)
         p = self.path(table)
         if p is None:
+            if declared is None:
+                raise ValueError(
+                    f"table {table!r} does not exist and has no declared schema"
+                )
             # Empty table with declared schema — lets operators compose
             # before the first write (bootstrap, first micro-batch).
-            return self.spark.createDataFrame([], schemas.TABLE_SCHEMAS[table])
-        # Always supply the declared schema: a snapshot written from an
-        # empty DataFrame (e.g. retention purged every row) has no parquet
-        # footers to infer from, and declared types beat drifting inference.
-        return self.spark.read.schema(schemas.TABLE_SCHEMAS[table]).parquet(p)
+            return self.spark.createDataFrame([], declared)
+        # Supply the declared schema where one exists: a snapshot written
+        # from an empty DataFrame (e.g. retention purged every row) has no
+        # parquet footers to infer from, and declared types beat drifting
+        # inference. Extension-owned tables (materialized-view state,
+        # ledgers) are written non-empty and read by inference.
+        reader = self.spark.read
+        if declared is not None:
+            reader = reader.schema(declared)
+        return reader.parquet(p)
 
     def read_at(self, table: str, version: int) -> DataFrame:
         """Time-travel read of a retained snapshot version (Iceberg/Delta
@@ -86,7 +96,11 @@ class Catalog:
                 f"{table} v={version} not retained "
                 f"(current={cur}, keep={KEEP_VERSIONS})"
             )
-        return self.spark.read.schema(schemas.TABLE_SCHEMAS[table]).parquet(p)
+        declared = schemas.TABLE_SCHEMAS.get(table)
+        reader = self.spark.read
+        if declared is not None:
+            reader = reader.schema(declared)
+        return reader.parquet(p)
 
     def write(self, df: DataFrame, table: str) -> None:
         """Write a new snapshot version and flip the pointer atomically."""

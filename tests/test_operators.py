@@ -641,3 +641,50 @@ def test_checked_write_observes_in_flight_and_enforces_rules(spark, tmp_path):
         )
     assert exc.value.failures == ["no_nulls_at_all"]
     assert exc.value.metrics["n_null_values"] == 100
+
+
+def test_incremental_view_exactly_once_and_matches_recompute(spark, tmp_path):
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.operators.matview import IncrementalView
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    view = IncrementalView(cat, "daily_totals", ["k"], "v")
+
+    batches = []
+    for b in range(3):
+        rows = [((b * 7 + i) % 4, float(i + b)) for i in range(50)]
+        batches.append(
+            spark.createDataFrame(
+                [(str(k), v) for k, v in rows], "k string, v double"
+            )
+        )
+    for b, df in enumerate(batches):
+        assert view.refresh(df, batch_id=f"batch-{b}") is True
+
+    # replayed batch: refused, state untouched (exactly-once)
+    v_before = cat.current_version("daily_totals")
+    assert view.refresh(batches[1], batch_id="batch-1") is False
+    assert cat.current_version("daily_totals") == v_before
+
+    got = {r.k: r for r in view.read().collect()}
+    full = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    expect = {
+        r.k: r
+        for r in full.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.min("v").alias("min_value"),
+            F.max("v").alias("max_value"),
+        )
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for k in got:
+        assert got[k].n_rows == expect[k].n_rows
+        assert got[k].sum_value == expect[k].sum_value
+        assert got[k].min_value == expect[k].min_value
+        assert got[k].max_value == expect[k].max_value
+
+    # time travel: the pre-batch-2 snapshot is still readable
+    assert cat.read_at("daily_totals", 2).count() > 0
