@@ -86,3 +86,40 @@ def read_distinct_state(spark: SparkSession, state_dir: str) -> DataFrame:
     if latest is None:
         raise FileNotFoundError(f"no state versions under {state_dir}")
     return spark.read.parquet(latest)
+
+
+def run_incremental_view_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    landing_schema,
+    view,
+) -> None:
+    """Maintain an :class:`..operators.matview.IncrementalView` from a
+    landing stream: ``foreachBatch`` hands each micro-batch a stable
+    ``batch_id`` (Structured Streaming replays a failed batch under the
+    SAME id), which becomes the view's ledger key — so the
+    at-least-once replay of foreachBatch composes with the view's
+    exactly-once ledger into end-to-end exactly-once aggregate state.
+
+    Note: no checkpointLocation is required for correctness here (the
+    ledger deduplicates), but passing the stream through a checkpoint
+    avoids re-reading already-applied files; for simplicity this drain
+    variant relies on the ledger alone.
+    """
+    stream = (
+        spark.readStream.schema(landing_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        view.refresh(batch_df, batch_id=f"stream-{batch_id}")
+
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -370,3 +370,56 @@ def test_distinct_state_stream_matches_batch_and_is_replay_safe(spark, tmp_path)
         ).collect()
     }
     assert replayed == streamed  # register max(x, x) = x — exact
+
+
+def test_incremental_view_stream_exactly_once_under_restart(spark, tmp_path):
+    """Drain event batches into an IncrementalView via foreachBatch; a
+    SECOND drain with no checkpoint re-reads every file under the same
+    batch ids — the ledger must refuse them all, leaving state equal to
+    a single full recompute."""
+    from pyspark.sql import types as T
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.operators.matview import IncrementalView
+    from daily_top_songs_etl_spark.streaming.distinct_state import (
+        run_incremental_view_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    all_rows = []
+    for b in range(3):
+        rows = [(str((b + i) % 3), float(i)) for i in range(100)]
+        all_rows += rows
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    view = IncrementalView(cat, "stream_totals", ["k"], "v")
+    run_incremental_view_stream(spark, landing, schema, view)
+    first = {r.k: (r.n_rows, r.sum_value) for r in view.read().collect()}
+
+    # no checkpoint → the second drain REPLAYS every file with the same
+    # deterministic batch ids; the ledger must refuse all of them
+    run_incremental_view_stream(spark, landing, schema, view)
+    second = {r.k: (r.n_rows, r.sum_value) for r in view.read().collect()}
+    assert second == first
+
+    expect = {
+        r.k: (r.n_rows, r.sum_value)
+        for r in spark.createDataFrame(all_rows, schema)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert first == expect
