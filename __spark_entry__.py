@@ -4838,6 +4838,51 @@ FROM enc
 """
 
 
+def q_dedup_segments_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicated-segment removal applied: first occurrence of
+    each 10-token segment (by doc_id, seg_idx) survives; documents are
+    rebuilt from surviving segments. One window on the segment key + one
+    doc-key rebuild shuffle."""
+    from daily_top_songs_etl_spark.extensions.text import dedup_segments_apply
+
+    return dedup_segments_apply(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_SEGMENTS = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+), segs AS (
+  SELECT doc_id, g.i AS seg_idx,
+         array_to_string(t[(g.i * 10 + 1):(g.i * 10 + 10)], ' ') AS seg
+  FROM tok, LATERAL unnest(generate_series(0,
+         CAST(ceil(len(t) / 10.0) AS INTEGER) - 1)) AS g(i)
+), ranked AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       substring(coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                                     ORDER BY seg_idx), ''), 1, 80)
+           AS clean_prefix
+FROM ranked
+GROUP BY doc_id
+"""
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFKC unicode normalization — the third sanctioned Arrow kernel
+    (no JVM column function for unicode normalization). Rows-only."""
+    from daily_top_songs_etl_spark.extensions.text import normalize_unicode
+
+    return normalize_unicode(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.substring("norm_text", 1, 80).alias("norm_prefix"), "changed"
+    )
+
+
 def q_observed_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-flight data-quality observation: metrics accumulate ON the
     write job itself (df.observe) — zero extra scans, the 100 TB
@@ -5063,6 +5108,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_distinct": q_incremental_distinct,
     "text_compress_ratio": q_text_compress_ratio,
     "observed_write": q_observed_write,
+    "dedup_segments_apply": q_dedup_segments_apply,
+    "text_normalize": q_text_normalize,
     # --- registry tail: queries whose internal kernels produce complex
     # (array/struct) types. Their registry outputs are flattened to scalars,
     # but they sit LAST so a canonicalizer incident in an external harness
@@ -5202,6 +5249,7 @@ _ORACLES: dict[str, str] = {
     "mixture_sample": ORACLE_MIXTURE_SAMPLE,
     "mixture_upsample": ORACLE_MIXTURE_UPSAMPLE,
     "observed_write": ORACLE_OBSERVED_WRITE,
+    "dedup_segments_apply": ORACLE_DEDUP_SEGMENTS,
     "quality_linear": ORACLE_QUALITY_LINEAR,
     "pmi_topk": ORACLE_PMI_TOPK,
     "bpe_encode": ORACLE_BPE_ENCODE,

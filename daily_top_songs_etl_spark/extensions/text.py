@@ -742,3 +742,114 @@ def compression_ratio(
         f"{id_col} bigint, n_bytes int, n_compressed int, "
         "compress_ratio double",
     )
+
+
+def normalize_unicode(
+    documents: DataFrame,
+    form: str = "NFKC",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unicode normalization (default NFKC — the standard pretraining
+    canonicalization: compatibility folds fullwidth/ligature forms and
+    composes combining marks). No JVM column function exists for this, so
+    it is the third sanctioned Arrow ``mapInPandas`` kernel (with the
+    multimodal decode and zlib compressibility); only (id, text) enter
+    Python, and the changed flag lets a pipeline write back only rows
+    normalization actually touched."""
+    import unicodedata
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .fanout import fan_out_small_scan
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            norm = [
+                None if t is None else unicodedata.normalize(form, t)
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "norm_text": norm,
+                    "changed": [
+                        (t is not None and n != t)
+                        for t, n in zip(pdf[text_col], norm)
+                    ],
+                }
+            )
+
+    narrow = fan_out_small_scan(documents.select(id_col, text_col))
+    return narrow.mapInPandas(
+        kernel, f"{id_col} bigint, norm_text string, changed boolean"
+    )
+
+
+def dedup_segments_apply(
+    documents: DataFrame,
+    seg_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide duplicated-SEGMENT removal (the C4 line-dedup rule,
+    over fixed ``seg_tokens``-token segments): only the FIRST occurrence
+    of each distinct segment — ordered by (doc_id, seg_idx) — survives;
+    later copies (boilerplate headers, templated paragraphs) are cut and
+    each document is rebuilt from its surviving segments in order.
+
+    Plan shape: segment explode is array-domain (no shuffle); the
+    first-occurrence decision is ONE window over the segment text (hash
+    partitioned — a pathologically hot boilerplate segment can skew this
+    key; salt it with a later rebuild pass if profiles show it); the doc
+    rebuild re-shuffles on doc_id with an order-free sort_array +
+    collect_list (deterministic regardless of arrival order).
+    """
+    from pyspark.sql.window import Window
+
+    t = tokens(text_col)
+    segs = F.transform(
+        F.array(t),
+        lambda tt: F.transform(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size(tt) / F.lit(float(seg_tokens))).cast("int") - 1,
+            ),
+            lambda i: F.concat_ws(
+                " ", F.slice(tt, i * seg_tokens + 1, seg_tokens)
+            ),
+        ),
+    )[0]
+    exploded = documents.select(
+        id_col, F.posexplode(segs).alias("seg_idx", "seg")
+    )
+    w = Window.partitionBy("seg").orderBy(id_col, "seg_idx")
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.substring(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("rn") == 1,
+                                    F.struct("seg_idx", "seg"),
+                                )
+                            )
+                        ),
+                        lambda x: x["seg"],
+                    ),
+                    " ",
+                ),
+                1,
+                80,
+            ).alias("clean_prefix"),
+        )
+    )

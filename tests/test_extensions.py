@@ -950,3 +950,42 @@ def test_compression_ratio_separates_boilerplate_from_entropy(spark):
     assert rows[1].compress_ratio > 0.5      # random hex barely compresses
     assert rows[2].compress_ratio is None and rows[2].n_bytes == 0
     assert rows[0].n_bytes == len("spam spam spam " * 100)
+
+
+def test_dedup_segments_apply_cuts_planted_boilerplate(spark):
+    from daily_top_songs_etl_spark.extensions.text import dedup_segments_apply
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # exactly one segment
+    docs = spark.createDataFrame(
+        [
+            (0, boiler + " " + " ".join(f"x{i}" for i in range(10))),
+            (1, boiler + " " + " ".join(f"y{i}" for i in range(10))),
+            (2, " ".join(f"z{i}" for i in range(5))),  # short tail only
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dedup_segments_apply(docs).collect()}
+    # doc 0 keeps both segments; doc 1 loses the boilerplate copy
+    assert rows[0].n_segments == 2 and rows[0].n_kept == 2
+    assert rows[1].n_segments == 2 and rows[1].n_kept == 1
+    assert rows[1].clean_prefix.startswith("y0 ")
+    assert boiler.split()[0] in rows[0].clean_prefix
+    assert rows[2].n_segments == 1 and rows[2].n_kept == 1
+
+
+def test_normalize_unicode_nfkc(spark):
+    from daily_top_songs_etl_spark.extensions.text import normalize_unicode
+
+    docs = spark.createDataFrame(
+        [
+            (0, "café ﬁne ６４"),  # combining accent, ligature, fullwidth
+            (1, "plain ascii"),
+            (2, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in normalize_unicode(docs).collect()}
+    assert rows[0].norm_text == "café fine 64"
+    assert rows[0].changed is True
+    assert rows[1].norm_text == "plain ascii" and rows[1].changed is False
+    assert rows[2].norm_text is None and rows[2].changed is False

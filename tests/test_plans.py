@@ -440,6 +440,7 @@ _SANCTIONED_PYTHON_EVAL = {
     # the two documented Python-kernel operators (Arrow mapInPandas)
     "multimodal_features",
     "text_compress_ratio",
+    "text_normalize",
 }
 
 
