@@ -2707,6 +2707,70 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, emb.filter(F.col("vec_id") < 8), codebook, m=4, k=5)
 
 
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE Lloyd assignment pass with the deterministic lowest-id init —
+    the SQL-expressible core of the kmeans loop, oracle-verified so the
+    iterative query's building block has a hash-matched row: broadcast
+    k=4 centroids, exact BIGINT squared distances, min-struct argmin
+    with cluster-id tie-break."""
+    from daily_top_songs_etl_spark.extensions.similarity import (
+        quantize_embeddings,
+    )
+
+    q = quantize_embeddings(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "qvec"
+    )
+    c = (
+        q.orderBy("vec_id")
+        .limit(4)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
+                "cluster"
+            ),
+            F.col("qvec").alias("cvec"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with("qvec", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    return (
+        q.crossJoin(F.broadcast(c))
+        .withColumn("d2", d2)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cluster")).alias("best"))
+        .select(
+            "vec_id",
+            F.col("best.cluster").cast("int").alias("cluster"),
+            F.col("best.d2").cast("bigint").alias("dist2"),
+        )
+    )
+
+
+ORACLE_KMEANS_ASSIGN = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+  FROM embeddings
+), c AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+         qv AS cv
+  FROM q ORDER BY vec_id LIMIT 4
+), d AS (
+  SELECT q.vec_id, c.cluster,
+         CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+              i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) AS d2
+  FROM q CROSS JOIN c
+)
+SELECT vec_id, cluster, d2 AS dist2
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, cluster) AS rn FROM d)
+WHERE rn = 1
+"""
+
+
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization: train m=4 subspace codebooks (k=8, 2 Lloyd
     iterations each — the kmeans loop per 16-dim slice), then encode
@@ -5122,6 +5186,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_normalize": q_embedding_normalize,
     "embedding_int8": q_embedding_int8,
     "kmeans": q_kmeans,
+    "kmeans_assign": q_kmeans_assign,
     "pq_codes": q_pq_codes,
     "pq_topk_adc": q_pq_topk,
 }
@@ -5250,6 +5315,7 @@ _ORACLES: dict[str, str] = {
     "mixture_upsample": ORACLE_MIXTURE_UPSAMPLE,
     "observed_write": ORACLE_OBSERVED_WRITE,
     "dedup_segments_apply": ORACLE_DEDUP_SEGMENTS,
+    "kmeans_assign": ORACLE_KMEANS_ASSIGN,
     "quality_linear": ORACLE_QUALITY_LINEAR,
     "pmi_topk": ORACLE_PMI_TOPK,
     "bpe_encode": ORACLE_BPE_ENCODE,
