@@ -4856,6 +4856,47 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_top_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE training iteration's argmax (most frequent adjacent
+    character pair, frequency-weighted, lexicographic tie-break) — the
+    SQL-expressible core of the iterative trainer, oracle-verified like
+    kmeans_assign."""
+    from daily_top_songs_etl_spark.extensions.bpe import (
+        _pair_counts,
+        word_symbol_counts,
+    )
+
+    top = (
+        _pair_counts(word_symbol_counts(_t(spark, sf_dir, "documents")))
+        .orderBy(F.col("pair_freq").desc(), F.col("left"), F.col("right"))
+        .limit(1)
+    )
+    return top.select(
+        F.col("left").alias("left_sym"),
+        F.col("right").alias("right_sym"),
+        F.col("pair_freq").cast("bigint").alias("pair_freq"),
+    )
+
+
+ORACLE_BPE_TOP_PAIR = r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+  FROM documents
+), w AS (
+  SELECT word, count(*) AS freq FROM tok WHERE word <> '' GROUP BY word
+), pairs AS (
+  SELECT substring(word, g.i, 1) AS left_sym,
+         substring(word, g.i + 1, 1) AS right_sym, freq
+  FROM w, LATERAL unnest(generate_series(1, length(word) - 1)) AS g(i)
+  WHERE length(word) >= 2
+)
+SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS pair_freq
+FROM pairs GROUP BY 1, 2
+ORDER BY pair_freq DESC, left_sym, right_sym
+LIMIT 1
+"""
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode every document with the fixed merge table: per-word char
     split + one chained regexp_replace per merge — pure codegen
@@ -5167,6 +5208,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_linear": q_quality_linear,
     "pmi_topk": q_pmi_topk,
     "bpe_encode": q_bpe_encode,
+    "bpe_top_pair": q_bpe_top_pair,
     "bpe_train": q_bpe_train,
     "approx_percentile": q_approx_percentile,
     "incremental_distinct": q_incremental_distinct,
@@ -5319,6 +5361,7 @@ _ORACLES: dict[str, str] = {
     "quality_linear": ORACLE_QUALITY_LINEAR,
     "pmi_topk": ORACLE_PMI_TOPK,
     "bpe_encode": ORACLE_BPE_ENCODE,
+    "bpe_top_pair": ORACLE_BPE_TOP_PAIR,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and
     # tests/test_extensions bounds its error against the exact count.
