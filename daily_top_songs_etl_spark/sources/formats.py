@@ -86,3 +86,28 @@ def read_text(
     (``wholetext`` — for the document pipeline where a file IS a
     document; non-splittable, so per-file parallelism only)."""
     return spark.read.text(path, wholetext=doc_per_file)
+
+
+def read_parquet_resilient(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    ignore_corrupt: bool = True,
+) -> DataFrame:
+    """Parquet scan that survives corrupt/truncated files in the input
+    layout — the operational reality of petabyte landing zones (a failed
+    upload leaves a torn file; one bad object must not kill a 100 TB
+    job). Spark's ``ignoreCorruptFiles`` skips unreadable FILES at scan
+    time (footer/magic-byte validation); pair with the JSONL quarantine
+    reader for row-level corruption.
+
+    Scoped per-read via DataFrameReader options, NOT session-wide conf:
+    a global ignoreCorruptFiles silently masks real data loss in jobs
+    that should fail loudly.
+    """
+    reader = spark.read.option(
+        "ignoreCorruptFiles", "true" if ignore_corrupt else "false"
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)

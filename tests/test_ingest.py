@@ -186,3 +186,35 @@ def test_text_reader_line_and_wholetext_modes(spark, tmp_path):
     ]
     docs = read_text(spark, str(src), doc_per_file=True).collect()
     assert len(docs) == 2 and any("line one\nline two" in r.value for r in docs)
+
+
+def test_resilient_parquet_scan_skips_torn_files(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from daily_top_songs_etl_spark.sources.formats import (
+        read_parquet_resilient,
+    )
+
+    target = str(tmp_path / "landing")
+    spark.range(100).selectExpr("id", "id * 2 AS v").coalesce(2).write.parquet(
+        target
+    )
+    # simulate a failed upload: a torn file with a valid-looking name
+    import os
+
+    with open(os.path.join(target, "part-torn.snappy.parquet"), "wb") as fh:
+        fh.write(b"PAR1this-is-not-a-real-parquet-file")
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    out = read_parquet_resilient(spark, target, schema)
+    assert out.count() == 100  # good files fully read, torn file skipped
+
+    # loud-failure mode still fails on the torn file
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_parquet_resilient(
+            spark, target, schema, ignore_corrupt=False
+        ).count()
