@@ -466,3 +466,16 @@ def test_registry_wide_plan_invariants(spark):
             offenders_cartesian.append(name)
     assert not offenders_python, f"row-at-a-time/unsanctioned Python: {offenders_python}"
     assert not offenders_cartesian, f"cartesian products: {offenders_cartesian}"
+
+
+def test_mixture_upsample_broadcast_only(spark):
+    plan = _formatted_plan(spark, "mixture_upsample")
+    assert "BroadcastHashJoin" in plan
+    assert not _shuffle_exchanges(plan), _shuffle_exchanges(plan)
+
+
+def test_dedup_segments_apply_two_shuffles(spark):
+    """Exactly the two documented exchanges: the first-occurrence window
+    on the segment key and the per-document rebuild aggregate."""
+    plan = _formatted_plan(spark, "dedup_segments_apply")
+    assert len(_shuffle_exchanges(plan)) == 2, _shuffle_exchanges(plan)
