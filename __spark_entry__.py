@@ -2771,6 +2771,29 @@ WHERE rn = 1
 """
 
 
+def q_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted ANN index lifecycle: train the coarse quantizer, store
+    centroids + pre-quantized inverted lists as versioned catalog
+    tables, then answer queries off the STORED index (probe n_probe
+    lists, exact re-rank — no corpus-wide pass at query time). Rows-only
+    (trained index); unit test pins recall, query-without-rebuild
+    identity, and snapshot versioning."""
+    import tempfile
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.ann_index import (
+        build_ann_index,
+        query_ann_index,
+    )
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="spark_graft_ann_"))
+    emb = _t(spark, sf_dir, "embeddings")
+    build_ann_index(cat, "idx", emb, n_centroids=8, iters=2)
+    return query_ann_index(
+        cat, "idx", emb.filter(F.col("vec_id") < 8), k=5, n_probe=2
+    )
+
+
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization: train m=4 subspace codebooks (k=8, 2 Lloyd
     iterations each — the kmeans loop per 16-dim slice), then encode
@@ -5230,6 +5253,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans": q_kmeans,
     "kmeans_assign": q_kmeans_assign,
     "pq_codes": q_pq_codes,
+    "ann_index_query": q_ann_index_query,
     "pq_topk_adc": q_pq_topk,
 }
 

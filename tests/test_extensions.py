@@ -989,3 +989,39 @@ def test_normalize_unicode_nfkc(spark):
     assert rows[0].changed is True
     assert rows[1].norm_text == "plain ascii" and rows[1].changed is False
     assert rows[2].norm_text is None and rows[2].changed is False
+
+
+def test_persisted_ann_index_build_query_recall(spark, embeddings, tmp_path):
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.ann_index import (
+        build_ann_index,
+        query_ann_index,
+    )
+    from daily_top_songs_etl_spark.extensions.similarity import brute_force_topk
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    build_ann_index(cat, "vecs", embeddings, n_centroids=8, iters=2)
+    assert cat.exists("vecs__centroids") and cat.exists("vecs__lists")
+    # every corpus vector landed in exactly one list
+    assert cat.read("vecs__lists").count() == embeddings.count()
+
+    queries = embeddings.filter(F.col("vec_id") < 8)
+    got = query_ann_index(cat, "vecs", queries, k=5, n_probe=2)
+    exact = brute_force_topk(embeddings, queries, k=5)
+    g = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    recall = len(g & e) / len(e)
+    assert recall >= 0.3, f"persisted-index recall {recall:.2f}"
+
+    # query again WITHOUT rebuilding: identical answers off the stored index
+    again = {
+        (r.query_id, r.neighbor_id)
+        for r in query_ann_index(cat, "vecs", queries, k=5, n_probe=2).collect()
+    }
+    assert again == g
+
+    # rebuild writes a new snapshot version (queries racing a rebuild
+    # read a consistent older index)
+    v1 = cat.current_version("vecs__lists")
+    build_ann_index(cat, "vecs", embeddings, n_centroids=8, iters=2)
+    assert cat.current_version("vecs__lists") == v1 + 1
