@@ -2379,14 +2379,17 @@ def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "n_chars",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        # unrounded: identical IEEE integer division both engines;
+        # round(x, 6) diverges on exact .xxxxxx5 boundaries (HALF_UP vs
+        # half-even — see window_rank_family)
+        F.percent_rank().over(w).alias("pct_rank"),
         F.ntile(10).over(w).cast("bigint").alias("decile"),
     )
 
 
 ORACLE_LENGTH_PERCENTILES = """
 SELECT doc_id, lang, n_chars,
-       round(percent_rank() OVER w, 6) AS pct_rank,
+       percent_rank() OVER w AS pct_rank,
        CAST(ntile(10) OVER w AS BIGINT) AS decile
 FROM documents
 WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
@@ -4528,17 +4531,21 @@ def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full ranking-window family per nation over customer balances,
     under one shared window spec — one shuffle on the partition key serves
     all five functions (Catalyst collapses same-spec windows into a single
-    Window operator). Total order via (c_acctbal, c_custkey) tie-break;
-    percent_rank/cume_dist are exact small-integer ratios, deterministic
-    in both engines."""
+    Window operator). Total order via (c_acctbal, c_custkey) tie-break.
+
+    percent_rank/cume_dist ride UNROUNDED: both engines compute the same
+    small-integer division in IEEE double, so the raw bits agree —
+    whereas round(x, 6) lands on exact .xxxxxx5 boundaries (41/640 =
+    0.0640625) where Spark rounds HALF_UP and DuckDB half-to-even and
+    the 6-decimal forms diverge (observed at sf0.1)."""
     customer = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     return customer.select(
         "c_nationkey",
         "c_custkey",
         F.dense_rank().over(w).cast("bigint").alias("drank"),
-        F.round(F.percent_rank().over(w), 6).alias("prank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
         F.first_value(F.col("c_custkey")).over(w).alias("poorest_custkey"),
     )
 
@@ -4546,8 +4553,8 @@ def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_WINDOW_RANK_FAMILY = """
 SELECT c_nationkey, c_custkey,
        CAST(dense_rank() OVER w AS BIGINT) AS drank,
-       round(percent_rank() OVER w, 6) AS prank,
-       round(cume_dist() OVER w, 6) AS cdist,
+       percent_rank() OVER w AS prank,
+       cume_dist() OVER w AS cdist,
        first_value(c_custkey) OVER w AS poorest_custkey
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
