@@ -5018,6 +5018,37 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens exceeding 0.5% of the corpus, via the two-pass exact
+    heavy-hitter rewrite (per-partition candidates by pigeonhole — no
+    true heavy hitter can be missed — then exact verification of the
+    broadcast-sized candidate set). The oracle is the naive full
+    GROUP BY ... HAVING: the hash-match proves the two-pass pruning is
+    lossless."""
+    from daily_top_songs_etl_spark.extensions.fanout import fan_out_small_scan
+    from daily_top_songs_etl_spark.operators.heavyhitters import heavy_hitters
+
+    toks = fan_out_small_scan(_t(spark, sf_dir, "documents")).select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("token")
+    )
+    return heavy_hitters(toks, "token", phi=0.005)
+
+
+ORACLE_HEAVY_HITTERS = r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS item
+  FROM documents
+), tot AS (SELECT count(*) AS n_total FROM tok)
+SELECT item, CAST(count(*) AS BIGINT) AS item_count,
+       CAST((SELECT n_total FROM tot) AS BIGINT) AS n_total
+FROM tok GROUP BY item
+HAVING CAST(count(*) AS DOUBLE)
+       > CAST((SELECT n_total FROM tot) AS DOUBLE) * 0.005
+"""
+
+
 def q_observed_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-flight data-quality observation: metrics accumulate ON the
     write job itself (df.observe) — zero extra scans, the 100 TB
@@ -5244,6 +5275,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_distinct": q_incremental_distinct,
     "text_compress_ratio": q_text_compress_ratio,
     "observed_write": q_observed_write,
+    "heavy_hitters": q_heavy_hitters,
     "dedup_segments_apply": q_dedup_segments_apply,
     "text_normalize": q_text_normalize,
     # --- registry tail: queries whose internal kernels produce complex
@@ -5387,6 +5419,7 @@ _ORACLES: dict[str, str] = {
     "mixture_sample": ORACLE_MIXTURE_SAMPLE,
     "mixture_upsample": ORACLE_MIXTURE_UPSAMPLE,
     "observed_write": ORACLE_OBSERVED_WRITE,
+    "heavy_hitters": ORACLE_HEAVY_HITTERS,
     "dedup_segments_apply": ORACLE_DEDUP_SEGMENTS,
     "kmeans_assign": ORACLE_KMEANS_ASSIGN,
     "quality_linear": ORACLE_QUALITY_LINEAR,

@@ -688,3 +688,24 @@ def test_incremental_view_exactly_once_and_matches_recompute(spark, tmp_path):
 
     # time travel: the pre-batch-2 snapshot is still readable
     assert cat.read_at("daily_totals", 2).count() > 0
+
+
+def test_heavy_hitters_exact_recall_and_false_positive_drop(spark):
+    from daily_top_songs_etl_spark.operators.heavyhitters import heavy_hitters
+
+    # 10k rows in 8 partitions: "hot" = 2% globally, spread evenly (never
+    # dramatically local-heavy); "spike" = locally heavy in ONE partition
+    # but only 0.3% globally (a pass-1 candidate that pass 2 must drop).
+    rows = []
+    for i in range(10000):
+        if i % 50 == 0:
+            rows.append(("hot",))
+        elif i < 30:
+            rows.append(("spike",))
+        else:
+            rows.append((f"tail_{i % 3000}",))
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+    out = {r.item: r.item_count for r in heavy_hitters(df, "item", phi=0.005).collect()}
+    assert out.get("hot") == 200          # exact count, found
+    assert "spike" not in out             # false positive dropped exactly
+    assert all(not k.startswith("tail_") for k in out)
