@@ -684,6 +684,41 @@ GROUP BY 1, 2
 """
 
 
+def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-agreement Jaccard estimates for LSH candidate pairs —
+    the verdict step that never re-touches the shingle sets: est =
+    n_agree/8, an exact binary fraction (no rounding hazard)."""
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        minhash_jaccard_estimates,
+    )
+
+    return minhash_jaccard_estimates(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_MINHASH_EST = f"""{_SQL_SHINGLES}
+, sig AS (
+  SELECT doc_id,
+         {_SIG_COLS}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  {_BAND_SELECTS}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+)
+SELECT c.doc_id_a, c.doc_id_b,
+       CAST({" + ".join(f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)" for i in range(8))}
+            AS INTEGER) AS n_agree,
+       CAST({" + ".join(f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)" for i in range(8))}
+            AS DOUBLE) / 8.0 AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_id_a
+JOIN sig sb ON sb.doc_id = c.doc_id_b
+"""
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daily_top_songs_etl_spark.extensions.dedup import ngram_jaccard_pairs
 
@@ -5184,6 +5219,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_spans": q_dedup_spans,
     "tfidf_topk": q_tfidf_topk,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_minhash_estimate": q_dedup_minhash_estimate,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -5319,6 +5355,7 @@ _ORACLES: dict[str, str] = {
     "dedup_spans": ORACLE_DEDUP_SPANS,
     "tfidf_topk": ORACLE_TFIDF_TOPK,
     "dedup_minhash_pairs": ORACLE_DEDUP_MINHASH,
+    "dedup_minhash_estimate": ORACLE_DEDUP_MINHASH_EST,
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,

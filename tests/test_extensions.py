@@ -1025,3 +1025,30 @@ def test_persisted_ann_index_build_query_recall(spark, embeddings, tmp_path):
     v1 = cat.current_version("vecs__lists")
     build_ann_index(cat, "vecs", embeddings, n_centroids=8, iters=2)
     assert cat.current_version("vecs__lists") == v1 + 1
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, documents):
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        minhash_jaccard_estimates,
+        ngram_jaccard_pairs,
+    )
+
+    est = {
+        (r.doc_id_a, r.doc_id_b): r.est_jaccard
+        for r in minhash_jaccard_estimates(documents).collect()
+    }
+    exact = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in ngram_jaccard_pairs(documents, min_jaccard=0.0).collect()
+    }
+    common = set(est) & set(exact)
+    assert common, "LSH candidates should include some true pairs"
+    high = [est[p] for p in common if exact[p] >= 0.8]
+    low = [est[p] for p in common if exact[p] < 0.3]
+    assert high and sum(high) / len(high) >= 0.6  # near-dups score high
+    if low:
+        assert sum(low) / len(low) <= sum(high) / len(high) - 0.2
+    # unbiasedness proxy: mean |est − exact| over candidates is bounded
+    # by sketch noise at 8 components
+    mae = sum(abs(est[p] - exact[p]) for p in common) / len(common)
+    assert mae <= 0.25, mae
