@@ -2816,6 +2816,8 @@ def q_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists, exact re-rank — no corpus-wide pass at query time). Rows-only
     (trained index); unit test pins recall, query-without-rebuild
     identity, and snapshot versioning."""
+    import atexit
+    import shutil
     import tempfile
 
     from daily_top_songs_etl_spark.catalog import Catalog
@@ -2824,7 +2826,9 @@ def q_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_ann_index,
     )
 
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="spark_graft_ann_"))
+    ann_dir = tempfile.mkdtemp(prefix="spark_graft_ann_")
+    atexit.register(shutil.rmtree, ann_dir, ignore_errors=True)
+    cat = Catalog(spark, ann_dir)
     emb = _t(spark, sf_dir, "embeddings")
     build_ann_index(cat, "idx", emb, n_centroids=8, iters=2)
     return query_ann_index(
@@ -4977,10 +4981,14 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_chain_sql() -> str:
     """The DuckDB mirror of extensions.bpe.apply_merges over FIXED_MERGES
     (RE2 backrefs, double-space separator contract, whole-document pass
-    with the ¤ word-boundary marker — identical to encode_with_merges)."""
+    with the ¤ word-boundary marker — identical to encode_with_merges,
+    including the defensive strip of the marker char from each token)."""
     from daily_top_songs_etl_spark.extensions.bpe import FIXED_MERGES, WORD_MARKER
 
-    inner = f"array_to_string(t, '{WORD_MARKER}')"
+    inner = (
+        f"array_to_string(list_transform(t, "
+        f"w -> replace(w, '{WORD_MARKER}', '')), '{WORD_MARKER}')"
+    )
     expr = rf"' ' || regexp_replace({inner}, '(.)', ' \1 ', 'g') || ' '"
     for left, right in FIXED_MERGES:
         expr = (
@@ -5184,18 +5192,24 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry
 # --------------------------------------------------------------------------
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- registry head: the first 50 entries are the driver's correctness
+    # window (CORRECTNESS_r{N}.json samples exactly these slots in order).
+    # Invariant: every entry here MUST be oracle-paired (_ORACLES key exists)
+    # so all 50 hard-signal slots carry a rows+schema+hash verdict. Rows-only
+    # queries (sketches, iterative fits, funnel compositions) live past slot
+    # 50 where the driver records the weaker rows-only check.
     "string_agg": q_string_agg,
     "decontaminate": q_decontaminate,
     "token_freq_score": q_token_freq_score,
     "vocab_build": q_vocab_build,
-    "vocab_encode": q_vocab_encode,
     "value_deciles": q_value_deciles,
     "incremental_agg": q_incremental_agg,
     "global_row_number": q_global_row_number,
-    "train_order": q_train_order,
-    "pretrain_funnel": q_pretrain_funnel,
+    "heavy_hitters": q_heavy_hitters,
+    "sessionize": q_sessionize,
+    "scd2_apply": q_scd2_apply,
     "trend_slope": q_trend_slope,
-    "zorder_value": q_zorder_value,
+    "star_join_agg": q_star_join_agg,
     "profile_columns": q_profile_columns,
     "window_rank_family": q_window_rank_family,
     "rank_delta_two_dates": q_rank_delta_two_dates,
@@ -5219,32 +5233,36 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_spans": q_dedup_spans,
     "tfidf_topk": q_tfidf_topk,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
-    "dedup_minhash_estimate": q_dedup_minhash_estimate,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_jaccard": q_dedup_jaccard,
-    "dedup_simhash": q_dedup_simhash,
+    "window_running": q_window_running,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "stream_tumbling_window": q_stream_tumbling_window,
-    "stream_session_window": q_stream_session_window,
+    "percentile_agg": q_percentile_agg,
     "text_fingerprint": q_text_fingerprint,
-    "text_winnow": q_text_winnow,
-    "dedup_jaccard_lsh": q_dedup_jaccard_lsh,
+    "setop_except": q_setop_except,
+    "setop_intersect": q_setop_intersect,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
-    "sim_topk_lsh": q_sim_topk_lsh,
+    "sim_topk_ivf": q_sim_topk_ivf,
     "asof_join": q_asof_join,
     "merge_patch": q_merge_patch,
     "rollup_agg": q_rollup_agg,
-    "setop_except": q_setop_except,
-    "setop_intersect": q_setop_intersect,
-    "percentile_agg": q_percentile_agg,
-    "window_running": q_window_running,
+    # --- end of driver correctness window (slot 50) ---
+    "vocab_encode": q_vocab_encode,
+    "train_order": q_train_order,
+    "pretrain_funnel": q_pretrain_funnel,
+    "zorder_value": q_zorder_value,
+    "dedup_minhash_estimate": q_dedup_minhash_estimate,
+    "dedup_jaccard_lsh": q_dedup_jaccard_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "text_winnow": q_text_winnow,
+    "sim_topk_lsh": q_sim_topk_lsh,
+    "stream_session_window": q_stream_session_window,
     "stream_sliding_window": q_stream_sliding_window,
-    "star_join_agg": q_star_join_agg,
-    "dedup_clusters": q_dedup_clusters,
     "pivot_agg": q_pivot_agg,
     "range_join": q_range_join,
     "hash_split": q_hash_split,
-    "sim_topk_ivf": q_sim_topk_ivf,
     "unpivot": q_unpivot,
     "regex_extract": q_regex_extract,
     "distinct_users": q_distinct_users,
@@ -5260,7 +5278,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_interval_join": q_stream_interval_join,
     "shipping_priority": q_shipping_priority,
     "cube_agg": q_cube_agg,
-    "sessionize": q_sessionize,
     "order_count_histogram": q_order_count_histogram,
     "length_percentiles": q_length_percentiles,
     "salted_join_agg": q_salted_join_agg,
@@ -5289,7 +5306,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_window_range": q_rolling_window_range,
     "fuzzy_pairs": q_fuzzy_pairs,
     "gapfill_daily": q_gapfill_daily,
-    "scd2_apply": q_scd2_apply,
     "cumulative_distinct": q_cumulative_distinct,
     "snapshot_diff": q_snapshot_diff,
     "table_checksum": q_table_checksum,
@@ -5311,7 +5327,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_distinct": q_incremental_distinct,
     "text_compress_ratio": q_text_compress_ratio,
     "observed_write": q_observed_write,
-    "heavy_hitters": q_heavy_hitters,
     "dedup_segments_apply": q_dedup_segments_apply,
     "text_normalize": q_text_normalize,
     # --- registry tail: queries whose internal kernels produce complex

@@ -21,6 +21,7 @@ one back-version for in-flight readers.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -102,8 +103,19 @@ class Catalog:
             reader = reader.schema(declared)
         return reader.parquet(p)
 
-    def write(self, df: DataFrame, table: str) -> None:
-        """Write a new snapshot version and flip the pointer atomically."""
+    def write(
+        self, df: DataFrame, table: str, meta: dict | None = None
+    ) -> None:
+        """Write a new snapshot version and flip the pointer atomically.
+
+        ``meta`` (JSON-serializable) is written as ``_meta.json`` INSIDE the
+        new version directory before the pointer flip, so data + metadata
+        commit under the single pointer write — callers that need
+        transactional bookkeeping alongside the state (e.g. the
+        IncrementalView applied-batch ledger) ride the same atomicity
+        instead of a second, separately-failing table write. Spark readers
+        ignore ``_``-prefixed files, so the sidecar never pollutes scans.
+        """
         tdir = self._table_dir(table)
         os.makedirs(tdir, exist_ok=True)
         new_v = (self.current_version(table) or 0) + 1
@@ -112,11 +124,26 @@ class Catalog:
         if table in PARTITIONED:
             writer = writer.partitionBy(*PARTITIONED[table])
         writer.parquet(target)
+        if meta is not None:
+            with open(os.path.join(target, "_meta.json"), "w") as f:
+                json.dump(meta, f)
         tmp = self._pointer(table) + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(new_v))
         os.replace(tmp, self._pointer(table))
         self._prune(table, new_v)
+
+    def read_meta(self, table: str) -> dict | None:
+        """The ``_meta.json`` sidecar of the current snapshot (None if the
+        table doesn't exist or the snapshot carries no metadata)."""
+        p = self.path(table)
+        if p is None:
+            return None
+        try:
+            with open(os.path.join(p, "_meta.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
 
     def append(self, df: DataFrame, table: str) -> None:
         """Append into the current version in place (the fact-table fast

@@ -155,8 +155,12 @@ def bpe_train(
         merges.append((left, right, int(freq)))
     words = base.withColumn(
         "syms", apply_merges(F.col("syms"), [(l, r) for l, r, _ in merges])
-    )
-    base.unpersist()  # lazily freed; a later words action just recomputes
+    ).persist()
+    words.count()  # materialize BEFORE dropping base: consuming the
+    # returned final_words hits this cache, never a corpus recompute
+    base.unpersist()
+    # words stays persisted for the caller (vocabulary-sized); callers
+    # done with it release it via final_words.unpersist()
     return merges, words
 
 
@@ -178,8 +182,15 @@ def encode_with_merges(
     cannot cross word boundaries. One long-string regex per (doc, merge)
     beats one short-string regex per (word, merge) by the per-invocation
     matcher overhead (~|doc|/|word| fewer invocations).
+
+    The marker character is stripped from every token defensively first:
+    ``tokens()`` splits on whitespace only, so input text containing the
+    marker would otherwise make word boundaries ambiguous (the
+    ``n_markers`` subtraction would undercount and merges could
+    conceptually cross a boundary).
     """
-    t = tokens()
+    raw = tokens()
+    t = F.transform(raw, lambda w: F.regexp_replace(w, WORD_MARKER, ""))
     doc_syms = F.trim(
         apply_merges(_spaced_symbols(F.array_join(t, WORD_MARKER)), merges)
     )

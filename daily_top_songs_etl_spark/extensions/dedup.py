@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .text import tokens
 
@@ -448,9 +449,18 @@ def connected_components(
             comp_min[r] = node if m is None or node < m else m
         out = [(node, comp_min[find(node)]) for node in sorted(parent)]
         edges.unpersist()
-        return pairs.sparkSession.createDataFrame(
-            out, "doc_id bigint, cluster_id bigint"
+        # Schema derives from the input node column so both execution paths
+        # return identical types (string keys, ints, ...) — the distributed
+        # path below inherits the type through the plan; hardcoding bigint
+        # here would make the output type depend on the edge COUNT.
+        node_type = edges.schema["a"].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", node_type),
+                T.StructField("cluster_id", node_type),
+            ]
         )
+        return pairs.sparkSession.createDataFrame(out, out_schema)
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
@@ -627,6 +637,15 @@ def minhash_jaccard_estimates(
     the scoring join twice), bucket-join candidates, then a
     signature-width agreement sum. est values are exact multiples of
     1/n_hashes (binary fractions — no cross-engine rounding hazard).
+
+    Caller-must-clear contract: the signature localCheckpoint's RDD
+    blocks outlive this call (the returned plan references them lazily,
+    so they cannot be dropped here) and are NOT freed by
+    ``spark.catalog.clearCache()``. Long-lived sessions issuing many
+    calls should release them between calls via
+    ``[rdd.unpersist() for rdd in
+    spark.sparkContext._jsc.getPersistentRDDs().values()]`` once the
+    result is fully consumed (bench.py does exactly this).
     """
     sig = minhash_signatures(documents, n_hashes).localCheckpoint(eager=False)
     n_bands = n_hashes // band_size

@@ -200,12 +200,16 @@ def pmi_topk(
             ).alias("pmi_ratio"),
         )
     )
-    return (
-        scored.orderBy(
-            F.col("pmi_ratio").desc(), F.col("w1"), F.col("w2")
-        )
-        .limit(k)
-    )
+    # The result is ≤ k rows: materialize it eagerly so the persisted
+    # unigram table can be released HERE instead of leaking cached blocks
+    # into the caller's session (library calls accumulate otherwise).
+    top = scored.orderBy(
+        F.col("pmi_ratio").desc(), F.col("w1"), F.col("w2")
+    ).limit(k)
+    rows = top.collect()
+    schema = top.schema
+    uni.unpersist()
+    return documents.sparkSession.createDataFrame(rows, schema)
 
 
 def mixture_upsample(

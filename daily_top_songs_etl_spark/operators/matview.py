@@ -5,13 +5,16 @@ The reference's Postgres views recompute on read; the 100 TB analogue is
 a continuously-maintained aggregate state table (operators/incremental)
 plus an APPLIED-BATCH LEDGER for exactly-once semantics: scalar monoid
 state (count/sum) is NOT idempotent under replay (unlike the HLL sketch
-state), so at-least-once delivery needs bookkeeping. The ledger is a
-tiny catalog table of applied batch ids; a replayed batch is detected
-and skipped before any state mutation. Both the state and the ledger
-ride the Catalog's versioned snapshots, so a failed refresh never
-half-applies (the pointer flips after both writes; on crash, the ledger
-check re-admits the batch and the merge re-derives from the last good
-snapshot).
+state), so at-least-once delivery needs bookkeeping. The ledger is the
+set of applied batch ids carried in the state snapshot's ``_meta.json``
+sidecar: a replayed batch is detected and skipped before any state
+mutation, and because the ledger commits INSIDE the same snapshot
+directory the Catalog's single pointer flip makes state + ledger
+atomic — a crash at any point leaves the pointer referencing a snapshot
+whose ledger exactly matches its contents, so replay either re-merges
+onto the true pre-batch state or is refused. (An earlier design wrote
+the ledger as a second catalog table; a crash between the two writes
+could double-count the in-flight batch.)
 """
 
 from __future__ import annotations
@@ -37,20 +40,17 @@ class IncrementalView:
         self.name = name
         self.keys = keys
         self.value_col = value_col
-        self._ledger = f"{name}__applied_batches"
 
     def applied_batches(self) -> set[str]:
-        if not self.catalog.exists(self._ledger):
-            return set()
-        return {
-            r["batch_id"] for r in self.catalog.read(self._ledger).collect()
-        }
+        meta = self.catalog.read_meta(self.name) or {}
+        return set(meta.get("applied_batches", []))
 
     def refresh(self, batch: DataFrame, batch_id: str) -> bool:
         """Merge one batch into the view state. Returns False (no state
         touched) if ``batch_id`` was already applied — the exactly-once
         guard; True once the new snapshot is committed."""
-        if batch_id in self.applied_batches():
+        applied = self.applied_batches()
+        if batch_id in applied:
             return False
         delta = agg_state(batch, self.keys, self.value_col)
         if self.catalog.exists(self.name):
@@ -59,19 +59,17 @@ class IncrementalView:
             )
         else:
             merged = delta
-        # state snapshot first, ledger second: a crash between the two
-        # re-admits the batch, and re-merging onto the PRE-crash snapshot
-        # is what the version pointer still references — no double count.
+        # state and ledger commit together: both live inside the new
+        # version directory, made visible by ONE pointer flip — a crash
+        # anywhere leaves the previous snapshot (without this batch in its
+        # ledger) current, so replay re-merges onto the true pre-batch
+        # state. No window exists where state includes the batch but the
+        # ledger doesn't (or vice versa).
         self.catalog.write(
-            merged.select(*self.keys, *STATE_COLS), self.name
+            merged.select(*self.keys, *STATE_COLS),
+            self.name,
+            meta={"applied_batches": sorted(applied | {batch_id})},
         )
-        ledger_row = batch.sparkSession.createDataFrame(
-            [(batch_id,)], "batch_id string"
-        )
-        if self.catalog.exists(self._ledger):
-            self.catalog.append(ledger_row, self._ledger)
-        else:
-            self.catalog.write(ledger_row, self._ledger)
         return True
 
     def read(self) -> DataFrame:

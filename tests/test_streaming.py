@@ -373,10 +373,14 @@ def test_distinct_state_stream_matches_batch_and_is_replay_safe(spark, tmp_path)
 
 
 def test_incremental_view_stream_exactly_once_under_restart(spark, tmp_path):
-    """Drain event batches into an IncrementalView via foreachBatch; a
-    SECOND drain with no checkpoint re-reads every file under the same
-    batch ids — the ledger must refuse them all, leaving state equal to
-    a single full recompute."""
+    """Drain event batches into an IncrementalView via foreachBatch with a
+    checkpoint; then land NEW files and drain again under the SAME
+    checkpoint. The checkpoint keeps batch ids monotone across restarts,
+    so (a) already-applied files are never re-merged and (b) the new
+    batches get FRESH ids the ledger admits — the restart-renumbering
+    collision (new data arriving under a previously-applied batch id,
+    silently dropped) cannot occur. Final state must equal a single full
+    recompute over everything landed."""
     from pyspark.sql import types as T
 
     from daily_top_songs_etl_spark.catalog import Catalog
@@ -392,25 +396,42 @@ def test_incremental_view_stream_exactly_once_under_restart(spark, tmp_path):
         ]
     )
     landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
     os.makedirs(landing)
     all_rows = []
-    for b in range(3):
-        rows = [(str((b + i) % 3), float(i)) for i in range(100)]
-        all_rows += rows
+
+    def land(batch_no):
+        rows = [(str((batch_no + i) % 3), float(i + batch_no)) for i in range(100)]
+        all_rows.extend(rows)
         spark.createDataFrame(rows, schema).coalesce(1).write.mode(
             "append"
         ).parquet(landing)
 
+    for b in range(3):
+        land(b)
+
     cat = Catalog(spark, str(tmp_path / "wh"))
     view = IncrementalView(cat, "stream_totals", ["k"], "v")
-    run_incremental_view_stream(spark, landing, schema, view)
+    run_incremental_view_stream(spark, landing, schema, view, ckpt)
     first = {r.k: (r.n_rows, r.sum_value) for r in view.read().collect()}
+    n_applied_first = len(view.applied_batches())
 
-    # no checkpoint → the second drain REPLAYS every file with the same
-    # deterministic batch ids; the ledger must refuse all of them
-    run_incremental_view_stream(spark, landing, schema, view)
+    # restart drain with NO new data: checkpoint yields zero new batches,
+    # state untouched
+    run_incremental_view_stream(spark, landing, schema, view, ckpt)
     second = {r.k: (r.n_rows, r.sum_value) for r in view.read().collect()}
     assert second == first
+    assert len(view.applied_batches()) == n_applied_first
+
+    # land NEW files, restart the drain: the checkpoint continues batch
+    # numbering past the prior run, so the new data is admitted (a
+    # checkpoint-less restart would renumber from 0 and the ledger would
+    # wrongly refuse it)
+    land(3)
+    land(4)
+    run_incremental_view_stream(spark, landing, schema, view, ckpt)
+    third = {r.k: (r.n_rows, r.sum_value) for r in view.read().collect()}
+    assert len(view.applied_batches()) > n_applied_first
 
     expect = {
         r.k: (r.n_rows, r.sum_value)
@@ -422,4 +443,4 @@ def test_incremental_view_stream_exactly_once_under_restart(spark, tmp_path):
         )
         .collect()
     }
-    assert first == expect
+    assert third == expect
