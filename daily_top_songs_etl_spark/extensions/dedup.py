@@ -415,7 +415,6 @@ def connected_components(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .persist()
     )
     # Hybrid execution: the candidate-pair graph is tiny relative to the
     # corpus (only docs appearing in a candidate pair are nodes — dedup
@@ -424,9 +423,13 @@ def connected_components(
     # O(component diameter) distributed rounds of ~4 jobs each; the
     # min-label-propagation loop below remains the big-graph path and
     # computes the identical (doc_id, min-label) assignment.
+    #
+    # ONE limit-collect both sizes the graph and fetches it: ≤ LIMIT rows
+    # back means the collected head IS the complete edge list (no separate
+    # count pass — one job instead of two on the common small path).
     SMALL_EDGE_LIMIT = 200_000
-    n_edges = edges.limit(SMALL_EDGE_LIMIT + 1).count()
-    if n_edges <= SMALL_EDGE_LIMIT:
+    head = edges.limit(SMALL_EDGE_LIMIT + 1).collect()
+    if len(head) <= SMALL_EDGE_LIMIT:
         parent: dict = {}
 
         def find(x):
@@ -435,7 +438,7 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for row in edges.collect():
+        for row in head:
             a, b = row["a"], row["b"]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
@@ -448,7 +451,6 @@ def connected_components(
             m = comp_min.get(r)
             comp_min[r] = node if m is None or node < m else m
         out = [(node, comp_min[find(node)]) for node in sorted(parent)]
-        edges.unpersist()
         # Schema derives from the input node column so both execution paths
         # return identical types (string keys, ints, ...) — the distributed
         # path below inherits the type through the plan; hardcoding bigint
@@ -461,6 +463,9 @@ def connected_components(
             ]
         )
         return pairs.sparkSession.createDataFrame(out, out_schema)
+    # big-graph path: the edge list feeds every propagation round — persist
+    # it here (the small path above never pays the cache write)
+    edges = edges.persist()
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()

@@ -200,13 +200,19 @@ def repetition_stats(documents: DataFrame, n: int = 2) -> DataFrame:
     )
 
 
-def quality_gate(documents: DataFrame) -> DataFrame:
+def quality_gate(documents: DataFrame, passthrough: bool = False) -> DataFrame:
     """Composite Gopher-style quality gate: each rule as an inspectable
     boolean column plus the conjunction, so a pipeline can both filter and
     report per-rule rejection rates. All gates derive from exact integer
     counts (deterministic across engines); the whole operator is a pure
     projection — no shuffle, scan-parallel at any scale.
+
+    ``passthrough=True`` carries every input column through alongside the
+    gate columns, so a pipeline can FILTER inline (``.filter("passes_all")``)
+    instead of computing the id set and semi-joining back — for a pure
+    projection the join would be a gratuitous corpus shuffle at scale.
     """
+    carry = list(documents.columns) if passthrough else ["doc_id"]
     t = tokens()
     stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
     gstats = F.transform(
@@ -219,40 +225,42 @@ def quality_gate(documents: DataFrame) -> DataFrame:
     # Layered projects: every expensive text expression is evaluated ONCE
     # into a named column; gate derivation reads the integer columns. The
     # aliases are non-cheap and multiply-referenced, so CollapseProject
-    # keeps the layering (no expression-tree cloning).
+    # keeps the layering (no expression-tree cloning). Intermediates carry
+    # a __qg_ prefix so passthrough never collides with input columns
+    # (documents tables legitimately have their own n_chars).
     base = documents.select(
-        "doc_id",
-        F.size(t).alias("n_tok"),
-        F.length("text").alias("n_chars"),
+        *carry,
+        F.size(t).alias("__qg_n_tok"),
+        F.length("text").alias("__qg_n_chars"),
         (
             F.length("text")
             - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
-        ).alias("n_punct"),
+        ).alias("__qg_n_punct"),
         F.size(F.filter(t, lambda w: F.array_contains(stop_arr, w))).alias(
-            "n_stop"
+            "__qg_n_stop"
         ),
-        gstats.alias("gram_stats"),
+        gstats.alias("__qg_gram_stats"),
     ).select(
-        "doc_id",
-        "n_tok",
-        "n_chars",
-        "n_punct",
-        "n_stop",
-        F.col("gram_stats")[0].alias("n_grams"),
-        F.col("gram_stats")[1].alias("n_distinct_grams"),
+        *carry,
+        "__qg_n_tok",
+        "__qg_n_chars",
+        "__qg_n_punct",
+        "__qg_n_stop",
+        F.col("__qg_gram_stats")[0].alias("__qg_n_grams"),
+        F.col("__qg_gram_stats")[1].alias("__qg_n_distinct_grams"),
     )
-    n_tok, n_chars = F.col("n_tok"), F.col("n_chars")
+    n_tok, n_chars = F.col("__qg_n_tok"), F.col("__qg_n_chars")
     mean_wl = (n_chars - n_tok + 1).cast("double") / n_tok.cast("double")
-    dup_ratio = (F.col("n_grams") - F.col("n_distinct_grams")).cast(
+    dup_ratio = (F.col("__qg_n_grams") - F.col("__qg_n_distinct_grams")).cast(
         "double"
-    ) / F.col("n_grams").cast("double")
+    ) / F.col("__qg_n_grams").cast("double")
     gate_len = n_tok.between(50, 100000)
     gate_word_len = (mean_wl >= 3.0) & (mean_wl <= 10.0)
-    gate_symbol = F.col("n_punct").cast("double") / n_chars.cast("double") < 0.1
-    gate_stopword = F.col("n_stop") >= 2
-    gate_repetition = (F.col("n_grams") > 0) & (dup_ratio <= 0.5)
+    gate_symbol = F.col("__qg_n_punct").cast("double") / n_chars.cast("double") < 0.1
+    gate_stopword = F.col("__qg_n_stop") >= 2
+    gate_repetition = (F.col("__qg_n_grams") > 0) & (dup_ratio <= 0.5)
     return base.select(
-        "doc_id",
+        *carry,
         gate_len.alias("gate_len"),
         gate_word_len.alias("gate_word_len"),
         gate_symbol.alias("gate_symbol"),

@@ -61,13 +61,15 @@ def pretrain_corpus_funnel(
         stage(idx, name, df)  # the count doubles as cache materialization
         return df
 
-    passed = (
-        quality_gate(documents)
-        .filter(F.col("passes_all"))
-        .select("doc_id")
-    )
+    # quality gate is a pure projection → filter INLINE (passthrough
+    # columns) instead of computing the id set and semi-joining back;
+    # the join was a gratuitous corpus shuffle at any scale
     quality_docs = persist_stage(
-        2, "quality_gate", documents.join(passed, "doc_id", "left_semi")
+        2,
+        "quality_gate",
+        quality_gate(documents, passthrough=True)
+        .filter(F.col("passes_all"))
+        .select(*documents.columns),
     )
 
     # exact dedup: keep the min doc_id per content fingerprint
@@ -99,11 +101,11 @@ def pretrain_corpus_funnel(
         6, "mixture", mixture_sample(clean_docs, mixture_rates, domain_col="lang")
     )
 
-    chunks = persist_stage(
-        7, "chunks", chunk_documents(mixed, chunk_tokens=chunk_tokens, stride=stride)
-    )
-
-    packed = pack_chunks(chunks, token_budget=token_budget)
+    # pack_chunks is row-preserving (one output row per chunk), so the
+    # packed table doubles as the chunk count — one persisted
+    # materialization serves stages 7 AND 8 instead of two
+    chunks = chunk_documents(mixed, chunk_tokens=chunk_tokens, stride=stride)
+    packed = persist_stage(7, "chunks", pack_chunks(chunks, token_budget=token_budget))
     stage(8, "packed_bins", packed.select("bucket", "bin_id").distinct())
 
     for df in live:
