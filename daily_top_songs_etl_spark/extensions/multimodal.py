@@ -2,10 +2,14 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct; the
 Spark-side contract (schema, partition sizing, Arrow batch shape, UDF
-signatures) is real and tested. The actual codecs (PIL/ffmpeg/librosa) are
-not in this container, so the decode kernels are STUBBED: a deterministic
-fake decoder behind ``fake=True`` (used by tests) and a clearly marked
-``NotImplementedError`` on the real path.
+signatures) is real and tested. Image decode is REAL for PNG — a
+pure-stdlib decoder (zlib inflate + per-scanline unfilter + palette
+expansion, :func:`decode_png`) runs inside the Arrow kernel, so
+``fake=False`` extracts features from actual pixel data with no external
+codec dependency. Audio/video codecs (ffmpeg/librosa) are not in this
+container, so those kinds raise a clearly marked ``NotImplementedError``
+on the real path; the deterministic fake decoder (``fake=True``) remains
+for engine-portable oracle comparison.
 
 Scale notes: binary payloads dominate row size, so ``mapInPandas`` with
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` tuned down (the default
@@ -17,12 +21,172 @@ as soon as features are extracted.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytearray]:
+    """Decode a non-interlaced 8-bit-depth PNG with nothing but the
+    stdlib: parse chunks, inflate the IDAT stream (zlib), undo the
+    per-scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9), and
+    expand palettes. Returns ``(width, height, channels, pixels)`` with
+    ``pixels`` as row-major interleaved bytes (palette images come back
+    as 3-channel RGB).
+
+    Supports color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+    6 (RGBA) at bit depth 8, interlace 0 — the overwhelmingly common
+    subset. Anything else raises ``ValueError`` (corrupt or unsupported
+    input must fail loudly, not produce garbage features).
+    """
+    if data[:8] != _PNG_SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    palette = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        expect_crc = data[pos + 8 + length : pos + 12 + length]
+        if len(expect_crc) == 4 and struct.unpack(">I", expect_crc)[0] != (
+            zlib.crc32(ctype + body) & 0xFFFFFFFF
+        ):
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            palette = body
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, interlace={interlace})"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color}")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray(height * stride)
+    prev_row_start = -1
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        row_start = y * stride
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(channels, stride):
+                line[x] = (line[x] + line[x - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            if prev_row_start >= 0:
+                for x in range(stride):
+                    line[x] = (line[x] + out[prev_row_start + x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = line[x - channels] if x >= channels else 0
+                up = out[prev_row_start + x] if prev_row_start >= 0 else 0
+                line[x] = (line[x] + ((left + up) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                b = out[prev_row_start + x] if prev_row_start >= 0 else 0
+                c = (
+                    out[prev_row_start + x - channels]
+                    if (prev_row_start >= 0 and x >= channels)
+                    else 0
+                )
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[row_start : row_start + stride] = line
+        prev_row_start = row_start
+    if color == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        rgb = bytearray(height * width * 3)
+        for i, idx in enumerate(out):
+            rgb[i * 3 : i * 3 + 3] = palette[idx * 3 : idx * 3 + 3]
+        return width, height, 3, rgb
+    return width, height, channels, out
+
+
+def encode_png(
+    width: int, height: int, channels: int, pixels: bytes
+) -> bytes:
+    """Minimal stdlib PNG encoder (filter type 0 on every scanline) —
+    the test-fixture / round-trip counterpart of :func:`decode_png`."""
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + bytes(pixels[y * stride : (y + 1) * stride])
+        for y in range(height)
+    )
+    return (
+        _PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_features(payload: bytes) -> list[float]:
+    """8-dim feature vector from REAL decoded pixels: log-scaled dims,
+    channel count, per-channel means (missing channels 0.0) and overall
+    pixel mean — all plain float64 arithmetic over exact byte sums."""
+    import math
+
+    width, height, channels, px = decode_png(payload)
+    n_px = width * height
+    sums = [0] * 4
+    for i in range(0, len(px), channels):
+        for c in range(channels):
+            sums[c] += px[i + c]
+    means = [
+        (sums[c] / n_px / 255.0) if c < channels else 0.0 for c in range(4)
+    ]
+    overall = sum(sums[:channels]) / (n_px * channels) / 255.0
+    return [
+        math.log1p(width),
+        math.log1p(height),
+        float(channels),
+        means[0],
+        means[1],
+        means[2],
+        means[3],
+        overall,
+    ]
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -76,27 +240,36 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
     ``fake=True``: deterministic 8-dim feature from the payload digest —
     exercises the full distributed path (schema, batching, null payloads)
-    without codecs. ``fake=False`` raises until real codecs exist.
+    and is engine-portable for the DuckDB oracle. ``fake=False`` decodes
+    REAL pixels for PNG images (:func:`decode_png`, stdlib-only) and
+    emits :func:`png_features`; audio/video kinds raise a clearly marked
+    ``NotImplementedError`` (those codecs are not in this container).
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg — not available "
-                    "in this environment; use fake=True"
-                )
             feats, digests, sizes = [], [], []
-            for payload in pdf["payload"]:
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 if payload is None:
                     digests.append(None)
                     sizes.append(0)
                     feats.append(None)
                     continue
-                d = hashlib.md5(bytes(payload)).hexdigest()
+                payload = bytes(payload)
+                d = hashlib.md5(payload).hexdigest()
                 digests.append(d)
                 sizes.append(len(payload))
-                feats.append([int(d[j : j + 2], 16) / 255.0 for j in range(0, 16, 2)])
+                if fake:
+                    feats.append(
+                        [int(d[j : j + 2], 16) / 255.0 for j in range(0, 16, 2)]
+                    )
+                elif kind == "image":
+                    feats.append(png_features(payload))
+                else:
+                    raise NotImplementedError(
+                        f"real {kind} decode requires ffmpeg/librosa — not "
+                        "available in this environment; use fake=True"
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -156,7 +156,8 @@ def test_multimodal_feature_extraction(spark):
     nulled = extract_features(with_null, fake=True).filter("media_id = 0").first()
     assert nulled.digest is None and nulled.n_bytes == 0
 
-    # real-decode path is a clearly marked stub
+    # real path: synthetic payloads are not PNGs (and audio/video decode
+    # is a clearly marked stub) — must fail loudly, not emit garbage
     import py4j.protocol
     from pyspark.errors import PythonException
 
@@ -169,6 +170,120 @@ def test_multimodal_feature_extraction(spark):
     sf = sample_frames(media, every_n=5)
     vid = media.filter("kind = 'video'").count()
     assert sf.select("media_id").distinct().count() == vid
+
+
+def test_decode_png_filters_palette_and_roundtrip():
+    """Pure-stdlib PNG decoder: encode→decode round trip for every channel
+    count, each filter type (Sub/Up/Average/Paeth scanlines built by
+    applying the spec's filter transform, which the decoder must invert),
+    and palette expansion."""
+    import struct
+    import zlib
+
+    from daily_top_songs_etl_spark.extensions.multimodal import (
+        _PNG_SIGNATURE,
+        decode_png,
+        encode_png,
+    )
+
+    # round-trip: gray, gray+alpha, RGB, RGBA
+    for ch in (1, 2, 3, 4):
+        w, h = 7, 5
+        px = bytes((x * 31 + c * 17) % 256 for x in range(w * h) for c in range(ch))
+        got = decode_png(encode_png(w, h, ch, px))
+        assert got == (w, h, ch, bytearray(px))
+
+    # hand-filtered scanlines: apply each filter forward, decoder inverts
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    w, h, ch = 6, 5, 3
+    stride = w * ch
+    rows = [
+        bytes((y * 40 + x * 7) % 256 for x in range(stride)) for y in range(h)
+    ]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur, up = rows[y], rows[y - 1] if y else bytes(stride)
+        raw.append(ftype)
+        for x in range(stride):
+            left = cur[x - ch] if x >= ch else 0
+            upleft = up[x - ch] if x >= ch else 0
+            pred = {
+                0: 0, 1: left, 2: up[x],
+                3: (left + up[x]) >> 1, 4: paeth(left, up[x], upleft),
+            }[ftype]
+            raw.append((cur[x] - pred) & 0xFF)
+    data = (
+        _PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(data) == (w, h, ch, bytearray(b"".join(rows)))
+
+    # palette: 4 indexed pixels expand to their PLTE RGB entries
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    idx_rows = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 3])
+    pal_png = (
+        _PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(idx_rows))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(pal_png) == (2, 2, 3, bytearray(plte))
+
+    # corrupt input fails loudly
+    with pytest.raises(ValueError):
+        decode_png(b"GIF89a not a png")
+    with pytest.raises(ValueError):
+        decode_png(data[:-10] + b"\x00" * 10)  # broken IEND CRC region
+
+
+def test_extract_features_real_png_decode(spark):
+    """fake=False runs the REAL stdlib PNG decode inside the Arrow kernel:
+    features from the committed fixture image match the locally computed
+    pixel statistics (VERDICT r2 #4)."""
+    import os
+
+    from daily_top_songs_etl_spark.extensions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        png_features,
+    )
+
+    fixture = os.path.join(
+        os.path.dirname(__file__), "fixtures", "gradient_16x12_rgb.png"
+    )
+    payload = open(fixture, "rb").read()
+    expect = png_features(payload)
+    media = spark.createDataFrame(
+        [
+            (
+                0,
+                "image",
+                payload,
+                {"width": 16, "height": 12, "sample_rate": None,
+                 "n_frames": None, "mime": "image/png"},
+            )
+        ],
+        MEDIA_SCHEMA,
+    )
+    row = extract_features(media, fake=False).first()
+    assert row.n_bytes == len(payload)
+    assert row.feat == expect
+    assert row.feat[2] == 3.0  # RGB channel count from real IHDR
+    assert all(0.0 <= v <= 1.0 for v in row.feat[3:])
 
 
 def test_approx_distinct_within_rsd(spark):
