@@ -2809,28 +2809,213 @@ WHERE rn = 1
 """
 
 
-def q_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted ANN index lifecycle: train the coarse quantizer, store
-    centroids + pre-quantized inverted lists as versioned catalog
-    tables, then answer queries off the STORED index (probe n_probe
-    lists, exact re-rank — no corpus-wide pass at query time). Rows-only
-    (trained index); unit test pins recall, query-without-rebuild
-    identity, and snapshot versioning."""
+def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE Lloyd UPDATE step, oracle-verified: after the deterministic
+    assignment pass (same init as `kmeans_assign`), recompute the
+    centroid state as per-(cluster, dim) exact integer sums + counts —
+    the float-free content of the update (mean = sum_q / n_vectors).
+    This plus `kmeans_assign` hash-verifies both halves of the
+    iterative kmeans loop (`extensions/similarity.py kmeans_fit`)."""
+    from daily_top_songs_etl_spark.extensions.similarity import (
+        quantize_embeddings,
+    )
+
+    q = quantize_embeddings(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "qvec"
+    )
+    c = (
+        q.orderBy("vec_id")
+        .limit(4)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
+                "cluster"
+            ),
+            F.col("qvec").alias("cvec"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with("qvec", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    assigned = (
+        q.crossJoin(F.broadcast(c))
+        .withColumn("d2", d2)
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "cluster")).alias("best"),
+            # qvec is constant per vec_id, so first() is deterministic —
+            # carrying it through the argmin avoids a join back to q
+            F.first("qvec").alias("qvec"),
+        )
+        .select(F.col("best.cluster").alias("cluster"), "qvec")
+    )
+    return (
+        assigned.select("cluster", F.posexplode("qvec").alias("pos", "v"))
+        .groupBy("cluster", "pos")
+        .agg(
+            F.sum("v").cast("bigint").alias("sum_q"),
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        )
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("pos").cast("int").alias("pos"),
+            "sum_q",
+            "n_vectors",
+        )
+    )
+
+
+ORACLE_KMEANS_UPDATE = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+  FROM embeddings
+), c AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+         qv AS cv
+  FROM q ORDER BY vec_id LIMIT 4
+), d AS (
+  SELECT q.vec_id, c.cluster,
+         CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+              i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) AS d2
+  FROM q CROSS JOIN c
+), a AS (
+  SELECT vec_id, cluster
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cluster) AS rn FROM d)
+  WHERE rn = 1
+)
+SELECT a.cluster,
+       CAST(g.i - 1 AS INTEGER) AS pos,
+       CAST(sum(q.qv[g.i]) AS BIGINT) AS sum_q,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM a, q, LATERAL unnest(generate_series(1, len(q.qv))) AS g(i)
+WHERE a.vec_id = q.vec_id
+GROUP BY a.cluster, g.i
+"""
+
+
+def q_pq_subspace_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE PQ subspace assignment pass, oracle-verified: slice subspace
+    j=1 of m=4 (`extensions/pq.py pq_train`'s F.slice convention),
+    assign every vector's subvector to its nearest of k=8
+    deterministically-initialized codewords by exact integer L2 — the
+    SQL-expressible core of each per-subspace kmeans inside pq_train."""
+    from daily_top_songs_etl_spark.extensions.similarity import (
+        quantize_embeddings,
+    )
+
+    q = quantize_embeddings(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "qvec"
+    )
+    sub = (F.size("qvec") / F.lit(4)).cast("int")
+    qs = q.select("vec_id", F.slice("qvec", sub + F.lit(1), sub).alias("sv"))
+    c = (
+        qs.orderBy("vec_id")
+        .limit(8)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("code"),
+            F.col("sv").alias("cv"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    return (
+        qs.crossJoin(F.broadcast(c))
+        .withColumn("d2", d2)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "code")).alias("best"))
+        .select(
+            "vec_id",
+            F.col("best.code").cast("int").alias("code"),
+            F.col("best.d2").cast("bigint").alias("dist2"),
+        )
+    )
+
+
+ORACLE_PQ_SUBSPACE_ASSIGN = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+  FROM embeddings
+), s AS (
+  SELECT vec_id, qv[(len(qv) // 4) + 1 : (len(qv) // 2)] AS sv FROM q
+), c AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code,
+         sv AS cv
+  FROM s ORDER BY vec_id LIMIT 8
+), d AS (
+  SELECT s.vec_id, c.code,
+         CAST(list_sum(list_transform(generate_series(1, len(s.sv)),
+              i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS BIGINT) AS d2
+  FROM s CROSS JOIN c
+)
+SELECT vec_id, code, d2 AS dist2
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, code) AS rn FROM d)
+WHERE rn = 1
+"""
+
+
+#: Session-scoped built-index cache keyed by sf_dir: `ann_index_build`
+#: (re)builds into it, `ann_index_query` reuses it — so the two bench
+#: entries expose build cost and STEADY-STATE query cost separately (the
+#: query number is what matters at scale; a combined entry hid it).
+_ANN_INDEXES: dict[str, object] = {}
+
+
+def _ann_built_catalog(spark: SparkSession, sf_dir: str):
     import atexit
     import shutil
     import tempfile
 
     from daily_top_songs_etl_spark.catalog import Catalog
-    from daily_top_songs_etl_spark.extensions.ann_index import (
-        build_ann_index,
-        query_ann_index,
+    from daily_top_songs_etl_spark.extensions.ann_index import build_ann_index
+
+    if sf_dir not in _ANN_INDEXES:
+        ann_dir = tempfile.mkdtemp(prefix="spark_graft_ann_")
+        atexit.register(shutil.rmtree, ann_dir, ignore_errors=True)
+        cat = Catalog(spark, ann_dir)
+        build_ann_index(
+            cat, "idx", _t(spark, sf_dir, "embeddings"), n_centroids=8, iters=2
+        )
+        _ANN_INDEXES[sf_dir] = cat
+    return _ANN_INDEXES[sf_dir]
+
+
+def q_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index BUILD: fit the coarse quantizer (kmeans), materialize
+    centroids + pre-quantized inverted lists as versioned catalog tables.
+    Pays the corpus passes once; returns per-list occupancy stats.
+    Rows-only (iterative training)."""
+    _ANN_INDEXES.pop(sf_dir, None)  # time an honest rebuild, not a cache hit
+    cat = _ann_built_catalog(spark, sf_dir)
+    lists = cat.read("idx__lists")
+    return (
+        lists.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cluster")
+        .select("cluster", "n_vectors")
     )
 
-    ann_dir = tempfile.mkdtemp(prefix="spark_graft_ann_")
-    atexit.register(shutil.rmtree, ann_dir, ignore_errors=True)
-    cat = Catalog(spark, ann_dir)
+
+def q_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index QUERY (steady state): answer off the STORED index —
+    probe n_probe inverted lists via the broadcast centroid table, exact
+    re-rank on pre-quantized components; no corpus-wide pass, no
+    re-quantization, no rebuild (the session-cached index from
+    `ann_index_build` is reused). Rows-only (trained index); unit test
+    pins recall, query-without-rebuild identity, snapshot versioning."""
+    from daily_top_songs_etl_spark.extensions.ann_index import query_ann_index
+
+    cat = _ann_built_catalog(spark, sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
-    build_ann_index(cat, "idx", emb, n_centroids=8, iters=2)
     return query_ann_index(
         cat, "idx", emb.filter(F.col("vec_id") < 8), k=5, n_probe=2
     )
@@ -5263,6 +5448,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_agg": q_pivot_agg,
     "range_join": q_range_join,
     "hash_split": q_hash_split,
+    "kmeans_update": q_kmeans_update,
+    "pq_subspace_assign": q_pq_subspace_assign,
     "unpivot": q_unpivot,
     "regex_extract": q_regex_extract,
     "distinct_users": q_distinct_users,
@@ -5343,6 +5530,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans": q_kmeans,
     "kmeans_assign": q_kmeans_assign,
     "pq_codes": q_pq_codes,
+    "ann_index_build": q_ann_index_build,
     "ann_index_query": q_ann_index_query,
     "pq_topk_adc": q_pq_topk,
 }
@@ -5474,6 +5662,8 @@ _ORACLES: dict[str, str] = {
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
     "dedup_segments_apply": ORACLE_DEDUP_SEGMENTS,
     "kmeans_assign": ORACLE_KMEANS_ASSIGN,
+    "kmeans_update": ORACLE_KMEANS_UPDATE,
+    "pq_subspace_assign": ORACLE_PQ_SUBSPACE_ASSIGN,
     "quality_linear": ORACLE_QUALITY_LINEAR,
     "pmi_topk": ORACLE_PMI_TOPK,
     "bpe_encode": ORACLE_BPE_ENCODE,
