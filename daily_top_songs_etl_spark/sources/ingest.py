@@ -102,6 +102,37 @@ def tracks_response_to_daily_batch(
     )
 
 
+def stamp_apple_urls(apple_batch: DataFrame, apple_urls: DataFrame) -> DataFrame:
+    """The reference's URL-patch loop (``etl_pipeline.py:992-997``): the
+    scraped Apple playlist links are in 1-10 order, keyed positionally onto
+    the Apple batch — each Apple row's ``apple_music_url`` becomes its
+    playlist link. A broadcast join on position (≤10 rows each side)."""
+    links = apple_urls.select("position", F.col("url").alias("__apple_url"))
+    return (
+        apple_batch.join(F.broadcast(links), "position", "left")
+        .withColumn(
+            "apple_music_url",
+            F.coalesce(F.col("__apple_url"), F.col("apple_music_url")),
+        )
+        .drop("__apple_url")
+    )
+
+
+def combine_source_batches(
+    spotify_batch: DataFrame, apple_batch: DataFrame
+) -> DataFrame:
+    """U1/U2 (``etl_pipeline.py:985-997`` — the dict-union the reference
+    has commented out): ordered concatenation, Spotify rows first, Apple
+    rows second. The right-bias of ``spotify | apple`` (Apple's song data
+    wins on a duplicate ISRC) is realized downstream by the song upsert's
+    priority dedup (``operators/upsert.py:169`` — ``apple_music_url NULLS
+    LAST``): the Apple row carries a non-null apple_music_url after
+    :func:`stamp_apple_urls`, so it outranks the Spotify duplicate.
+    Positional ranks stay per-source (U3: each source's positions are
+    0-9, so rank = position+1 within its own ranking_source)."""
+    return spotify_batch.unionByName(apple_batch)
+
+
 def fetch_batch_udf(urls: DataFrame, headers: dict[str, str] | None = None) -> DataFrame:
     """S1/S4 at scale: fetch a DataFrame of URLs with one HTTP session per
     partition, batched Arrow-side. Offline environments never call this."""
