@@ -5170,10 +5170,7 @@ def _bpe_chain_sql() -> str:
     including the defensive strip of the marker char from each token)."""
     from daily_top_songs_etl_spark.extensions.bpe import FIXED_MERGES, WORD_MARKER
 
-    inner = (
-        f"array_to_string(list_transform(t, "
-        f"w -> replace(w, '{WORD_MARKER}', '')), '{WORD_MARKER}')"
-    )
+    inner = f"array_to_string(t, '{WORD_MARKER}')"
     expr = rf"' ' || regexp_replace({inner}, '(.)', ' \1 ', 'g') || ' '"
     for left, right in FIXED_MERGES:
         expr = (
@@ -5184,7 +5181,8 @@ def _bpe_chain_sql() -> str:
 
 ORACLE_BPE_ENCODE = rf"""
 WITH tok AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  SELECT doc_id,
+         string_split_regex(trim(lower(replace(text, '¤', ''))), '\s+') AS t
   FROM documents
 ), enc AS (
   SELECT doc_id, trim({_bpe_chain_sql()}) AS s, len(t) AS n_words

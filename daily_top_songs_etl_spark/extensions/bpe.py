@@ -183,14 +183,17 @@ def encode_with_merges(
     beats one short-string regex per (word, merge) by the per-invocation
     matcher overhead (~|doc|/|word| fewer invocations).
 
-    The marker character is stripped from every token defensively first:
-    ``tokens()`` splits on whitespace only, so input text containing the
-    marker would otherwise make word boundaries ambiguous (the
-    ``n_markers`` subtraction would undercount and merges could
-    conceptually cross a boundary).
+    The marker character is stripped from the WHOLE text before
+    tokenization: ``tokens()`` splits on whitespace only, so input text
+    containing the marker would otherwise make word boundaries ambiguous
+    (the ``n_markers`` subtraction would undercount and merges could
+    conceptually cross a boundary). Stripping pre-split is equivalent to
+    stripping per token (the marker is not whitespace, so removal never
+    merges or splits tokens) and costs ONE codegen regex pass over the
+    text — a per-token strip inside a higher-order-function lambda runs
+    interpreted per element (measured 15× slower at sf0.1).
     """
-    raw = tokens()
-    t = F.transform(raw, lambda w: F.regexp_replace(w, WORD_MARKER, ""))
+    t = tokens(F.regexp_replace("text", WORD_MARKER, ""))
     doc_syms = F.trim(
         apply_merges(_spaced_symbols(F.array_join(t, WORD_MARKER)), merges)
     )

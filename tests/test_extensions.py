@@ -889,8 +889,8 @@ def test_bpe_encode_known_values(spark):
 
 def test_bpe_encode_marker_char_in_text_is_stripped(spark):
     """Input text containing the ¤ word-boundary marker must not corrupt
-    the boundary bookkeeping: the marker is stripped from tokens before
-    the join, so 'a¤b' encodes exactly like 'ab'."""
+    the boundary bookkeeping: the marker is stripped from the text before
+    tokenization, so 'a¤b' encodes exactly like 'ab'."""
     from daily_top_songs_etl_spark.extensions.bpe import (
         FIXED_MERGES,
         encode_with_merges,
@@ -904,9 +904,9 @@ def test_bpe_encode_marker_char_in_text_is_stripped(spark):
     # doc 0 ≡ doc 1 after the strip
     assert rows[0].n_bpe_tokens == rows[1].n_bpe_tokens == 5
     assert rows[0].encoded_prefix == rows[1].encoded_prefix
-    # doc 2: tokens ('', 'stand', '') — 'stand' → [st, and]; the two
-    # empty tokens contribute zero symbols but still delimit word gaps
+    # doc 2: after the strip the text is just 'stand' → [st, and]
     assert rows[2].n_bpe_tokens == 2
+    assert rows[2].encoded_prefix == "st  and"
 
 
 def test_bpe_train_final_words_consumable_without_recompute(spark):
