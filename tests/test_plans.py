@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 
 import __spark_entry__ as entrymod
 
@@ -479,3 +480,60 @@ def test_dedup_segments_apply_two_shuffles(spark):
     on the segment key and the per-document rebuild aggregate."""
     plan = _formatted_plan(spark, "dedup_segments_apply")
     assert len(_shuffle_exchanges(plan)) == 2, _shuffle_exchanges(plan)
+
+
+def test_git_publication_k7(tmp_path):
+    """K7 (etl.yml:41-45, 57-79): CSV mirrors and the rendered README are
+    published as git commits with the reference's exact messages; an
+    unchanged day creates NO empty commit; history accumulates in the
+    workflow's order."""
+    import subprocess
+
+    from daily_top_songs_etl_spark.plans.publish import (
+        CSV_COMMIT_MESSAGE,
+        README_COMMIT_MESSAGE,
+        publish_csv_mirrors,
+        publish_readme,
+    )
+
+    repo = str(tmp_path / "pubrepo")
+    os.makedirs(os.path.join(repo, "db", "csv"))
+    subprocess.run(["git", "-C", repo, "init", "-q", "-b", "master"], check=True)
+    # seed commit so HEAD exists (the reference repo always has history)
+    with open(os.path.join(repo, ".gitignore"), "w") as fh:
+        fh.write("*.tmp\n")
+    subprocess.run(["git", "-C", repo, "add", "."], check=True)
+    subprocess.run(
+        ["git", "-C", repo, "-c", "user.name=t", "-c", "user.email=t@t",
+         "commit", "-q", "-m", "seed"],
+        check=True,
+    )
+
+    with open(os.path.join(repo, "db", "csv", "ranking.csv"), "a") as fh:
+        fh.write('"ISRC1","2026-08-01","1","Spotify"\n')
+    sha1 = publish_csv_mirrors(repo)
+    with open(os.path.join(repo, "README.md"), "w") as fh:
+        fh.write("# Top songs\n")
+    sha2 = publish_readme(repo)
+    assert sha1 != sha2
+
+    log = subprocess.run(
+        ["git", "-C", repo, "log", "--format=%s"],
+        capture_output=True, text=True, check=True,
+    ).stdout.splitlines()
+    assert log == [README_COMMIT_MESSAGE, CSV_COMMIT_MESSAGE, "seed"]
+
+    # unchanged day: both steps are no-ops, head does not move
+    assert publish_csv_mirrors(repo) == sha2
+    assert publish_readme(repo) == sha2
+    log2 = subprocess.run(
+        ["git", "-C", repo, "log", "--format=%s"],
+        capture_output=True, text=True, check=True,
+    ).stdout.splitlines()
+    assert log2 == log
+
+    # next day's data appends a fresh CSV commit
+    with open(os.path.join(repo, "db", "csv", "ranking.csv"), "a") as fh:
+        fh.write('"ISRC1","2026-08-02","1","Spotify"\n')
+    sha3 = publish_csv_mirrors(repo)
+    assert sha3 != sha2
