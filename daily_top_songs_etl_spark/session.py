@@ -52,6 +52,18 @@ def get_spark(
         # full-GC crawl. 32g on the 128 GiB test box; on a real cluster this
         # maps to ordinary per-executor memory sizing.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # The 144-query sweep compiles hundreds of whole-stage-codegen
+        # classes; the JVM default ReservedCodeCacheSize (240m) fills up
+        # ~2/3 through, after which the JIT disables itself and the tail
+        # of the sweep runs interpreted (observed: the pretrain funnel at
+        # position ~95 pays ~1.7x). 512m keeps the JIT on for the whole
+        # session; Spark's own tuning guide recommends raising this for
+        # codegen-heavy workloads. Only effective when this call launches
+        # the JVM (always true for bench.py / fresh sessions).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
