@@ -1041,6 +1041,58 @@ SELECT * FROM (
 """
 
 
+def q_dedup_semantic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup END-TO-END: bucketed cosine
+    candidate pairs → connected components → keep one representative per
+    cluster — the composition a pretrain pipeline runs to drop
+    paraphrase-level duplicates that no lexical fingerprint catches.
+    Every stage is an individually oracle-verified operator
+    (`dedup_embedding_cosine`, `dedup_clusters`, `dedup_apply`); this
+    entry hash-verifies the composition itself via the recursive-CTE
+    oracle. Scale shape: pairs are LSH-bucketed (never all-pairs), the
+    cluster relation is tiny vs the corpus, survivors resolve with
+    broadcast anti/left joins — the corpus never shuffles."""
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        dedup_apply,
+        embedding_cosine_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_cosine_pairs(emb, min_cosine=0.3).select(
+        F.col("id_a").alias("doc_id_a"), F.col("id_b").alias("doc_id_b")
+    )
+    out = dedup_apply(emb.select(F.col("vec_id").alias("doc_id")), pairs)
+    return out.select(F.col("doc_id").alias("vec_id"), "is_cluster_rep")
+
+
+ORACLE_DEDUP_SEMANTIC_APPLY = f"""{_SQL_QUANT}
+, bk AS (SELECT vec_id, v, {_bucket_sql()} AS bucket FROM q)
+, cp AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_AB} AS cosine
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  ) WHERE cosine >= 0.3
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM cp
+  UNION
+  SELECT id_b AS a, id_a AS b FROM cp
+), reach AS (
+  WITH RECURSIVE r(node, lbl) AS (
+    SELECT DISTINCT a, a FROM edges
+    UNION
+    SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.node
+  )
+  SELECT * FROM r
+), clusters AS (
+  SELECT node AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+)
+SELECT q.vec_id,
+       (c.vec_id IS NOT NULL) AS is_cluster_rep
+FROM q LEFT JOIN clusters c ON q.vec_id = c.vec_id
+WHERE c.vec_id IS NULL OR c.cluster_id = c.vec_id
+"""
+
+
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daily_top_songs_etl_spark.extensions.similarity import lsh_bucket_topk
 
@@ -5471,6 +5523,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_split": q_hash_split,
     "kmeans_update": q_kmeans_update,
     "pq_subspace_assign": q_pq_subspace_assign,
+    "dedup_semantic_apply": q_dedup_semantic_apply,
     "unpivot": q_unpivot,
     "regex_extract": q_regex_extract,
     "distinct_users": q_distinct_users,
@@ -5685,6 +5738,7 @@ _ORACLES: dict[str, str] = {
     "kmeans_assign": ORACLE_KMEANS_ASSIGN,
     "kmeans_update": ORACLE_KMEANS_UPDATE,
     "pq_subspace_assign": ORACLE_PQ_SUBSPACE_ASSIGN,
+    "dedup_semantic_apply": ORACLE_DEDUP_SEMANTIC_APPLY,
     "quality_linear": ORACLE_QUALITY_LINEAR,
     "pmi_topk": ORACLE_PMI_TOPK,
     "bpe_encode": ORACLE_BPE_ENCODE,
