@@ -537,3 +537,28 @@ def test_git_publication_k7(tmp_path):
         fh.write('"ISRC1","2026-08-02","1","Spotify"\n')
     sha3 = publish_csv_mirrors(repo)
     assert sha3 != sha2
+
+
+def test_quality_gate_passthrough_filter_is_shuffle_free(spark):
+    """The funnel's quality stage (round 3): passthrough gate + inline
+    filter must compile to a pure projection+filter over the scan — no
+    Exchange, no Python eval. The previous id-set semi-join shuffled the
+    corpus twice for identical semantics."""
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    from daily_top_songs_etl_spark.extensions.text import quality_gate
+
+    docs = entrymod._t(spark, SF_DIR, "documents")
+    staged = (
+        quality_gate(docs, passthrough=True)
+        .filter(F.col("passes_all"))
+        .select(*docs.columns)
+    )
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        staged.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
