@@ -562,3 +562,63 @@ def test_quality_gate_passthrough_filter_is_shuffle_free(spark):
     plan = buf.getvalue()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_git_publication_push_to_local_remote(tmp_path):
+    """The network half of K7 against a LOCAL bare remote: publish with
+    remote= pushes the commit; the README step's pull --rebase folds in
+    a commit that landed on the remote between the two steps (the race
+    the reference's workflow handles at etl.yml:59)."""
+    import subprocess
+
+    from daily_top_songs_etl_spark.plans.publish import (
+        publish_csv_mirrors,
+        publish_readme,
+    )
+
+    def git(repo, *args):
+        return subprocess.run(
+            ["git", "-C", repo, *args], capture_output=True, text=True,
+            check=True,
+        ).stdout.strip()
+
+    bare = str(tmp_path / "origin.git")
+    subprocess.run(
+        ["git", "init", "-q", "--bare", "-b", "master", bare], check=True
+    )
+    repo = str(tmp_path / "clone")
+    os.makedirs(os.path.join(repo, "db", "csv"))
+    subprocess.run(["git", "-C", repo, "init", "-q", "-b", "master"], check=True)
+    git(repo, "remote", "add", "origin", bare)
+    with open(os.path.join(repo, "seed.txt"), "w") as fh:
+        fh.write("seed\n")
+    git(repo, "add", "."); git(
+        repo, "-c", "user.name=t", "-c", "user.email=t@t", "commit", "-q",
+        "-m", "seed",
+    )
+    git(repo, "push", "-q", "origin", "master")
+
+    with open(os.path.join(repo, "db", "csv", "ranking.csv"), "w") as fh:
+        fh.write('"I1","2026-08-01","1","Spotify"\n')
+    sha = publish_csv_mirrors(repo, remote="origin")
+    assert git(bare, "rev-parse", "master") == sha  # pushed
+
+    # a commit lands on the remote out-of-band (the CSV step of a
+    # parallel run) — the README step must rebase over it, not fail
+    other = str(tmp_path / "other")
+    subprocess.run(["git", "clone", "-q", bare, other], check=True)
+    with open(os.path.join(other, "note.txt"), "w") as fh:
+        fh.write("out of band\n")
+    git(other, "add", "."); git(
+        other, "-c", "user.name=o", "-c", "user.email=o@o", "commit", "-q",
+        "-m", "out-of-band",
+    )
+    git(other, "push", "-q", "origin", "master")
+
+    with open(os.path.join(repo, "README.md"), "w") as fh:
+        fh.write("# report\n")
+    sha2 = publish_readme(repo, remote="origin")
+    assert git(bare, "rev-parse", "master") == sha2
+    subjects = git(bare, "log", "--format=%s", "master").splitlines()
+    assert subjects[0] == "chore(automated): update readme with daily data"
+    assert "out-of-band" in subjects  # rebase preserved the interleaved commit
