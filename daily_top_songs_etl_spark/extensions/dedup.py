@@ -308,7 +308,7 @@ def embedding_cosine_pairs(
         F.col(id_col).alias("id"),
         F.col("qvec").alias("v"),
         _norm(F.col("qvec")).alias("nrm"),
-        _sign_bucket(F.col("qvec"), n_planes, dim).alias("bucket"),
+        _sign_bucket("qvec", n_planes, dim).alias("bucket"),
     ).localCheckpoint(eager=False)
     a = base.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"),

@@ -115,18 +115,25 @@ def sign_matrix(n_planes: int, dim: int) -> list[list[int]]:
     ]
 
 
-def _sign_bucket(qvec: Column, n_planes: int, dim: int) -> Column:
+def _sign_bucket(qvec: str, n_planes: int, dim: int) -> Column:
     """Sign-random-projection bucket id from the deterministic hyperplanes
-    of :func:`sign_matrix`: bucket = Σ_p (proj_p > 0) << p, integer ops only.
+    of :func:`sign_matrix`: bucket = Σ_p (proj_p > 0) << p, integer ops
+    only. ``qvec`` is the quantized-vector COLUMN NAME (it is spliced
+    into a SQL expression string).
     """
     signs = sign_matrix(n_planes, dim)
-    bucket = F.lit(0).cast("bigint")
+    # Built as ONE parsed SQL expression: the equivalent Column-algebra
+    # loop issues ~n_planes·dim·2 py4j roundtrips (~2s of driver time per
+    # call site at 4×64 — pure plan-construction overhead); a single
+    # F.expr parse is milliseconds and yields the same expression tree.
+    planes = []
     for p in range(n_planes):
-        proj = F.lit(0).cast("bigint")
-        for d in range(dim):
-            proj = proj + F.element_at(qvec, d + 1) * F.lit(signs[p][d])
-        bucket = bucket + F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0))
-    return bucket
+        terms = " + ".join(
+            f"element_at({qvec}, {d + 1}) * {signs[p][d]}"
+            for d in range(dim)
+        )
+        planes.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END)")
+    return F.expr("CAST(" + " + ".join(planes) + " AS BIGINT)")
 
 
 def lsh_bucket_topk(
@@ -152,13 +159,13 @@ def lsh_bucket_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col("qvec").alias("v"),
         _norm(F.col("qvec")).alias("nv"),
-        _sign_bucket(F.col("qvec"), n_planes, dim).alias("bucket"),
+        _sign_bucket("qvec", n_planes, dim).alias("bucket"),
     )
     q0 = quantize_embeddings(queries).select(
         F.col(id_col).alias("query_id"),
         F.col("qvec").alias("q"),
         _norm(F.col("qvec")).alias("nq"),
-        _sign_bucket(F.col("qvec"), n_planes, dim).alias("bucket"),
+        _sign_bucket("qvec", n_planes, dim).alias("bucket"),
     )
     if probe_hamming >= 1:
         probes = F.array(
