@@ -4655,13 +4655,158 @@ def q_pretrain_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus-preparation chain (quality gate → exact dedup →
     MinHash near-dup removal → decontamination vs a held-out benchmark
     slice → mixture rebalance → chunk → pack), emitting the per-stage
-    survivor funnel. Every stage is an oracle-verified operator; the
-    composition is rows-only (unit test pins monotonicity + determinism)."""
+    survivor funnel. Every stage is an oracle-verified operator AND the
+    whole composition is hash-verified: ORACLE_PRETRAIN_FUNNEL replays
+    all seven stages in one DuckDB statement (recursive CTE for the
+    near-dup components) and must reproduce every stage count."""
     from daily_top_songs_etl_spark.plans.pretrain import pretrain_corpus_funnel
 
     docs = _t(spark, sf_dir, "documents")
     benchmark = docs.filter(F.col("doc_id") < 3).select("doc_id", "text")
     return pretrain_corpus_funnel(docs.filter(F.col("doc_id") >= 3), benchmark)
+
+
+#: The funnel composition as ONE DuckDB statement: each stage CTE is the
+#: same SQL the per-operator oracles use (quality gates, min-doc_id exact
+#: dedup, MinHash bands + recursive-CTE components, 7-gram benchmark
+#: overlap, md5-bucket mixture, stride-25 chunk enumeration, bucketed
+#: running-sum packing), chained over the survivors of the previous
+#: stage. Matching Spark's 8 stage counts end-to-end leaves no room for
+#: a composition bug that the individually-green stages could hide.
+ORACLE_PRETRAIN_FUNNEL = rf"""
+WITH base AS (
+  SELECT * FROM documents WHERE doc_id >= 3
+), tok AS (
+  SELECT doc_id, lang, text,
+         string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM base
+), gateb AS (
+  SELECT doc_id,
+         CAST(len(t) AS INTEGER) AS n_tokens,
+         CAST(length(text) AS INTEGER) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+              AS INTEGER) AS n_punct,
+         CAST(len(list_filter(t, w -> list_contains({_STOPLIST_SQL}, w)))
+              AS INTEGER) AS n_stop,
+         CASE WHEN len(t) >= 2
+            THEN list_transform(generate_series(1, len(t)-1),
+                                i -> array_to_string(t[i:i+1], ' '))
+            ELSE [] END AS grams
+  FROM tok
+), gatepass AS (
+  SELECT doc_id FROM gateb
+  WHERE (n_tokens BETWEEN 50 AND 100000)
+    AND (CAST(n_chars - n_tokens + 1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             >= 3.0
+         AND CAST(n_chars - n_tokens + 1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             <= 10.0)
+    AND (CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) < 0.1)
+    AND (n_stop >= 2)
+    AND (len(grams) > 0
+         AND CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+             / CAST(len(grams) AS DOUBLE) <= 0.5)
+), q AS (
+  SELECT tok.* FROM tok JOIN gatepass USING (doc_id)
+), keepx AS (
+  SELECT min(doc_id) AS doc_id FROM q
+  GROUP BY md5(array_to_string(t, ' '))
+), e AS (
+  SELECT q.* FROM q JOIN keepx USING (doc_id)
+), sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+     THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+                                       i -> array_to_string(t[i:i+2], ' ')))
+     ELSE [] END) AS shingle
+  FROM e
+), sig AS (
+  SELECT doc_id,
+         {_SIG_COLS}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  {_BAND_SELECTS}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT da AS a, db AS b FROM cand
+  UNION
+  SELECT db AS a, da AS b FROM cand
+), reach AS (
+  WITH RECURSIVE r(node, lbl) AS (
+    SELECT DISTINCT a, a FROM edges
+    UNION
+    SELECT eg.b, r.lbl FROM r JOIN edges eg ON eg.a = r.node
+  )
+  SELECT * FROM r
+), clusters AS (
+  SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+), nd AS (
+  SELECT e.* FROM e LEFT JOIN clusters c USING (doc_id)
+  WHERE c.doc_id IS NULL OR c.cluster_id = c.doc_id
+), benchgrams AS (
+  SELECT DISTINCT unnest(CASE WHEN len(t) >= 7
+     THEN list_transform(generate_series(1, len(t)-6),
+                         i -> array_to_string(t[i:i+6], ' '))
+     ELSE [] END) AS gram
+  FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE doc_id < 3)
+), ndgrams AS (
+  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 7
+     THEN list_transform(generate_series(1, len(t)-6),
+                         i -> array_to_string(t[i:i+6], ' '))
+     ELSE [] END)) AS gram
+  FROM nd
+), contaminated AS (
+  SELECT DISTINCT c.doc_id FROM ndgrams c JOIN benchgrams b USING (gram)
+), cl AS (
+  SELECT nd.* FROM nd LEFT JOIN contaminated x USING (doc_id)
+  WHERE x.doc_id IS NULL
+), mx AS (
+  SELECT cl.* FROM cl
+  WHERE (instr('0123456789abcdef',
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        + (instr('0123456789abcdef',
+                 substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+        < CASE lang WHEN 'en' THEN 128 ELSE 256 END
+), chunkenum AS (
+  SELECT doc_id, t,
+         unnest(range(0, greatest(len(t) - 1, 0) + 1, 25)) AS start,
+         unnest(range(0, len(range(0, greatest(len(t) - 1, 0) + 1, 25))))
+             AS chunk_id
+  FROM mx WHERE text IS NOT NULL
+), chunks AS (
+  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         CAST(len(t[start + 1 : start + 50]) AS BIGINT) AS n_tokens,
+         CAST((instr('0123456789abcdef',
+                     substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef',
+                       substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+              AS INTEGER) % 32 AS bucket
+  FROM chunkenum
+), bins AS (
+  SELECT bucket,
+         CAST((sum(n_tokens) OVER w - n_tokens) // 512 AS BIGINT) AS bin_id
+  FROM chunks
+  WINDOW w AS (PARTITION BY bucket ORDER BY doc_id, chunk_id
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage,
+       CAST(n_rows AS BIGINT) AS n_rows
+FROM (
+  SELECT 1 AS stage_idx, 'raw' AS stage,
+         (SELECT count(*) FROM base) AS n_rows
+  UNION ALL SELECT 2, 'quality_gate', (SELECT count(*) FROM q)
+  UNION ALL SELECT 3, 'exact_dedup', (SELECT count(*) FROM e)
+  UNION ALL SELECT 4, 'near_dedup', (SELECT count(*) FROM nd)
+  UNION ALL SELECT 5, 'decontaminated', (SELECT count(*) FROM cl)
+  UNION ALL SELECT 6, 'mixture', (SELECT count(*) FROM mx)
+  UNION ALL SELECT 7, 'chunks', (SELECT count(*) FROM chunks)
+  UNION ALL SELECT 8, 'packed_bins',
+    (SELECT count(*) FROM (SELECT DISTINCT bucket, bin_id FROM bins))
+)
+"""
 
 
 def q_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5500,7 +5645,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentile_agg": q_percentile_agg,
     "text_fingerprint": q_text_fingerprint,
     "setop_except": q_setop_except,
-    "setop_intersect": q_setop_intersect,
+    "pretrain_funnel": q_pretrain_funnel,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "sim_topk_ivf": q_sim_topk_ivf,
     "asof_join": q_asof_join,
@@ -5509,7 +5654,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- end of driver correctness window (slot 50) ---
     "vocab_encode": q_vocab_encode,
     "train_order": q_train_order,
-    "pretrain_funnel": q_pretrain_funnel,
+    "setop_intersect": q_setop_intersect,
     "zorder_value": q_zorder_value,
     "dedup_minhash_estimate": q_dedup_minhash_estimate,
     "dedup_jaccard_lsh": q_dedup_jaccard_lsh,
@@ -5739,6 +5884,7 @@ _ORACLES: dict[str, str] = {
     "kmeans_update": ORACLE_KMEANS_UPDATE,
     "pq_subspace_assign": ORACLE_PQ_SUBSPACE_ASSIGN,
     "dedup_semantic_apply": ORACLE_DEDUP_SEMANTIC_APPLY,
+    "pretrain_funnel": ORACLE_PRETRAIN_FUNNEL,
     "quality_linear": ORACLE_QUALITY_LINEAR,
     "pmi_topk": ORACLE_PMI_TOPK,
     "bpe_encode": ORACLE_BPE_ENCODE,
