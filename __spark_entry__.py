@@ -2772,17 +2772,86 @@ FROM q, stats
 # Iterative k-means (Lloyd's) — rows-only check by design
 # --------------------------------------------------------------------------
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3 Lloyd iterations, k=4, deterministic lowest-id init. Iterative
-    fixpoint loops are the class SQL can't express (DuckDB would need a
-    recursive CTE carrying array state) — intentionally no oracle_sql
-    entry; the driver records rows-only, and the planted-cluster unit
-    test plus exact-integer distance math carry correctness."""
+    """3 Lloyd iterations, k=4, deterministic lowest-id init. The
+    iterative fixpoint is hash-verified by UNROLLING: the known iteration
+    count becomes 3 chained (assign → update) CTE rounds in one DuckDB
+    statement (`_oracle_kmeans_unrolled`) — the driver-sequenced loop and
+    the SQL unroll must produce bit-identical centroids and sizes.
+    Spark's HALF_UP centroid rounding is mirrored with an away-from-zero
+    closed form (floor(|x| + 0.5) with the sign reapplied)."""
     from daily_top_songs_etl_spark.extensions.similarity import kmeans_fit
 
     fit = kmeans_fit(_t(spark, sf_dir, "embeddings"), k=4, iters=3)
     return fit.select(
         "cluster", _vec_str("centroid").alias("centroid_str"), "n_vectors"
     )
+
+
+def _oracle_kmeans_unrolled(k: int = 4, iters: int = 3) -> str:
+    """DuckDB mirror of kmeans_fit(k, iters) by loop unrolling: the
+    iteration count is a known constant, so the 'SQL can't express
+    iteration' class reduces to `iters` chained CTE rounds. Each round:
+    exact-BIGINT L2 argmin (ties to the lower cluster id) then the
+    per-(cluster, dim) integer-sum update with away-from-zero rounding
+    (== Spark F.round HALF_UP on these values). Output matches
+    `q_kmeans`: (cluster, centroid_str, n_vectors) with empty clusters
+    kept at n_vectors=0."""
+    d2 = (
+        "CAST(list_sum(list_transform(generate_series(1, len(q.qv)),"
+        " i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT)"
+    )
+    parts = [f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+  FROM embeddings
+), c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+         qv AS cv
+  FROM q ORDER BY vec_id LIMIT {k}
+)"""]
+    for it in range(1, iters + 1):
+        parts.append(f"""
+, a{it} AS (
+  SELECT vec_id, qv, cluster FROM (
+    SELECT q.vec_id, q.qv, c.cluster,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {d2}, c.cluster) AS rn
+    FROM q CROSS JOIN c{it - 1} c
+  ) WHERE rn = 1
+), u{it} AS (
+  SELECT cluster, g.i AS pos,
+         sum(qv[g.i]) AS s, count(*) AS n
+  FROM a{it}, LATERAL unnest(generate_series(1, len(qv))) AS g(i)
+  GROUP BY cluster, g.i
+), c{it} AS (
+  SELECT cluster,
+         list(CAST(CASE WHEN s >= 0
+                  THEN floor(CAST(s AS DOUBLE) / n + 0.5)
+                  ELSE -floor(-(CAST(s AS DOUBLE) / n) + 0.5) END AS BIGINT)
+              ORDER BY pos) AS cv
+  FROM u{it} GROUP BY cluster
+)""")
+    parts.append(f"""
+, sizes AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors FROM (
+    SELECT vec_id, cluster FROM (
+      SELECT q.vec_id, c.cluster,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {d2}, c.cluster) AS rn
+      FROM q CROSS JOIN c{iters} c
+    ) WHERE rn = 1
+  ) GROUP BY cluster
+)
+SELECT c.cluster,
+       array_to_string(list_transform(c.cv,
+           v -> CAST(CAST(v AS BIGINT) * 1000 AS VARCHAR)), ',')
+           AS centroid_str,
+       CAST(coalesce(s.n_vectors, 0) AS BIGINT) AS n_vectors
+FROM c{iters} c LEFT JOIN sizes s USING (cluster)
+""")
+    return "".join(parts)
 
 
 #: Session-scoped trained-codebook cache keyed by sf_dir (same pattern
@@ -5885,6 +5954,7 @@ _ORACLES: dict[str, str] = {
     "pq_subspace_assign": ORACLE_PQ_SUBSPACE_ASSIGN,
     "dedup_semantic_apply": ORACLE_DEDUP_SEMANTIC_APPLY,
     "pretrain_funnel": ORACLE_PRETRAIN_FUNNEL,
+    "kmeans": _oracle_kmeans_unrolled(),
     "quality_linear": ORACLE_QUALITY_LINEAR,
     "pmi_topk": ORACLE_PMI_TOPK,
     "bpe_encode": ORACLE_BPE_ENCODE,
