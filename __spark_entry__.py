@@ -5381,11 +5381,15 @@ LIMIT 20
 # codegen'd encode (extensions/bpe.py)
 # --------------------------------------------------------------------------
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn 8 BPE merges from the corpus. Iterative fixpoint (one argmax
-    row to the driver per iteration; pair counting is a distributed
-    explode+groupBy over the vocabulary-sized distinct-word table) — not
-    SQL-expressible, so rows-only like kmeans; unit-tested against a
-    pure-Python BPE reference."""
+    """Learn 8 BPE merges from the corpus. The iterative fixpoint (one
+    argmax row to the driver per iteration; pair counting is a
+    distributed explode+groupBy over the vocabulary-sized distinct-word
+    table) is hash-verified by UNROLLING the known merge count into 8
+    chained count→argmax→apply CTE rounds in one DuckDB statement
+    (`_oracle_bpe_train_unrolled`); the merge application uses literal
+    string replace on the double-space separator contract — identical
+    non-overlapping left-to-right semantics to Spark's escaped
+    regexp_replace. Also unit-tested against a pure-Python reference."""
     from daily_top_songs_etl_spark.extensions.bpe import bpe_train
 
     merges, _words = bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
@@ -5397,6 +5401,53 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "merge_rank int, left string, right string, merged string, pair_freq bigint",
     )
+
+
+def _oracle_bpe_train_unrolled(n_merges: int = 8) -> str:
+    """DuckDB mirror of bpe_train(n_merges) by loop unrolling — same
+    reduction as the kmeans oracle: each round counts adjacent symbol
+    pairs over the distinct-word table (frequency-weighted), takes the
+    (pair_freq DESC, left, right) argmax, and applies the merge with a
+    literal replace on the ' l  r ' double-space pattern."""
+    parts = [r"""
+WITH w0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         ' ' || regexp_replace(word, '(.)', ' \1 ', 'g') || ' ' AS syms
+  FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+    FROM documents
+  ) WHERE word <> ''
+  GROUP BY word
+)"""]
+    for r in range(n_merges):
+        parts.append(f"""
+, p{r} AS MATERIALIZED (
+  SELECT sy[g.i] AS left_sym, sy[g.i + 1] AS right_sym,
+         CAST(sum(freq) AS BIGINT) AS pair_freq
+  FROM (SELECT freq, string_split(trim(syms), '  ') AS sy FROM w{r}),
+       LATERAL unnest(generate_series(1, len(sy) - 1)) AS g(i)
+  WHERE len(sy) >= 2
+  GROUP BY 1, 2
+), t{r} AS MATERIALIZED (
+  SELECT left_sym, right_sym, pair_freq FROM p{r}
+  ORDER BY pair_freq DESC, left_sym, right_sym LIMIT 1
+), w{r + 1} AS MATERIALIZED (
+  SELECT word, freq,
+         replace(syms,
+                 ' ' || (SELECT left_sym FROM t{r}) || '  '
+                     || (SELECT right_sym FROM t{r}) || ' ',
+                 ' ' || (SELECT left_sym FROM t{r})
+                     || (SELECT right_sym FROM t{r}) || ' ') AS syms
+  FROM w{r}
+)""")
+    finals = "\nUNION ALL ".join(
+        f"SELECT CAST({r + 1} AS INTEGER) AS merge_rank, "
+        f'left_sym AS "left", right_sym AS "right", '
+        f"left_sym || right_sym AS merged, pair_freq FROM t{r}"
+        for r in range(n_merges)
+    )
+    parts.append("\n" + finals)
+    return "".join(parts)
 
 
 def q_bpe_top_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5955,6 +6006,7 @@ _ORACLES: dict[str, str] = {
     "dedup_semantic_apply": ORACLE_DEDUP_SEMANTIC_APPLY,
     "pretrain_funnel": ORACLE_PRETRAIN_FUNNEL,
     "kmeans": _oracle_kmeans_unrolled(),
+    "bpe_train": _oracle_bpe_train_unrolled(),
     "quality_linear": ORACLE_QUALITY_LINEAR,
     "pmi_topk": ORACLE_PMI_TOPK,
     "bpe_encode": ORACLE_BPE_ENCODE,
