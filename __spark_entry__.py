@@ -2787,6 +2787,52 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_cte_prefix(k: int, iters: int) -> str:
+    """Shared CTE prefix unrolling kmeans_fit(k, iters): quantized
+    vectors ``q``, init ``c0`` (k lowest ids), then per-iteration
+    assign/update rounds ending at centroids ``c{iters}``. Reused by the
+    kmeans oracle and the ANN-index oracles (which train with different
+    k/iters)."""
+    d2 = (
+        "CAST(list_sum(list_transform(generate_series(1, len(q.qv)),"
+        " i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT)"
+    )
+    parts = [f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+  FROM embeddings
+), c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+         qv AS cv
+  FROM q ORDER BY vec_id LIMIT {k}
+)"""]
+    for it in range(1, iters + 1):
+        parts.append(f"""
+, a{it} AS MATERIALIZED (
+  SELECT vec_id, qv, cluster FROM (
+    SELECT q.vec_id, q.qv, c.cluster,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {d2}, c.cluster) AS rn
+    FROM q CROSS JOIN c{it - 1} c
+  ) WHERE rn = 1
+), u{it} AS (
+  SELECT cluster, g.i AS pos,
+         sum(qv[g.i]) AS s, count(*) AS n
+  FROM a{it}, LATERAL unnest(generate_series(1, len(qv))) AS g(i)
+  GROUP BY cluster, g.i
+), c{it} AS MATERIALIZED (
+  SELECT cluster,
+         list(CAST(CASE WHEN s >= 0
+                  THEN floor(CAST(s AS DOUBLE) / n + 0.5)
+                  ELSE -floor(-(CAST(s AS DOUBLE) / n) + 0.5) END AS BIGINT)
+              ORDER BY pos) AS cv
+  FROM u{it} GROUP BY cluster
+)""")
+    return "".join(parts)
+
+
 def _oracle_kmeans_unrolled(k: int = 4, iters: int = 3) -> str:
     """DuckDB mirror of kmeans_fit(k, iters) by loop unrolling: the
     iteration count is a known constant, so the 'SQL can't express
@@ -2800,39 +2846,7 @@ def _oracle_kmeans_unrolled(k: int = 4, iters: int = 3) -> str:
         "CAST(list_sum(list_transform(generate_series(1, len(q.qv)),"
         " i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT)"
     )
-    parts = [f"""
-WITH q AS (
-  SELECT vec_id,
-         list_transform(embedding,
-             x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
-  FROM embeddings
-), c0 AS (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
-         qv AS cv
-  FROM q ORDER BY vec_id LIMIT {k}
-)"""]
-    for it in range(1, iters + 1):
-        parts.append(f"""
-, a{it} AS (
-  SELECT vec_id, qv, cluster FROM (
-    SELECT q.vec_id, q.qv, c.cluster,
-           row_number() OVER (PARTITION BY q.vec_id
-                              ORDER BY {d2}, c.cluster) AS rn
-    FROM q CROSS JOIN c{it - 1} c
-  ) WHERE rn = 1
-), u{it} AS (
-  SELECT cluster, g.i AS pos,
-         sum(qv[g.i]) AS s, count(*) AS n
-  FROM a{it}, LATERAL unnest(generate_series(1, len(qv))) AS g(i)
-  GROUP BY cluster, g.i
-), c{it} AS (
-  SELECT cluster,
-         list(CAST(CASE WHEN s >= 0
-                  THEN floor(CAST(s AS DOUBLE) / n + 0.5)
-                  ELSE -floor(-(CAST(s AS DOUBLE) / n) + 0.5) END AS BIGINT)
-              ORDER BY pos) AS cv
-  FROM u{it} GROUP BY cluster
-)""")
+    parts = [_kmeans_cte_prefix(k, iters)]
     parts.append(f"""
 , sizes AS (
   SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors FROM (
@@ -3160,6 +3174,82 @@ def q_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_ann_index(
         cat, "idx", emb.filter(F.col("vec_id") < 8), k=5, n_probe=2
     )
+
+
+def _ann_cent_lists_ctes() -> str:
+    """Shared oracle CTEs mirroring build_ann_index(k=8, iters=2): the
+    centroid relation (re-quantized, with norms) and the cosine-assigned
+    inverted lists — appended to the kmeans unroll prefix."""
+    cos_vc = (
+        "round(CAST(list_sum(list_transform(list_zip(q.qv, c.cv),"
+        " s -> s[1] * s[2])) AS DOUBLE)"
+        " / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x))"
+        " AS DOUBLE)) * c.cn), 6)"
+    )
+    return f"""
+, cent AS MATERIALIZED (
+  SELECT cluster AS cent_id, cv,
+         sqrt(CAST(list_sum(list_transform(cv, x -> x * x)) AS DOUBLE)) AS cn
+  FROM c2
+), lists AS MATERIALIZED (
+  SELECT vec_id, cluster, v,
+         sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE)) AS nv
+  FROM (
+    SELECT q.vec_id, c.cent_id AS cluster, q.qv AS v,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos_vc} DESC, c.cent_id) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn = 1
+)"""
+
+
+#: build_ann_index(k=8, iters=2) occupancy: kmeans unroll → cosine
+#: assignment to the trained centroids → per-list counts.
+ORACLE_ANN_INDEX_BUILD = (
+    _kmeans_cte_prefix(8, 2)
+    + _ann_cent_lists_ctes()
+    + """
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors
+FROM lists GROUP BY cluster
+"""
+)
+
+#: query_ann_index(k=5, n_probe=2) off the same trained index: per-query
+#: top-2 centroids by cosine, probe only those lists, exact re-rank.
+ORACLE_ANN_INDEX_QUERY = (
+    _kmeans_cte_prefix(8, 2)
+    + _ann_cent_lists_ctes()
+    + """
+, qq AS (
+  SELECT vec_id AS query_id, qv,
+         sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nq
+  FROM q WHERE vec_id < 8
+), probes AS (
+  SELECT query_id, qv, nq, cent_id AS cluster FROM (
+    SELECT qq.query_id, qq.qv, qq.nq, c.cent_id,
+           row_number() OVER (PARTITION BY qq.query_id ORDER BY
+             round(CAST(list_sum(list_transform(list_zip(qq.qv, c.cv),
+                        s -> s[1] * s[2])) AS DOUBLE) / (qq.nq * c.cn), 6)
+               DESC, c.cent_id) AS rn
+    FROM qq CROSS JOIN cent c
+  ) WHERE rn <= 2
+), scored AS (
+  SELECT p.query_id, l.vec_id AS neighbor_id,
+         round(CAST(list_sum(list_transform(list_zip(p.qv, l.v),
+                    s -> s[1] * s[2])) AS DOUBLE) / (p.nq * l.nv), 6)
+             AS cosine
+  FROM lists l JOIN probes p USING (cluster)
+  WHERE l.vec_id <> p.query_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id)
+            AS INTEGER) AS rank,
+       neighbor_id, cosine
+FROM scored
+QUALIFY rank <= 5
+"""
+)
 
 
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6007,6 +6097,8 @@ _ORACLES: dict[str, str] = {
     "pretrain_funnel": ORACLE_PRETRAIN_FUNNEL,
     "kmeans": _oracle_kmeans_unrolled(),
     "bpe_train": _oracle_bpe_train_unrolled(),
+    "ann_index_build": ORACLE_ANN_INDEX_BUILD,
+    "ann_index_query": ORACLE_ANN_INDEX_QUERY,
     "quality_linear": ORACLE_QUALITY_LINEAR,
     "pmi_topk": ORACLE_PMI_TOPK,
     "bpe_encode": ORACLE_BPE_ENCODE,
