@@ -2787,50 +2787,60 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_cte_prefix(k: int, iters: int) -> str:
-    """Shared CTE prefix unrolling kmeans_fit(k, iters): quantized
-    vectors ``q``, init ``c0`` (k lowest ids), then per-iteration
-    assign/update rounds ending at centroids ``c{iters}``. Reused by the
-    kmeans oracle and the ANN-index oracles (which train with different
-    k/iters)."""
+def _kmeans_rounds(src: str, sfx: str, k: int, iters: int) -> str:
+    """Unrolled Lloyd rounds over source CTE ``src`` (columns vec_id,
+    qv), CTE names suffixed with ``sfx``: init ``c0{sfx}`` (k lowest
+    ids) through ``c{iters}{sfx}``. The building block behind the
+    kmeans/ANN/PQ oracles — per-subspace trainings just instantiate it
+    with a sliced source and a distinct suffix."""
     d2 = (
-        "CAST(list_sum(list_transform(generate_series(1, len(q.qv)),"
-        " i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT)"
+        f"CAST(list_sum(list_transform(generate_series(1, len(q.qv)),"
+        f" i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT)"
     )
     parts = [f"""
-WITH q AS MATERIALIZED (
-  SELECT vec_id,
-         list_transform(embedding,
-             x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
-  FROM embeddings
-), c0 AS (
+, c0{sfx} AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
          qv AS cv
-  FROM q ORDER BY vec_id LIMIT {k}
+  FROM {src} ORDER BY vec_id LIMIT {k}
 )"""]
     for it in range(1, iters + 1):
         parts.append(f"""
-, a{it} AS MATERIALIZED (
+, a{it}{sfx} AS MATERIALIZED (
   SELECT vec_id, qv, cluster FROM (
     SELECT q.vec_id, q.qv, c.cluster,
            row_number() OVER (PARTITION BY q.vec_id
                               ORDER BY {d2}, c.cluster) AS rn
-    FROM q CROSS JOIN c{it - 1} c
+    FROM {src} q CROSS JOIN c{it - 1}{sfx} c
   ) WHERE rn = 1
-), u{it} AS (
+), u{it}{sfx} AS (
   SELECT cluster, g.i AS pos,
          sum(qv[g.i]) AS s, count(*) AS n
-  FROM a{it}, LATERAL unnest(generate_series(1, len(qv))) AS g(i)
+  FROM a{it}{sfx}, LATERAL unnest(generate_series(1, len(qv))) AS g(i)
   GROUP BY cluster, g.i
-), c{it} AS MATERIALIZED (
+), c{it}{sfx} AS MATERIALIZED (
   SELECT cluster,
          list(CAST(CASE WHEN s >= 0
                   THEN floor(CAST(s AS DOUBLE) / n + 0.5)
                   ELSE -floor(-(CAST(s AS DOUBLE) / n) + 0.5) END AS BIGINT)
               ORDER BY pos) AS cv
-  FROM u{it} GROUP BY cluster
+  FROM u{it}{sfx} GROUP BY cluster
 )""")
     return "".join(parts)
+
+
+_Q_QUANT_CTE = """
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+  FROM embeddings
+)"""
+
+
+def _kmeans_cte_prefix(k: int, iters: int) -> str:
+    """Quantized vectors ``q`` + unrolled rounds ending at ``c{iters}``
+    (unsuffixed names — the single-training oracles)."""
+    return _Q_QUANT_CTE + _kmeans_rounds("q", "", k, iters)
 
 
 def _oracle_kmeans_unrolled(k: int = 4, iters: int = 3) -> str:
@@ -3201,6 +3211,98 @@ def _ann_cent_lists_ctes() -> str:
     FROM q CROSS JOIN cent c
   ) WHERE rn = 1
 )"""
+
+
+def _pq_train_ctes(m: int = 4, k: int = 8, iters: int = 2) -> str:
+    """pq_train mirrored: per subspace j, slice ``qv`` and run the
+    unrolled kmeans rounds with suffix ``_s{j}`` — yielding codebooks
+    ``c{iters}_s{j}`` (cluster = code, cv = quantized codeword)."""
+    parts = [_Q_QUANT_CTE]
+    for j in range(m):
+        parts.append(f"""
+, q_s{j} AS MATERIALIZED (
+  SELECT vec_id,
+         qv[(len(qv) // {m}) * {j} + 1 : (len(qv) // {m}) * {j + 1}] AS qv
+  FROM q
+)""")
+        parts.append(_kmeans_rounds(f"q_s{j}", f"_s{j}", k, iters))
+    return "".join(parts)
+
+
+def _pq_encode_ctes(m: int = 4, iters: int = 2) -> str:
+    """pq_encode mirrored: per-subspace exact-L2 argmin against the
+    trained codebook → ``enc_s{j}`` (vec_id, code, d2)."""
+    parts = []
+    for j in range(m):
+        d2 = (
+            "CAST(list_sum(list_transform(generate_series(1, len(q.qv)),"
+            " i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT)"
+        )
+        parts.append(f"""
+, enc_s{j} AS MATERIALIZED (
+  SELECT vec_id, cluster AS code, d2 FROM (
+    SELECT q.vec_id, c.cluster, {d2} AS d2,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {d2}, c.cluster) AS rn
+    FROM q_s{j} q CROSS JOIN c{iters}_s{j} c
+  ) WHERE rn = 1
+)""")
+    return "".join(parts)
+
+
+ORACLE_PQ_CODES = (
+    _pq_train_ctes()
+    + _pq_encode_ctes()
+    + """
+SELECT e0.vec_id,
+       e0.code AS code_0, e1.code AS code_1,
+       e2.code AS code_2, e3.code AS code_3,
+       CAST(e0.d2 + e1.d2 + e2.d2 + e3.d2 AS BIGINT) AS q_err
+FROM enc_s0 e0
+JOIN enc_s1 e1 USING (vec_id)
+JOIN enc_s2 e2 USING (vec_id)
+JOIN enc_s3 e3 USING (vec_id)
+"""
+)
+
+
+def _pq_adc_tail(m: int = 4, iters: int = 2, k: int = 5) -> str:
+    """pq_topk ADC mirrored: per-query LUT (distance to every codeword
+    per subspace) + m lookup-adds per (query, vector), top-k ascending."""
+    melted = "\n  UNION ALL ".join(
+        f"SELECT vec_id AS neighbor_id, {j} AS subspace, code FROM enc_s{j}"
+        for j in range(m)
+    )
+    luts = "\n  UNION ALL ".join(
+        f"SELECT qs.vec_id AS query_id, {j} AS subspace, c.cluster AS code,"
+        f" CAST(list_sum(list_transform(generate_series(1, len(qs.qv)),"
+        f" i -> (qs.qv[i] - c.cv[i]) * (qs.qv[i] - c.cv[i]))) AS BIGINT)"
+        f" AS d_part"
+        f" FROM q_s{j} qs CROSS JOIN c{iters}_s{j} c WHERE qs.vec_id < 8"
+        for j in range(m)
+    )
+    return f"""
+, melted AS (
+  {melted}
+), lut AS (
+  {luts}
+), adc AS (
+  SELECT l.query_id, ml.neighbor_id,
+         CAST(sum(l.d_part) AS BIGINT) AS adc_dist
+  FROM melted ml JOIN lut l
+    ON ml.subspace = l.subspace AND ml.code = l.code
+  GROUP BY l.query_id, ml.neighbor_id
+)
+SELECT query_id, neighbor_id, adc_dist,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist ASC, neighbor_id ASC)
+            AS INTEGER) AS rank
+FROM adc
+QUALIFY rank <= {k}
+"""
+
+
+ORACLE_PQ_TOPK = _pq_train_ctes() + _pq_encode_ctes() + _pq_adc_tail()
 
 
 #: build_ann_index(k=8, iters=2) occupancy: kmeans unroll → cosine
@@ -6098,6 +6200,8 @@ _ORACLES: dict[str, str] = {
     "kmeans": _oracle_kmeans_unrolled(),
     "bpe_train": _oracle_bpe_train_unrolled(),
     "ann_index_build": ORACLE_ANN_INDEX_BUILD,
+    "pq_codes": ORACLE_PQ_CODES,
+    "pq_topk_adc": ORACLE_PQ_TOPK,
     "ann_index_query": ORACLE_ANN_INDEX_QUERY,
     "quality_linear": ORACLE_QUALITY_LINEAR,
     "pmi_topk": ORACLE_PMI_TOPK,
