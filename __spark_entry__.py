@@ -862,7 +862,7 @@ WITH tok AS (
   SELECT doc_id,
          {_SIMHASH60_SUMS}
   FROM hashed GROUP BY doc_id
-), sig AS (
+), sig AS MATERIALIZED (
   SELECT doc_id, CAST({_SIMHASH60_VAL} AS BIGINT) AS simhash FROM sums
 ), bands AS (
   SELECT doc_id, simhash, k AS band, (simhash >> (k * 15)) & 32767 AS val
@@ -2605,7 +2605,7 @@ WITH tok AS (
          unnest(range(0, len(range(0, greatest(len(t) - 1, 0) + 1, 25))))
              AS chunk_id
   FROM tok
-), chunks AS (
+), chunks AS MATERIALIZED (
   SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
          CAST(len(t[start + 1 : start + 50]) AS BIGINT) AS n_tokens,
          CAST((instr('0123456789abcdef',
@@ -4937,7 +4937,7 @@ def q_pretrain_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PRETRAIN_FUNNEL = rf"""
 WITH base AS (
   SELECT * FROM documents WHERE doc_id >= 3
-), tok AS (
+), tok AS MATERIALIZED (
   SELECT doc_id, lang, text,
          string_split_regex(trim(lower(text)), '\s+') AS t
   FROM base
@@ -4966,12 +4966,12 @@ WITH base AS (
     AND (len(grams) > 0
          AND CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
              / CAST(len(grams) AS DOUBLE) <= 0.5)
-), q AS (
+), q AS MATERIALIZED (
   SELECT tok.* FROM tok JOIN gatepass USING (doc_id)
 ), keepx AS (
   SELECT min(doc_id) AS doc_id FROM q
   GROUP BY md5(array_to_string(t, ' '))
-), e AS (
+), e AS MATERIALIZED (
   SELECT q.* FROM q JOIN keepx USING (doc_id)
 ), sh AS (
   SELECT doc_id, unnest(CASE WHEN len(t) >= 3
@@ -5003,7 +5003,7 @@ WITH base AS (
   SELECT * FROM r
 ), clusters AS (
   SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
-), nd AS (
+), nd AS MATERIALIZED (
   SELECT e.* FROM e LEFT JOIN clusters c USING (doc_id)
   WHERE c.doc_id IS NULL OR c.cluster_id = c.doc_id
 ), benchgrams AS (
@@ -5021,10 +5021,10 @@ WITH base AS (
   FROM nd
 ), contaminated AS (
   SELECT DISTINCT c.doc_id FROM ndgrams c JOIN benchgrams b USING (gram)
-), cl AS (
+), cl AS MATERIALIZED (
   SELECT nd.* FROM nd LEFT JOIN contaminated x USING (doc_id)
   WHERE x.doc_id IS NULL
-), mx AS (
+), mx AS MATERIALIZED (
   SELECT cl.* FROM cl
   WHERE (instr('0123456789abcdef',
                substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
@@ -5037,7 +5037,7 @@ WITH base AS (
          unnest(range(0, len(range(0, greatest(len(t) - 1, 0) + 1, 25))))
              AS chunk_id
   FROM mx WHERE text IS NOT NULL
-), chunks AS (
+), chunks AS MATERIALIZED (
   SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
          CAST(len(t[start + 1 : start + 50]) AS BIGINT) AS n_tokens,
          CAST((instr('0123456789abcdef',
