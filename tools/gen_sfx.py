@@ -62,6 +62,30 @@ def main() -> None:
             f"{OUT}/{tbl}.parquet"
         )
         print(f"{tbl}: {N}x written", flush=True)
+    # embeddings: vec_id offset + per-replica dimension ROTATION — same
+    # norms and value distribution, but cross-replica vectors differ in
+    # every dimension, so cosine-pair structure stays linear in replicas
+    # (identical copies would pair quadratically across replicas).
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    eparts = []
+    for i in range(N):
+        df = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * OFFSET_UNIT))
+        if i > 0:
+            df = df.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", i + 1, 64 - i),
+                    F.slice("embedding", 1, i),
+                ),
+            )
+        eparts.append(df)
+    eout = eparts[0]
+    for p in eparts[1:]:
+        eout = eout.unionByName(p)
+    eout.repartition(32).write.mode("overwrite").parquet(
+        f"{OUT}/embeddings.parquet"
+    )
+    print(f"embeddings: {N}x written", flush=True)
     for tbl in ("nation", "region"):
         spark.read.parquet(f"{SRC}/{tbl}.parquet").write.mode(
             "overwrite"
