@@ -5585,6 +5585,9 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daily_top_songs_etl_spark.extensions.bpe import bpe_train
 
     merges, _words = bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
+    # caller-must-unpersist contract (bpe.py): this entry only needs the
+    # merge list, so release the cached vocabulary blocks immediately.
+    _words.unpersist()
     rows = [
         (i + 1, left, right, left + right, freq)
         for i, (left, right, freq) in enumerate(merges)

@@ -59,7 +59,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytearray]:
         if len(body) != length:
             raise ValueError("truncated PNG chunk")
         expect_crc = data[pos + 8 + length : pos + 12 + length]
-        if len(expect_crc) == 4 and struct.unpack(">I", expect_crc)[0] != (
+        if len(expect_crc) != 4:
+            # a PNG cut off mid-CRC must fail loudly, not skip the check
+            raise ValueError(f"truncated PNG chunk {ctype!r}: missing CRC")
+        if struct.unpack(">I", expect_crc)[0] != (
             zlib.crc32(ctype + body) & 0xFFFFFFFF
         ):
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")

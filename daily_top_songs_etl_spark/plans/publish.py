@@ -53,12 +53,21 @@ def publish_to_git(
     If the staged paths contain no changes, no commit is created and the
     current head sha is returned (a scheduled run on an unchanged day
     must not manufacture empty commits). ``remote`` (a URL or remote
-    name) enables the network half — ``git pull --rebase`` first when
+    name) enables the network half — ``git pull --rebase`` when
     ``rebase_first`` (the README step races the CSV step in the
     reference's workflow, etl.yml:59) and a push after the commit.
+
+    Ordering matters: the local commit is created BEFORE the rebase-pull.
+    The reference workflow pulls on a clean checkout before rendering; here
+    the rendered README is already a modification to a tracked file, and
+    ``git pull --rebase`` refuses to run over unstaged changes to tracked
+    paths (exit 128, "cannot pull with rebase: You have unstaged
+    changes"). Committing first gives the rebase a clean tree and replays
+    the publication commit on top of the remote head — the same final
+    content as the reference's pull-then-commit on its clean runner.
+    ``rebase.autostash`` additionally shields the pull from unrelated
+    dirty files outside ``paths``.
     """
-    if remote is not None and rebase_first:
-        _git(repo_dir, "pull", "--rebase", remote, branch)
     _git(repo_dir, "add", "--", *paths)
     staged = _git(repo_dir, "diff", "--cached", "--name-only")
     if staged:
@@ -72,7 +81,23 @@ def publish_to_git(
             "-m",
             message,
         )
-        if remote is not None:
+    if remote is not None:
+        if rebase_first:
+            # replaying the commit during rebase needs a committer identity
+            _git(
+                repo_dir,
+                "-c",
+                f"user.name={author_name}",
+                "-c",
+                f"user.email={author_email}",
+                "-c",
+                "rebase.autostash=true",
+                "pull",
+                "--rebase",
+                remote,
+                branch,
+            )
+        if staged:
             _git(repo_dir, "push", remote, branch)
     return _git(repo_dir, "rev-parse", "HEAD")
 

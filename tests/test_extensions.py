@@ -248,6 +248,10 @@ def test_decode_png_filters_palette_and_roundtrip():
         decode_png(b"GIF89a not a png")
     with pytest.raises(ValueError):
         decode_png(data[:-10] + b"\x00" * 10)  # broken IEND CRC region
+    with pytest.raises(ValueError, match="missing CRC"):
+        decode_png(data[:-2])  # cut off mid-CRC: 2 of IEND's 4 CRC bytes
+    with pytest.raises(ValueError, match="missing CRC"):
+        decode_png(data[:-4])  # cut off exactly before the final CRC
 
 
 def test_extract_features_real_png_decode(spark):

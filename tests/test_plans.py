@@ -622,3 +622,30 @@ def test_git_publication_push_to_local_remote(tmp_path):
     subjects = git(bare, "log", "--format=%s", "master").splitlines()
     assert subjects[0] == "chore(automated): update readme with daily data"
     assert "out-of-band" in subjects  # rebase preserved the interleaved commit
+
+    # day 2: README.md is now TRACKED and the render modifies it in place.
+    # git refuses `pull --rebase` over unstaged changes to a tracked file,
+    # so publish must commit before pulling (round-4 fix — previously this
+    # raised CalledProcessError exit 128 on every networked run after the
+    # first). Another out-of-band commit makes the rebase non-trivial.
+    other2 = str(tmp_path / "other2")
+    subprocess.run(["git", "clone", "-q", bare, other2], check=True)
+    with open(os.path.join(other2, "note2.txt"), "w") as fh:
+        fh.write("out of band 2\n")
+    git(other2, "add", "."); git(
+        other2, "-c", "user.name=o", "-c", "user.email=o@o", "commit", "-q",
+        "-m", "out-of-band-2",
+    )
+    git(other2, "push", "-q", "origin", "master")
+
+    with open(os.path.join(repo, "README.md"), "w") as fh:
+        fh.write("# report day 2\n")
+    sha3 = publish_readme(repo, remote="origin")
+    assert sha3 != sha2
+    assert git(bare, "rev-parse", "master") == sha3
+    subjects = git(bare, "log", "--format=%s", "master").splitlines()
+    assert subjects.count("chore(automated): update readme with daily data") == 2
+    assert "out-of-band-2" in subjects
+    # the rebased working tree kept the day-2 render
+    with open(os.path.join(repo, "README.md")) as fh:
+        assert fh.read() == "# report day 2\n"
