@@ -1027,8 +1027,11 @@ _COS_AB = (
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daily_top_songs_etl_spark.extensions.dedup import embedding_cosine_pairs
 
+    # n_planes pinned: the oracle's bucket SQL hard-codes the 4-plane
+    # projection (_bucket_sql), so the registered entry must not follow
+    # the library's scale-safe auto-sizing default.
     return embedding_cosine_pairs(
-        _t(spark, sf_dir, "embeddings"), min_cosine=0.3
+        _t(spark, sf_dir, "embeddings"), min_cosine=0.3, n_planes=4
     )
 
 
@@ -1058,7 +1061,8 @@ def q_dedup_semantic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_cosine_pairs(emb, min_cosine=0.3).select(
+    # n_planes pinned at 4 to match the oracle's hard-coded bucket SQL
+    pairs = embedding_cosine_pairs(emb, min_cosine=0.3, n_planes=4).select(
         F.col("id_a").alias("doc_id_a"), F.col("id_b").alias("doc_id_b")
     )
     out = dedup_apply(emb.select(F.col("vec_id").alias("doc_id")), pairs)

@@ -282,15 +282,17 @@ def ngram_jaccard_lsh(
     )
 
 
-def suggested_n_planes(n_rows: int, target_bucket: int = 500) -> int:
+def suggested_n_planes(n_rows: int, target_bucket: int = 100) -> int:
     """Size the SRP plane count so expected bucket occupancy stays near
     ``target_bucket``: candidate volume is Σ|bucket|² ≈ N²/2^planes, so
     planes must grow with log2(N) to keep per-bucket work (and therefore
-    total work) LINEAR in the corpus. Measured at 10× sf0.1 embeddings:
-    fixed n_planes=4 → 6.8s pair join; log-scaled n_planes=7 → 2.1s
-    (back on the linear slope). More planes trade recall for cost —
-    the standard LSH dial; keep the default fixed when reproducing a
-    previously-committed pair set."""
+    total work) LINEAR in the corpus — asymptotically ≈ target_bucket·N
+    candidate dot products regardless of N. Measured at 10× sf0.1
+    embeddings (round 4): fixed n_planes=4 → 5.8s pair join; auto-sized
+    (20k rows → 8 planes) → 1.3s, flat against the 1.3s sf0.1 wall —
+    slope ~1.0 vs the fixed default's 5×. More planes trade recall for
+    cost — the standard LSH dial; pass an explicit plane count when
+    reproducing a previously-committed pair set."""
     import math
 
     if n_rows <= target_bucket:
@@ -301,9 +303,10 @@ def suggested_n_planes(n_rows: int, target_bucket: int = 500) -> int:
 def embedding_cosine_pairs(
     embeddings: DataFrame,
     min_cosine: float = 0.3,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
+    target_bucket: int = 100,
 ) -> DataFrame:
     """Embedding-based near-duplicate pairs: exact cosine over
     sign-random-projection LSH candidates (same bucket), keeping pairs with
@@ -316,9 +319,18 @@ def embedding_cosine_pairs(
 
     ``n_planes`` must scale with the corpus (≈ log2(N / bucket_target),
     see :func:`suggested_n_planes`) — a FIXED plane count makes bucket
-    occupancy, and therefore the candidate join, quadratic in N.
+    occupancy, and therefore the candidate join, quadratic in N. The
+    DEFAULT (``n_planes=None``) is therefore scale-safe: it auto-sizes
+    from a cheap corpus ``count()`` (one columnar-metadata job, the same
+    statistic an ANALYZE would supply) so callers who never touch the dial
+    stay on the linear slope at any N. Pass an explicit plane count only
+    to reproduce a previously-committed pair set bit-for-bit (more planes
+    trade recall for cost — the standard LSH dial).
     """
     from .similarity import _dot, _norm, _sign_bucket, quantize_embeddings
+
+    if n_planes is None:
+        n_planes = suggested_n_planes(embeddings.count(), target_bucket)
 
     # Norm computed once per vector BEFORE the self-join (per-pair work is
     # one dot product, not three array aggregations); the relation is

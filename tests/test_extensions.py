@@ -1231,10 +1231,11 @@ def test_minhash_estimate_tracks_exact_jaccard(spark, documents):
 def test_suggested_n_planes_log_scales():
     from daily_top_songs_etl_spark.extensions.dedup import suggested_n_planes
 
-    assert suggested_n_planes(400) == 1          # fits one bucket
-    assert suggested_n_planes(2_000) == 4        # sf0.1 default regime
-    assert suggested_n_planes(20_000) == 6       # 10x corpus
-    assert suggested_n_planes(20_000_000) == 16  # +3 decades -> +10 planes
+    assert suggested_n_planes(80) == 1           # fits one bucket
+    assert suggested_n_planes(400, 500) == 1     # explicit looser target
+    assert suggested_n_planes(2_000) == 5        # sf0.1 auto regime
+    assert suggested_n_planes(20_000) == 8       # 10x corpus (slope ~1.0)
+    assert suggested_n_planes(20_000_000) == 18  # +3 decades -> +10 planes
     # doubling the corpus adds at most one plane (log scaling)
     for n in (10_000, 1_000_000, 100_000_000):
         assert suggested_n_planes(2 * n) - suggested_n_planes(n) <= 1
