@@ -3375,6 +3375,110 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(emb, codebook, m=4)
 
 
+#: Session-scoped PERSISTED PQ index cache keyed by sf_dir (same catalog
+#: pattern as _ANN_INDEXES): `pq_index_build` pays the honest 4-subspace
+#: train + catalog write, `pq_encode_apply` reads the stored codebook so
+#: its bench number is the steady-state per-batch encode cost.
+_PQ_INDEXES: dict[str, object] = {}
+
+
+def _pq_built_catalog(spark: SparkSession, sf_dir: str):
+    import atexit
+    import shutil
+    import tempfile
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.pq import build_pq_index
+
+    if sf_dir not in _PQ_INDEXES:
+        pq_dir = tempfile.mkdtemp(prefix="spark_graft_pq_")
+        atexit.register(shutil.rmtree, pq_dir, ignore_errors=True)
+        cat = Catalog(spark, pq_dir)
+        build_pq_index(
+            cat, "pq", _t(spark, sf_dir, "embeddings"), m=4, k=8, iters=2
+        )
+        _PQ_INDEXES[sf_dir] = cat
+    return _PQ_INDEXES[sf_dir]
+
+
+def q_pq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index BUILD: train the m=4 subspace codebooks (k=8, 2 Lloyd
+    iterations each) and persist them as a versioned catalog table —
+    the train-once half of the PQ lifecycle (mirrors `ann_index_build`).
+    Returns the STORED codebook flattened to scalars (subspace, code,
+    centroid_str, n_vectors); hash-verified against the per-subspace
+    kmeans unroll, so the driver checks the persisted artifact itself."""
+    _PQ_INDEXES.pop(sf_dir, None)  # time an honest rebuild, not a cache hit
+    cat = _pq_built_catalog(spark, sf_dir)
+    return cat.read("pq__codebook").select(
+        F.col("subspace").cast("int").alias("subspace"),
+        F.col("code").cast("int").alias("code"),
+        _vec_str("centroid").alias("centroid_str"),
+        F.col("n_vectors").cast("bigint").alias("n_vectors"),
+    )
+
+
+def q_pq_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode APPLY (steady state): encode the corpus off the
+    PERSISTED codebook — one catalog read (m·k rows, broadcast) + one
+    hash aggregate; no subspace training (that cost lives in
+    `pq_index_build`). Same deterministic output as the combined
+    `pq_codes`, so the same train+encode unroll oracle hash-verifies the
+    split path end-to-end."""
+    from daily_top_songs_etl_spark.extensions.pq import encode_with_pq_index
+
+    cat = _pq_built_catalog(spark, sf_dir)
+    return encode_with_pq_index(cat, "pq", _t(spark, sf_dir, "embeddings"), m=4)
+
+
+def _pq_sizes_ctes(m: int = 4, iters: int = 2) -> str:
+    """Per-subspace final-assignment sizes (mirrors kmeans_fit's
+    n_vectors): one more argmin pass of q_s{j} against the trained
+    codebook c{iters}_s{j}."""
+    d2 = (
+        "CAST(list_sum(list_transform(generate_series(1, len(q.qv)),"
+        " i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT)"
+    )
+    parts = []
+    for j in range(m):
+        parts.append(f"""
+, sizes_s{j} AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors FROM (
+    SELECT vec_id, cluster FROM (
+      SELECT q.vec_id, c.cluster,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {d2}, c.cluster) AS rn
+      FROM q_s{j} q CROSS JOIN c{iters}_s{j} c
+    ) WHERE rn = 1
+  ) GROUP BY cluster
+)""")
+    return "".join(parts)
+
+
+#: build_pq_index(m=4, k=8, iters=2) stored codebook: per-subspace
+#: kmeans unroll → (subspace, code, centroid_str, n_vectors), empty
+#: codewords kept at n_vectors=0 (kmeans_fit semantics).
+ORACLE_PQ_INDEX_BUILD = (
+    _pq_train_ctes()
+    + _pq_sizes_ctes()
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT CAST({j} AS INTEGER) AS subspace,
+       CAST(c.cluster AS INTEGER) AS code,
+       array_to_string(list_transform(c.cv,
+           v -> CAST(CAST(v AS BIGINT) * 1000 AS VARCHAR)), ',')
+           AS centroid_str,
+       CAST(coalesce(s.n_vectors, 0) AS BIGINT) AS n_vectors
+FROM c2_s{j} c LEFT JOIN sizes_s{j} s USING (cluster)"""
+        for j in range(4)
+    )
+)
+
+#: The split encode path must reproduce the combined train+encode result
+#: bit-for-bit — same oracle as `pq_codes`.
+ORACLE_PQ_ENCODE_APPLY = ORACLE_PQ_CODES
+
+
 # --------------------------------------------------------------------------
 # TPC-H Q5 shape: multi-way join with a circular (cyclic) join constraint
 # --------------------------------------------------------------------------
@@ -6068,6 +6172,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans": q_kmeans,
     "kmeans_assign": q_kmeans_assign,
     "pq_codes": q_pq_codes,
+    "pq_index_build": q_pq_index_build,
+    "pq_encode_apply": q_pq_encode_apply,
     "ann_index_build": q_ann_index_build,
     "ann_index_query": q_ann_index_query,
     "pq_topk_adc": q_pq_topk,
@@ -6208,6 +6314,8 @@ _ORACLES: dict[str, str] = {
     "bpe_train": _oracle_bpe_train_unrolled(),
     "ann_index_build": ORACLE_ANN_INDEX_BUILD,
     "pq_codes": ORACLE_PQ_CODES,
+    "pq_index_build": ORACLE_PQ_INDEX_BUILD,
+    "pq_encode_apply": ORACLE_PQ_ENCODE_APPLY,
     "pq_topk_adc": ORACLE_PQ_TOPK,
     "ann_index_query": ORACLE_ANN_INDEX_QUERY,
     "quality_linear": ORACLE_QUALITY_LINEAR,

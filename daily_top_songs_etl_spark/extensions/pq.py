@@ -126,6 +126,42 @@ def pq_encode(
     )
 
 
+def build_pq_index(
+    catalog,
+    name: str,
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> None:
+    """Train the PQ codebook once and persist it as the catalog table
+    ``{name}__codebook`` — the same train-once/apply-many lifecycle as
+    :func:`ann_index.build_ann_index`. The codebook is m·k tiny rows;
+    rebuilds write a new snapshot version, so encodes racing a retrain
+    read a consistent older codebook."""
+    cb = pq_train(embeddings, m=m, k=k, iters=iters, id_col=id_col, col=col)
+    catalog.write(cb, f"{name}__codebook")
+
+
+def encode_with_pq_index(
+    catalog,
+    name: str,
+    embeddings: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> DataFrame:
+    """Steady-state PQ encode off the PERSISTED codebook: one catalog
+    read (m·k rows, broadcast) + one hash aggregate over the corpus — no
+    subspace training, which is what the inline train+encode pays on
+    every call. This is the path a 100 TB ingest pipeline runs per
+    batch; the codebook retrains only on drift."""
+    cb = catalog.read(f"{name}__codebook")
+    return pq_encode(embeddings, cb, m=m, id_col=id_col, col=col)
+
+
 def pq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
