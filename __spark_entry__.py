@@ -6020,10 +6020,65 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- registry head: the first 50 entries are the driver's correctness
     # window (CORRECTNESS_r{N}.json samples exactly these slots in order).
-    # Invariant: every entry here MUST be oracle-paired (_ORACLES key exists)
-    # so all 50 hard-signal slots carry a rows+schema+hash verdict. Rows-only
-    # queries (sketches, iterative fits, funnel compositions) live past slot
-    # 50 where the driver records the weaker rows-only check.
+    # Invariant: every entry here MUST be oracle-paired (_ORACLES key
+    # exists). Round-4 rotation: 49 of the 50 slots are oracle-paired
+    # queries with NO prior driver-verified row (flagship_delta stays as
+    # the cross-round anchor); previously driver-green queries moved past
+    # slot 50, where the local oracle mirror (tests/test_oracle.py) still
+    # verifies them every run. Build entries precede their steady-state
+    # consumers (pq_codes<pq_topk_adc, pq_index_build<pq_encode_apply,
+    # ann_index_build<ann_index_query) so session caches warm in order.
+    "flagship_delta": q_flagship_delta,
+    "shipping_priority": q_shipping_priority,
+    "regional_volume": q_regional_volume,
+    "nation_trade_volume": q_nation_trade_volume,
+    "market_share": q_market_share,
+    "important_parts": q_important_parts,
+    "promo_share": q_promo_share,
+    "min_cost_supplier": q_min_cost_supplier,
+    "returned_items": q_returned_items,
+    "top_supplier": q_top_supplier,
+    "snapshot_diff": q_snapshot_diff,
+    "table_checksum": q_table_checksum,
+    "range_join": q_range_join,
+    "embedding_centroids": q_embedding_centroids,
+    "cohort_retention": q_cohort_retention,
+    "funnel_conversion": q_funnel_conversion,
+    "gapfill_daily": q_gapfill_daily,
+    "cumulative_distinct": q_cumulative_distinct,
+    "max_concurrency": q_max_concurrency,
+    "time_rollup": q_time_rollup,
+    "yoy_growth": q_yoy_growth,
+    "rolling_window_range": q_rolling_window_range,
+    "fuzzy_pairs": q_fuzzy_pairs,
+    "dedup_apply": q_dedup_apply,
+    "dedup_segments_apply": q_dedup_segments_apply,
+    "text_ngram_topk": q_text_ngram_topk,
+    "text_repetition": q_text_repetition,
+    "text_quality_gate": q_text_quality_gate,
+    "text_redact": q_text_redact,
+    "text_chunks": q_text_chunks,
+    "pack_chunks": q_pack_chunks,
+    "sample_stratified": q_sample_stratified,
+    "mixture_sample": q_mixture_sample,
+    "mixture_upsample": q_mixture_upsample,
+    "quality_linear": q_quality_linear,
+    "pmi_topk": q_pmi_topk,
+    "kmeans_assign": q_kmeans_assign,
+    "kmeans_update": q_kmeans_update,
+    "kmeans": q_kmeans,
+    "bpe_top_pair": q_bpe_top_pair,
+    "bpe_train": q_bpe_train,
+    "bpe_encode": q_bpe_encode,
+    "pq_subspace_assign": q_pq_subspace_assign,
+    "pq_codes": q_pq_codes,
+    "pq_topk_adc": q_pq_topk,
+    "pq_index_build": q_pq_index_build,
+    "pq_encode_apply": q_pq_encode_apply,
+    "ann_index_build": q_ann_index_build,
+    "ann_index_query": q_ann_index_query,
+    "dedup_semantic_apply": q_dedup_semantic_apply,
+    # --- end of driver correctness window (slot 50) ---
     "string_agg": q_string_agg,
     "decontaminate": q_decontaminate,
     "token_freq_score": q_token_freq_score,
@@ -6039,7 +6094,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_columns": q_profile_columns,
     "window_rank_family": q_window_rank_family,
     "rank_delta_two_dates": q_rank_delta_two_dates,
-    "flagship_delta": q_flagship_delta,
     "left_join": q_left_join,
     "anti_join": q_anti_join,
     "semi_join": q_semi_join,
@@ -6074,7 +6128,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "merge_patch": q_merge_patch,
     "rollup_agg": q_rollup_agg,
-    # --- end of driver correctness window (slot 50) ---
     "vocab_encode": q_vocab_encode,
     "train_order": q_train_order,
     "setop_intersect": q_setop_intersect,
@@ -6087,96 +6140,47 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_session_window": q_stream_session_window,
     "stream_sliding_window": q_stream_sliding_window,
     "pivot_agg": q_pivot_agg,
-    "range_join": q_range_join,
     "hash_split": q_hash_split,
-    "kmeans_update": q_kmeans_update,
-    "pq_subspace_assign": q_pq_subspace_assign,
-    "dedup_semantic_apply": q_dedup_semantic_apply,
     "unpivot": q_unpivot,
     "regex_extract": q_regex_extract,
     "distinct_users": q_distinct_users,
     "approx_distinct_users": q_approx_distinct_users,
     "below_avg_quantity": q_below_avg_quantity,
     "salted_agg": q_salted_agg,
-    "text_ngram_topk": q_text_ngram_topk,
-    "text_repetition": q_text_repetition,
-    "text_quality_gate": q_text_quality_gate,
-    "sample_stratified": q_sample_stratified,
-    "dedup_apply": q_dedup_apply,
     "stream_dedup": q_stream_dedup,
     "stream_interval_join": q_stream_interval_join,
-    "shipping_priority": q_shipping_priority,
     "cube_agg": q_cube_agg,
     "order_count_histogram": q_order_count_histogram,
     "length_percentiles": q_length_percentiles,
     "salted_join_agg": q_salted_join_agg,
-    "text_redact": q_text_redact,
     "late_shipment_priority": q_late_shipment_priority,
     "stream_enrich": q_stream_enrich,
     "dominant_source": q_dominant_source,
-    "text_chunks": q_text_chunks,
-    "pack_chunks": q_pack_chunks,
-    "regional_volume": q_regional_volume,
-    "nation_trade_volume": q_nation_trade_volume,
-    "market_share": q_market_share,
-    "important_parts": q_important_parts,
-    "promo_share": q_promo_share,
     "disjunctive_join": q_disjunctive_join,
-    "min_cost_supplier": q_min_cost_supplier,
     "lonely_late_supplier": q_lonely_late_supplier,
     "idle_rich_customers": q_idle_rich_customers,
     "forecast_revenue": q_forecast_revenue,
-    "returned_items": q_returned_items,
-    "top_supplier": q_top_supplier,
     "large_volume_customers": q_large_volume_customers,
     "dominant_part_suppliers": q_dominant_part_suppliers,
-    "cohort_retention": q_cohort_retention,
-    "funnel_conversion": q_funnel_conversion,
-    "rolling_window_range": q_rolling_window_range,
-    "fuzzy_pairs": q_fuzzy_pairs,
-    "gapfill_daily": q_gapfill_daily,
-    "cumulative_distinct": q_cumulative_distinct,
-    "snapshot_diff": q_snapshot_diff,
-    "table_checksum": q_table_checksum,
     "multi_distinct": q_multi_distinct,
-    "yoy_growth": q_yoy_growth,
-    "max_concurrency": q_max_concurrency,
-    "time_rollup": q_time_rollup,
     "product_type_profit": q_product_type_profit,
     "priority_shipment_counts": q_priority_shipment_counts,
     "part_supplier_counts": q_part_supplier_counts,
-    "mixture_sample": q_mixture_sample,
-    "mixture_upsample": q_mixture_upsample,
-    "quality_linear": q_quality_linear,
-    "pmi_topk": q_pmi_topk,
-    "bpe_encode": q_bpe_encode,
-    "bpe_top_pair": q_bpe_top_pair,
-    "bpe_train": q_bpe_train,
     "approx_percentile": q_approx_percentile,
     "incremental_distinct": q_incremental_distinct,
     "text_compress_ratio": q_text_compress_ratio,
     "observed_write": q_observed_write,
-    "dedup_segments_apply": q_dedup_segments_apply,
     "text_normalize": q_text_normalize,
     # --- registry tail: queries whose internal kernels produce complex
-    # (array/struct) types. Their registry outputs are flattened to scalars,
-    # but they sit LAST so a canonicalizer incident in an external harness
-    # can never shadow the rest of the suite (round-1 lesson: one erroring
-    # query aborted the sweep at entry 50 of 118).
+    # (array/struct) types. Registry outputs are flattened to scalars,
+    # but non-window complex-kernel entries sit LAST so a canonicalizer
+    # incident in an external harness cannot shadow the rest of a sweep
+    # (round-1 lesson: one erroring query aborted the sweep at entry 50).
     "multimodal_features": q_multimodal_features,
     "multimodal_resize_plan": q_multimodal_resize_plan,
     "multimodal_frame_sample": q_multimodal_frame_sample,
-    "embedding_centroids": q_embedding_centroids,
     "embedding_normalize": q_embedding_normalize,
     "embedding_int8": q_embedding_int8,
-    "kmeans": q_kmeans,
-    "kmeans_assign": q_kmeans_assign,
-    "pq_codes": q_pq_codes,
-    "pq_index_build": q_pq_index_build,
-    "pq_encode_apply": q_pq_encode_apply,
-    "ann_index_build": q_ann_index_build,
-    "ann_index_query": q_ann_index_query,
-    "pq_topk_adc": q_pq_topk,
 }
 
 _ORACLES: dict[str, str] = {
