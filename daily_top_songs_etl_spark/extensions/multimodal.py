@@ -6,10 +6,12 @@ signatures) is real and tested. Image decode is REAL for PNG — a
 pure-stdlib decoder (zlib inflate + per-scanline unfilter + palette
 expansion, :func:`decode_png`) runs inside the Arrow kernel, so
 ``fake=False`` extracts features from actual pixel data with no external
-codec dependency. Audio/video codecs (ffmpeg/librosa) are not in this
-container, so those kinds raise a clearly marked ``NotImplementedError``
-on the real path; the deterministic fake decoder (``fake=True``) remains
-for engine-portable oracle comparison.
+codec dependency. Audio decode is REAL for PCM WAV — a pure-stdlib
+RIFF/fmt/data parser (:func:`decode_wav`) feeds amplitude statistics
+(:func:`wav_features`). Video codecs (ffmpeg) are not in this container,
+so that kind raises a clearly marked ``NotImplementedError`` on the real
+path; the deterministic fake decoder (``fake=True``) remains for
+engine-portable oracle comparison.
 
 Scale notes: binary payloads dominate row size, so ``mapInPandas`` with
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` tuned down (the default
@@ -191,6 +193,125 @@ def png_features(payload: bytes) -> list[float]:
         overall,
     ]
 
+def encode_wav(
+    sample_rate: int, n_channels: int, bits: int, samples: list[int]
+) -> bytes:
+    """Minimal stdlib RIFF/WAVE PCM encoder — the test-fixture /
+    round-trip counterpart of :func:`decode_wav`. ``samples`` is the
+    interleaved sample stream (signed ints for 16-bit, 0..255 unsigned
+    for 8-bit, per the WAV spec)."""
+    if bits == 16:
+        pcm = struct.pack(f"<{len(samples)}h", *samples)
+    elif bits == 8:
+        pcm = bytes(samples)
+    else:
+        raise ValueError(f"unsupported bits_per_sample {bits}")
+    block_align = n_channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * block_align, block_align, bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+        + (b"\x00" if len(pcm) % 2 else b"")  # RIFF chunks are word-aligned
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[int, int, int, list[int]]:
+    """Pure-stdlib RIFF/WAVE PCM parser: validates the RIFF container,
+    walks word-aligned chunks to ``fmt `` and ``data``, and decodes the
+    sample stream. Returns ``(sample_rate, n_channels, bits, samples)``
+    with ``samples`` interleaved and ZERO-CENTERED (8-bit unsigned is
+    shifted by −128 so both depths share a signed domain).
+
+    Supports PCM (format tag 1) at 8 or 16 bits — the overwhelmingly
+    common subset. Anything else — compressed/float formats, a truncated
+    chunk, inconsistent block alignment, missing fmt/data — raises
+    ``ValueError``: corrupt input must fail loudly, not produce garbage
+    features (same contract as :func:`decode_png`)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    (declared,) = struct.unpack("<I", data[4:8])
+    if declared + 8 > len(data):
+        raise ValueError("truncated WAV: RIFF size exceeds payload")
+    pos = 12
+    fmt = None
+    pcm = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError(f"truncated WAV chunk {cid!r}")
+        if cid == b"fmt ":
+            if length < 16:
+                raise ValueError("malformed WAV fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None:
+        raise ValueError("WAV missing fmt chunk")
+    if pcm is None:
+        raise ValueError("WAV missing data chunk")
+    audio_format, n_channels, sample_rate, byte_rate, block_align, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(
+            f"unsupported WAV (format={audio_format}, bits={bits}); "
+            "only PCM 8/16-bit is decoded"
+        )
+    if n_channels < 1 or sample_rate < 1:
+        raise ValueError("malformed WAV fmt values")
+    if block_align != n_channels * bits // 8:
+        raise ValueError("WAV block_align inconsistent with channels/bits")
+    if byte_rate != sample_rate * block_align:
+        raise ValueError("WAV byte_rate inconsistent with fmt")
+    if len(pcm) % block_align:
+        raise ValueError("WAV PCM data not frame-aligned")
+    if bits == 16:
+        samples = list(struct.unpack(f"<{len(pcm) // 2}h", pcm))
+    else:
+        samples = [b - 128 for b in pcm]
+    return sample_rate, n_channels, bits, samples
+
+
+def wav_features(payload: bytes) -> list[float]:
+    """8-dim feature vector from REAL decoded PCM (same shape contract
+    as :func:`png_features`): log-scaled rate and length, channel count,
+    duration, then amplitude statistics normalized to full scale — RMS,
+    peak, zero-crossing rate (channel 0), and DC offset. All statistics
+    are exact integer sums before one float division, so the output is
+    deterministic across partitionings."""
+    import math
+
+    sample_rate, n_channels, bits, samples = decode_wav(payload)
+    n_frames = len(samples) // n_channels
+    if n_frames == 0:
+        return [math.log1p(sample_rate), float(n_channels), 0.0,
+                0.0, 0.0, 0.0, 0.0, 0.0]
+    full = float(1 << (bits - 1))
+    sum_sq = sum(s * s for s in samples)
+    peak = max(abs(s) for s in samples)
+    dc = sum(samples)
+    ch0 = samples[0::n_channels]
+    zc = sum(
+        1 for i in range(1, len(ch0)) if (ch0[i - 1] < 0) != (ch0[i] < 0)
+    )
+    return [
+        math.log1p(sample_rate),
+        float(n_channels),
+        math.log1p(n_frames),
+        n_frames / sample_rate,
+        math.sqrt(sum_sq / len(samples)) / full,
+        peak / full,
+        zc / max(1, len(ch0) - 1),
+        dc / len(samples) / full,
+    ]
+
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -244,9 +365,11 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     ``fake=True``: deterministic 8-dim feature from the payload digest —
     exercises the full distributed path (schema, batching, null payloads)
     and is engine-portable for the DuckDB oracle. ``fake=False`` decodes
-    REAL pixels for PNG images (:func:`decode_png`, stdlib-only) and
-    emits :func:`png_features`; audio/video kinds raise a clearly marked
-    ``NotImplementedError`` (those codecs are not in this container).
+    REAL payloads for PNG images (:func:`decode_png` →
+    :func:`png_features`) and PCM WAV audio (:func:`decode_wav` →
+    :func:`wav_features`), both stdlib-only; the video kind raises a
+    clearly marked ``NotImplementedError`` (no stdlib video codec —
+    ffmpeg is not in this container).
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -268,9 +391,11 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                     )
                 elif kind == "image":
                     feats.append(png_features(payload))
+                elif kind == "audio":
+                    feats.append(wav_features(payload))
                 else:
                     raise NotImplementedError(
-                        f"real {kind} decode requires ffmpeg/librosa — not "
+                        f"real {kind} decode requires ffmpeg — not "
                         "available in this environment; use fake=True"
                     )
             yield pd.DataFrame(

@@ -290,6 +290,112 @@ def test_extract_features_real_png_decode(spark):
     assert all(0.0 <= v <= 1.0 for v in row.feat[3:])
 
 
+def test_decode_wav_roundtrip_and_corrupt():
+    """Stdlib WAV codec: encode→decode round-trips 16-bit stereo and
+    8-bit mono (zero-centered); corrupt/unsupported input fails loudly
+    (VERDICT r3 #5 — audio real path, video stays the documented stub)."""
+    import math
+    import struct
+
+    from daily_top_songs_etl_spark.extensions.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    sr = 8000
+    stereo = []
+    for i in range(100):
+        stereo += [int(12000 * math.sin(2 * math.pi * 440 * i / sr)), -i]
+    data = encode_wav(sr, 2, 16, stereo)
+    assert decode_wav(data) == (sr, 2, 16, stereo)
+
+    mono8 = [128 + (i % 50) for i in range(75)]  # odd byte count: pad path
+    d8 = encode_wav(sr, 1, 8, mono8)
+    assert decode_wav(d8) == (sr, 1, 8, [x - 128 for x in mono8])
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS not a wav")
+    with pytest.raises(ValueError, match="truncated WAV"):
+        decode_wav(data[:-10])  # RIFF size check catches the cut first
+    cut = bytearray(data[:-10])  # also hit the chunk-level check: fix up
+    cut[4:8] = struct.pack("<I", len(cut) - 8)  # the RIFF size to match
+    with pytest.raises(ValueError, match="truncated WAV chunk"):
+        decode_wav(bytes(cut))
+    fmt_only = encode_wav(sr, 1, 16, [])[:36]  # drop the empty data chunk
+    fmt_only = fmt_only[:4] + struct.pack("<I", 28) + fmt_only[8:]
+    with pytest.raises(ValueError, match="missing data"):
+        decode_wav(fmt_only)
+    bad_fmt = bytearray(data)
+    bad_fmt[20] = 3  # format tag -> IEEE float
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        decode_wav(bytes(bad_fmt))
+    bad_align = bytearray(data)
+    bad_align[32] = 7  # block_align inconsistent
+    with pytest.raises(ValueError, match="block_align"):
+        decode_wav(bytes(bad_align))
+
+
+def test_extract_features_real_wav_decode(spark):
+    """fake=False runs the REAL stdlib WAV decode inside the Arrow
+    kernel: features from the committed fixture match the locally
+    computed PCM statistics, alongside a real PNG row in the same batch
+    (mixed-kind dispatch)."""
+    import os
+
+    from daily_top_songs_etl_spark.extensions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        wav_features,
+    )
+
+    fixture = os.path.join(
+        os.path.dirname(__file__), "fixtures", "tone_440_8k_stereo16.wav"
+    )
+    payload = open(fixture, "rb").read()
+    expect = wav_features(payload)
+    png = open(
+        os.path.join(
+            os.path.dirname(__file__), "fixtures", "gradient_16x12_rgb.png"
+        ),
+        "rb",
+    ).read()
+    media = spark.createDataFrame(
+        [
+            (
+                0,
+                "audio",
+                payload,
+                {"width": None, "height": None, "sample_rate": 8000,
+                 "n_frames": None, "mime": "audio/wav"},
+            ),
+            (
+                1,
+                "image",
+                png,
+                {"width": 16, "height": 12, "sample_rate": None,
+                 "n_frames": None, "mime": "image/png"},
+            ),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in extract_features(media, fake=False).collect()}
+    assert rows[0].n_bytes == len(payload)
+    assert rows[0].feat == expect
+    assert rows[0].feat[1] == 2.0  # stereo channel count from real fmt
+    assert rows[0].feat[3] == pytest.approx(0.05)  # 400 frames @ 8 kHz
+    assert rows[1].feat[2] == 3.0  # PNG row still decodes in same batch
+
+    # 8-bit mono fixture decodes on the same path
+    mono = open(
+        os.path.join(
+            os.path.dirname(__file__), "fixtures", "tone_330_8k_mono8.wav"
+        ),
+        "rb",
+    ).read()
+    feats = wav_features(mono)
+    assert feats[1] == 1.0 and 0.0 < feats[4] < 1.0
+
+
 def test_approx_distinct_within_rsd(spark):
     import __spark_entry__ as entrymod
 
