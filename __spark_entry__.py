@@ -5806,6 +5806,23 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_with_merges(_t(spark, sf_dir, "documents"), FIXED_MERGES)
 
 
+def q_bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-identical vocabulary-domain BPE encode: merge chain over
+    the DISTINCT-WORD table (Heaps'-law sized), token counts joined back,
+    prefix rebuilt from the first 40 words. ~2.5× less CPU than the
+    whole-document chain at the cost of two corpus-token shuffles — the
+    CPU-bound-cluster alternative (see encode_with_merges_by_vocab).
+    Same oracle as `bpe_encode`: the two paths must agree byte-for-byte."""
+    from daily_top_songs_etl_spark.extensions.bpe import (
+        FIXED_MERGES,
+        encode_with_merges_by_vocab,
+    )
+
+    return encode_with_merges_by_vocab(
+        _t(spark, sf_dir, "documents"), FIXED_MERGES
+    )
+
+
 def _bpe_chain_sql() -> str:
     """The DuckDB mirror of extensions.bpe.apply_merges over FIXED_MERGES
     (RE2 backrefs, double-space separator contract, whole-document pass
@@ -6079,6 +6096,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_index_query": q_ann_index_query,
     "dedup_semantic_apply": q_dedup_semantic_apply,
     # --- end of driver correctness window (slot 50) ---
+    "bpe_encode_vocab": q_bpe_encode_vocab,
     "string_agg": q_string_agg,
     "decontaminate": q_decontaminate,
     "token_freq_score": q_token_freq_score,
@@ -6325,6 +6343,7 @@ _ORACLES: dict[str, str] = {
     "quality_linear": ORACLE_QUALITY_LINEAR,
     "pmi_topk": ORACLE_PMI_TOPK,
     "bpe_encode": ORACLE_BPE_ENCODE,
+    "bpe_encode_vocab": ORACLE_BPE_ENCODE,
     "bpe_top_pair": ORACLE_BPE_TOP_PAIR,
     # approx_distinct_users intentionally has no oracle (sketch estimates
     # are engine-specific); the driver records a rows-only check and

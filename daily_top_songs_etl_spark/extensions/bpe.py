@@ -193,7 +193,7 @@ def encode_with_merges(
     text — a per-token strip inside a higher-order-function lambda runs
     interpreted per element (measured 15× slower at sf0.1).
     """
-    t = tokens(F.regexp_replace("text", WORD_MARKER, ""))
+    t = tokens(F.regexp_replace(F.col("text"), WORD_MARKER, ""))
     doc_syms = F.trim(
         apply_merges(_spaced_symbols(F.array_join(t, WORD_MARKER)), merges)
     )
@@ -207,4 +207,92 @@ def encode_with_merges(
         "doc_id",
         (n_with_markers - n_markers).cast("bigint").alias("n_bpe_tokens"),
         F.substring(rendered, 1, 80).alias("encoded_prefix"),
+    )
+
+
+def encode_with_merges_by_vocab(
+    documents: DataFrame,
+    merges: list[tuple[str, str]],
+    prefix_words: int = 40,
+) -> DataFrame:
+    """Output-identical alternative to :func:`encode_with_merges` that
+    runs the merge chain over the DISTINCT-WORD table instead of every
+    document: tokenize once, encode each vocabulary entry (Heaps'-law
+    sized — grows far slower than the corpus), join token counts back,
+    and rebuild the 80-char rendered prefix from the first
+    ``prefix_words`` words only (each word contributes ≥4 rendered
+    chars, so 40 words always cover 80 — or the document ends first).
+
+    Merge-per-word equals merge-per-document because no merge rule
+    contains :data:`WORD_MARKER`, so a pair can never span a word
+    boundary — the same invariant the whole-document chain relies on.
+
+    Trade-off (measured at sf0.1 and 10×, BENCH_sf1.json round 4): for
+    the FULL output the chain wins outright (0.75s vs 5.5s at 10× —
+    rebuilding the ordered prefix costs a posexplode + struct
+    collect_list that dwarfs the saved regex work) and its 10× slope is
+    1.2, so the chain stays the registered default. This variant wins
+    only when the consumer needs TOKEN COUNTS alone (packing, budget
+    accounting): Catalyst prunes the prefix aggregate away and the merge
+    regex runs over vocabulary chars instead of corpus chars — 1.2s vs
+    2.7s at 10×, and flatter with scale by Heaps' law. It also adds two
+    corpus-token shuffles (vocabulary group-by + word join, stop-word
+    skew handled by AQE) where the chain is a shuffle-free projection."""
+    w = documents.select(
+        "doc_id",
+        F.posexplode(
+            tokens(F.regexp_replace(F.col("text"), WORD_MARKER, ""))
+        ).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    enc = (
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "word",
+            F.trim(
+                apply_merges(_spaced_symbols(F.col("word")), merges)
+            ).alias("enc"),
+        )
+        .withColumn("n_toks", F.size(F.split("enc", "  ")))
+    )
+    per_doc = (
+        w.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_toks").cast("bigint").alias("n_bpe_tokens"),
+            F.substring(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("pos") < prefix_words,
+                                    F.struct("pos", "enc"),
+                                )
+                            )
+                        ),
+                        lambda s: s["enc"],
+                    ),
+                    " | ",
+                ),
+                1,
+                80,
+            ).alias("encoded_prefix"),
+        )
+    )
+    # NULL text propagates NULL outputs (the chain's behavior: every
+    # expression over a NULL column is NULL); token-less non-NULL text
+    # yields (0, "").
+    return (
+        documents.select("doc_id", F.col("text").isNull().alias("_tnull"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_tnull"), F.lit(None).cast("bigint"))
+            .otherwise(F.coalesce("n_bpe_tokens", F.lit(0)))
+            .alias("n_bpe_tokens"),
+            F.when(F.col("_tnull"), F.lit(None).cast("string"))
+            .otherwise(F.coalesce("encoded_prefix", F.lit("")))
+            .alias("encoded_prefix"),
+        )
     )

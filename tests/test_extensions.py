@@ -1019,6 +1019,40 @@ def test_bpe_encode_marker_char_in_text_is_stripped(spark):
     assert rows[2].encoded_prefix == "st  and"
 
 
+def test_bpe_encode_vocab_variant_output_identical(spark):
+    """The vocabulary-domain encode must agree BYTE-FOR-BYTE with the
+    whole-document chain, including the edge cases: empty/whitespace
+    text, marker chars, 1-char words, >40-word documents (prefix cut),
+    and the 80-char substring boundary falling mid-word."""
+    from daily_top_songs_etl_spark.extensions.bpe import (
+        FIXED_MERGES,
+        encode_with_merges,
+        encode_with_merges_by_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the thin rat"),
+            (1, "stand"),
+            (2, ""),
+            (3, "   "),
+            (4, "a ¤ b a¤b"),
+            (5, " ".join(["x"] * 120)),  # 1-char words, way past 40
+            (6, " ".join(f"w{i}ord" for i in range(60))),
+            (7, "supercalifragilisticexpialidocious " * 5),
+            (8, None),
+        ],
+        "doc_id long, text string",
+    )
+    a = encode_with_merges(docs, FIXED_MERGES).collect()
+    b = encode_with_merges_by_vocab(docs, FIXED_MERGES).collect()
+    am = {r.doc_id: (r.n_bpe_tokens, r.encoded_prefix) for r in a}
+    bm = {r.doc_id: (r.n_bpe_tokens, r.encoded_prefix) for r in b}
+    assert am == bm
+    assert am[5][1].startswith("x | x | x")
+    assert len(am[5][1]) == 80
+
+
 def test_bpe_train_final_words_consumable_without_recompute(spark):
     """The returned final_words table is persisted and materialized before
     the training cache is dropped — consuming it is a cache read, not a

@@ -1,14 +1,26 @@
 """Generate a scaled synthetic SF by replicating sf0.1 with key offsets.
 
-Usage: python tools/gen_sfx.py [N_REPLICAS] [OUT_DIR]
+Usage: python tools/gen_sfx.py [N_REPLICAS] [OUT_DIR] [MODE]
 
-Used for the sf1 spot-bench (BENCH_sf1.json): each replica offsets every
-join key consistently (orderkey/partkey/suppkey/custkey/doc_id), so joins
-stay referentially intact within a replica and the data volume scales
-linearly. Document text is per-replica character-rotated (10 distinct
-rotations) so cross-replica docs share no shingles — near-dup pair
-structure stays LINEAR in replicas instead of exploding quadratically on
-identical copies. nation/region stay fixed (TPC-H dims that don't scale).
+MODE selects the cardinality shape of the scale-up (both are real shapes
+a 100 TB corpus can take; a scale-safe engine must stay linear on both):
+
+- ``wide`` (default): every join key is offset per replica, so the data
+  has N× MORE GROUPS of unchanged size — joins stay referentially intact
+  within a replica. This is the shape of ingesting N independent tenants.
+- ``grow``: only PRIMARY keys are offset (uniqueness preserved); foreign
+  keys keep their base values, and the dimension tables are copied once,
+  so every dimension key's fact group is N× BIGGER (each customer has
+  N× orders, each supplier N× lineitems). This is the shape of a tenant
+  accumulating history — it catches per-group quadratics (a window or
+  join whose cost is quadratic in partition size) that ``wide``
+  replication structurally hides.
+
+Used for the sf1 spot-bench (BENCH_sf1.json). Document text is
+per-replica character-rotated (10 distinct rotations) in both modes so
+cross-replica docs share no shingles — near-dup pair structure stays
+LINEAR in replicas instead of exploding quadratically on identical
+copies. nation/region stay fixed (TPC-H dims that don't scale).
 """
 from __future__ import annotations
 
@@ -20,8 +32,10 @@ from pyspark.sql import functions as F
 SRC = "/root/testdata/sf0.1"
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfx1"
+MODE = sys.argv[3] if len(sys.argv) > 3 else "wide"
 
-KEY_OFFSETS = {
+#: wide mode: every join key offsets per replica (more groups).
+KEY_OFFSETS_WIDE = {
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "orders": ["o_orderkey", "o_custkey"],
     "customer": ["c_custkey"],
@@ -29,6 +43,15 @@ KEY_OFFSETS = {
     "supplier": ["s_suppkey"],
     "documents": ["doc_id"],
 }
+
+#: grow mode: only primary keys offset; FKs keep base values so each
+#: dimension key's group grows N×. Dims are copied once (below).
+KEY_OFFSETS_GROW = {
+    "lineitem": ["l_orderkey"],  # FK to replicated orders; part/supp stay
+    "orders": ["o_orderkey"],  # PK; o_custkey stays → N× orders/customer
+    "documents": ["doc_id"],
+}
+
 # offset units: max key magnitude per keyed id space, from sf0.1 + headroom
 OFFSET_UNIT = 10_000_000
 
@@ -44,7 +67,13 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    for tbl, keys in KEY_OFFSETS.items():
+    if MODE not in ("wide", "grow"):
+        raise SystemExit(f"unknown mode {MODE!r}; use wide|grow")
+    key_offsets = KEY_OFFSETS_WIDE if MODE == "wide" else KEY_OFFSETS_GROW
+    copied = ["nation", "region"] + (
+        ["customer", "part", "supplier"] if MODE == "grow" else []
+    )
+    for tbl, keys in key_offsets.items():
         base = spark.read.parquet(f"{SRC}/{tbl}.parquet")
         parts = []
         for i in range(N):
@@ -61,7 +90,7 @@ def main() -> None:
         out.repartition(32).write.mode("overwrite").parquet(
             f"{OUT}/{tbl}.parquet"
         )
-        print(f"{tbl}: {N}x written", flush=True)
+        print(f"{tbl}: {N}x written ({MODE})", flush=True)
     # embeddings: vec_id offset + per-replica dimension ROTATION — same
     # norms and value distribution, but cross-replica vectors differ in
     # every dimension, so cosine-pair structure stays linear in replicas
@@ -86,7 +115,36 @@ def main() -> None:
         f"{OUT}/embeddings.parquet"
     )
     print(f"embeddings: {N}x written", flush=True)
-    for tbl in ("nation", "region"):
+    # events: event_id (PK) always offsets; user_id offsets only in wide
+    # mode — grow mode keeps it, so every user's event stream is N× longer
+    # (the shape that stresses per-user windows/sessionization). ts shifts
+    # i seconds per replica so replicated rows stay time-distinct without
+    # changing the hour-scale gap structure. Read through the same nanos
+    # normalization as the engine's loader.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif dict(ev.dtypes)["ts"] != "timestamp":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    vparts = []
+    for i in range(N):
+        df = ev.withColumn("event_id", F.col("event_id") + F.lit(i * OFFSET_UNIT))
+        if MODE == "wide":
+            df = df.withColumn("user_id", F.col("user_id") + F.lit(i * OFFSET_UNIT))
+        if i > 0:
+            df = df.withColumn(
+                "ts", F.col("ts") + F.expr(f"INTERVAL {i} SECOND")
+            )
+        vparts.append(df)
+    vout = vparts[0]
+    for p in vparts[1:]:
+        vout = vout.unionByName(p)
+    vout.repartition(32).write.mode("overwrite").parquet(
+        f"{OUT}/events.parquet"
+    )
+    print(f"events: {N}x written ({MODE})", flush=True)
+    for tbl in copied:
         spark.read.parquet(f"{SRC}/{tbl}.parquet").write.mode(
             "overwrite"
         ).parquet(f"{OUT}/{tbl}.parquet")
