@@ -719,6 +719,123 @@ JOIN sig sb ON sb.doc_id = c.doc_id_b
 """
 
 
+# --------------------------------------------------------------------------
+# Persisted dedup signature index: historical corpus = doc_id % 5 != 0,
+# incoming batch = doc_id % 5 == 0 (deterministic 80/20 split).
+# --------------------------------------------------------------------------
+#: Session-scoped dedup index cache keyed by sf_dir (same catalog pattern
+#: as _ANN_INDEXES/_PQ_INDEXES): `dedup_index_build` pays the honest
+#: corpus signature pass + catalog write, `dedup_index_query` probes the
+#: stored table so its number is the steady-state per-batch cost.
+_DEDUP_INDEXES: dict[str, object] = {}
+
+#: Column expressions must be built lazily (module import happens before
+#: any SparkSession exists in the driver).
+_DEDUP_CORPUS_PRED = "doc_id % 5 != 0"
+_DEDUP_BATCH_PRED = "doc_id % 5 = 0"
+
+
+def _dedup_built_catalog(spark: SparkSession, sf_dir: str):
+    import atexit
+    import shutil
+    import tempfile
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.dedup import build_dedup_index
+
+    if sf_dir not in _DEDUP_INDEXES:
+        dd_dir = tempfile.mkdtemp(prefix="spark_graft_dedupidx_")
+        atexit.register(shutil.rmtree, dd_dir, ignore_errors=True)
+        cat = Catalog(spark, dd_dir)
+        build_dedup_index(
+            cat, "dd", _t(spark, sf_dir, "documents").filter(_DEDUP_CORPUS_PRED)
+        )
+        _DEDUP_INDEXES[sf_dir] = cat
+    return _DEDUP_INDEXES[sf_dir]
+
+
+def q_dedup_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup index BUILD: one MinHash signature pass over the historical
+    corpus (doc_id % 5 != 0), persisted as a versioned catalog table —
+    the train-once half of incremental-ingest dedup (signatures are
+    ~0.3% of corpus bytes; every future batch probes them instead of
+    recomputing the corpus). Returns the STORED signature table, so the
+    driver hash-checks the persisted artifact itself."""
+    _DEDUP_INDEXES.pop(sf_dir, None)  # time an honest rebuild, not a cache hit
+    cat = _dedup_built_catalog(spark, sf_dir)
+    return cat.read("dd__signatures")
+
+
+def q_dedup_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup index QUERY (steady state): match the incoming batch
+    (doc_id % 5 == 0) against the PERSISTED signatures — batch-sized
+    shingle work, band-bucket join against the stored table,
+    signature-agreement estimate per candidate; corpus text never
+    re-read, corpus signatures never recomputed (the session-cached
+    index from `dedup_index_build` is reused)."""
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        match_against_dedup_index,
+    )
+
+    cat = _dedup_built_catalog(spark, sf_dir)
+    batch = _t(spark, sf_dir, "documents").filter(_DEDUP_BATCH_PRED)
+    return match_against_dedup_index(cat, "dd", batch)
+
+
+def _sig_cte_sql(prefix: str, pred: str) -> str:
+    """Shingle→signature CTE chain over a filtered documents subset —
+    the corpus/batch halves of the dedup-index oracles share this with
+    the full-corpus _SQL_SHINGLES/_SIG_COLS formulation."""
+    return f"""
+{prefix}tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents WHERE {pred}
+), {prefix}sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+     THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+                                       i -> array_to_string(t[i:i+2], ' ')))
+     ELSE [] END) AS shingle
+  FROM {prefix}tok
+), {prefix}sig AS (
+  SELECT doc_id,
+         {_SIG_COLS}
+  FROM {prefix}sh GROUP BY doc_id
+), {prefix}bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, md5(mh_{2*b} || '|' || mh_{2*b+1}) AS bucket FROM {prefix}sig"
+      for b in range(4)
+  )}
+)"""
+
+
+ORACLE_DEDUP_INDEX_BUILD = (
+    "WITH "
+    + _sig_cte_sql("c_", "doc_id % 5 <> 0")
+    + "\nSELECT * FROM c_sig\n"
+)
+
+ORACLE_DEDUP_INDEX_QUERY = (
+    "WITH "
+    + _sig_cte_sql("c_", "doc_id % 5 <> 0")
+    + ", "
+    + _sig_cte_sql("b_", "doc_id % 5 = 0")
+    + f""", cand AS (
+  SELECT DISTINCT b.doc_id AS batch_doc_id, c.doc_id AS corpus_doc_id
+  FROM b_bands b
+  JOIN c_bands c ON b.band = c.band AND b.bucket = c.bucket
+)
+SELECT cd.batch_doc_id, cd.corpus_doc_id,
+       CAST({" + ".join(f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)" for i in range(8))}
+            AS INTEGER) AS n_agree,
+       CAST({" + ".join(f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)" for i in range(8))}
+            AS DOUBLE) / 8.0 AS est_jaccard
+FROM cand cd
+JOIN b_sig sa ON sa.doc_id = cd.batch_doc_id
+JOIN c_sig sb ON sb.doc_id = cd.corpus_doc_id
+"""
+)
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daily_top_songs_etl_spark.extensions.dedup import ngram_jaccard_pairs
 
@@ -6097,6 +6214,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semantic_apply": q_dedup_semantic_apply,
     # --- end of driver correctness window (slot 50) ---
     "bpe_encode_vocab": q_bpe_encode_vocab,
+    "dedup_index_build": q_dedup_index_build,
+    "dedup_index_query": q_dedup_index_query,
     "string_agg": q_string_agg,
     "decontaminate": q_decontaminate,
     "token_freq_score": q_token_freq_score,
@@ -6225,6 +6344,8 @@ _ORACLES: dict[str, str] = {
     "tfidf_topk": ORACLE_TFIDF_TOPK,
     "dedup_minhash_pairs": ORACLE_DEDUP_MINHASH,
     "dedup_minhash_estimate": ORACLE_DEDUP_MINHASH_EST,
+    "dedup_index_build": ORACLE_DEDUP_INDEX_BUILD,
+    "dedup_index_query": ORACLE_DEDUP_INDEX_QUERY,
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,

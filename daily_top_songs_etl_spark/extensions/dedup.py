@@ -740,3 +740,122 @@ def minhash_jaccard_estimates(
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Persisted dedup signature index: build once over the historical corpus,
+# match every incoming batch against it — the incremental-ingest dedup
+# lifecycle (mirrors extensions.ann_index / pq's train-once pattern).
+# --------------------------------------------------------------------------
+def _band_buckets(
+    sig: DataFrame, id_alias: str, n_hashes: int, band_size: int
+) -> DataFrame:
+    """(doc, bucket) relation from a signature table — one 8-byte
+    xxhash64 key per band, identical folding to minhash_lsh_pairs."""
+    n_bands = n_hashes // band_size
+    return sig.select(
+        F.col("doc_id").alias(id_alias),
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.col(f"mh_{b * band_size + j}")
+                            for j in range(band_size)
+                        ],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+
+
+def build_dedup_index(
+    catalog, name: str, documents: DataFrame, n_hashes: int = N_HASHES
+) -> None:
+    """Persist the corpus MinHash signatures as the catalog table
+    ``{name}__signatures`` — the historical half of incremental dedup.
+    Signatures are ~32 bytes × n_hashes per document regardless of text
+    size, so the stored index is a small constant fraction of the corpus
+    and each batch probe scans signatures, never corpus text. Rebuilds
+    write a new snapshot version (queries racing a rebuild read a
+    consistent older index); per-batch growth goes through
+    :func:`append_to_dedup_index` instead of a rebuild."""
+    catalog.write(
+        minhash_signatures(documents, n_hashes), f"{name}__signatures"
+    )
+
+
+def append_to_dedup_index(
+    catalog, name: str, batch: DataFrame, n_hashes: int = N_HASHES
+) -> None:
+    """Fold an accepted batch into the index: append-only (no
+    read-modify-write of the historical signatures) — the fact-table
+    fast path of the catalog."""
+    catalog.append(
+        minhash_signatures(batch, n_hashes), f"{name}__signatures"
+    )
+
+
+def match_against_dedup_index(
+    catalog,
+    name: str,
+    batch: DataFrame,
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Near-duplicate matches of a NEW batch against the PERSISTED
+    corpus index: signatures are computed for the batch only
+    (batch-sized shingle work), band buckets join against the stored
+    table, and the signature-agreement estimate scores each candidate —
+    the corpus text is never re-read and corpus signatures are never
+    recomputed. Returns (batch_doc_id, corpus_doc_id, n_agree,
+    est_jaccard); est values are exact multiples of 1/n_hashes (binary
+    fractions — no cross-engine rounding hazard).
+
+    Within-batch duplicates are out of scope here (run
+    :func:`minhash_lsh_pairs` on the small batch for those); this is
+    the batch×history half that would otherwise cost a full-corpus
+    recompute per ingest. Scale shape: the probe is a shuffle join on
+    the 8-byte bucket key between a batch-sized relation and the
+    band-exploded signature scan; at 100 TB the signature table is the
+    scan (≲0.5% of corpus bytes), and laying it out bucket-clustered
+    (operators/layout.py) turns each probe into a partition-pruned read
+    — the IVF-posting-list analogue for dedup."""
+    stored = catalog.read(f"{name}__signatures")
+    bsig = minhash_signatures(batch, n_hashes).localCheckpoint(eager=False)
+    cand = (
+        _band_buckets(bsig, "batch_doc_id", n_hashes, band_size)
+        .join(
+            _band_buckets(stored, "corpus_doc_id", n_hashes, band_size),
+            "bucket",
+        )
+        .select("batch_doc_id", "corpus_doc_id")
+        .distinct()
+    )
+    sa = bsig.select(
+        F.col("doc_id").alias("batch_doc_id"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(n_hashes)],
+    )
+    sb = stored.select(
+        F.col("doc_id").alias("corpus_doc_id"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(n_hashes)],
+    )
+    n_agree = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    return (
+        cand.join(sa, "batch_doc_id")
+        .join(sb, "corpus_doc_id")
+        .select(
+            "batch_doc_id",
+            "corpus_doc_id",
+            n_agree.cast("int").alias("n_agree"),
+            (n_agree.cast("double") / F.lit(float(n_hashes))).alias(
+                "est_jaccard"
+            ),
+        )
+    )

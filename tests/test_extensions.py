@@ -479,6 +479,73 @@ def test_stratified_sample_deterministic_and_rated(spark, documents):
         assert 0.0 <= n_en_kept / n_en_total <= 0.35
 
 
+def test_dedup_index_incremental_lifecycle(spark, tmp_path):
+    """Persisted dedup signature index: build over a historical corpus,
+    match an incoming batch (planted near-copy found, fresh doc clean),
+    append the accepted batch, and verify the NEXT batch matches against
+    the appended docs too — all without recomputing corpus signatures
+    (the probe plan reads the stored parquet, not the corpus text)."""
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        append_to_dedup_index,
+        build_dedup_index,
+        match_against_dedup_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog every day"),
+            (2, "completely unrelated text about distributed query engines"),
+            (3, "spark catalyst optimizes declarative plans into codegen"),
+        ],
+        "doc_id long, text string",
+    )
+    cat = Catalog(spark, str(tmp_path / "ddidx"))
+    build_dedup_index(cat, "dd", corpus)
+
+    fresh = (
+        "entirely fresh content nothing like the corpus rows seen so far "
+        "it keeps going long enough that one changed word leaves most "
+        "trigram shingles shared between the two variants"
+    )
+    batch1 = spark.createDataFrame(
+        [
+            # near-copy of doc 1 (one word changed)
+            (101, "the quick brown fox jumps over the lazy cat every day"),
+            (102, fresh),
+        ],
+        "doc_id long, text string",
+    )
+    m1 = match_against_dedup_index(cat, "dd", batch1).collect()
+    hits = {(r.batch_doc_id, r.corpus_doc_id): r.est_jaccard for r in m1}
+    assert (101, 1) in hits and hits[(101, 1)] >= 0.5
+    assert all(b != 102 for b, _ in hits)  # fresh doc matches nothing
+
+    # the probe must read the STORED signatures, not re-shingle the corpus
+    plan = match_against_dedup_index(
+        cat, "dd", batch1
+    )._jdf.queryExecution().executedPlan().toString()
+    # a parquet scan whose schema is the signature layout = stored index
+    # (the plan renderer truncates paths, so match the ReadSchema)
+    assert "ReadSchema: struct<doc_id:bigint,mh_0:string" in plan
+
+    # accept the batch, fold it in append-only; version is unchanged
+    v_before = cat.current_version("dd__signatures")
+    append_to_dedup_index(cat, "dd", batch1)
+    assert cat.current_version("dd__signatures") == v_before
+
+    batch2 = spark.createDataFrame(
+        # near-copy of the APPENDED doc 102 (last word changed)
+        [(201, fresh.rsplit(" ", 1)[0] + " copies")],
+        "doc_id long, text string",
+    )
+    m2 = {
+        (r.batch_doc_id, r.corpus_doc_id): r.est_jaccard
+        for r in match_against_dedup_index(cat, "dd", batch2).collect()
+    }
+    assert (201, 102) in m2 and m2[(201, 102)] >= 0.5
+
+
 def test_dedup_apply_keeps_one_rep_per_cluster(spark, documents):
     from daily_top_songs_etl_spark.extensions.dedup import (
         connected_components,
