@@ -444,3 +444,80 @@ def test_incremental_view_stream_exactly_once_under_restart(spark, tmp_path):
         .collect()
     }
     assert third == expect
+
+
+def test_dedup_index_stream_routes_and_grows(spark, tmp_path):
+    """Streaming dedup against HISTORY: micro-batches route near-dups of
+    the persisted corpus (and non-representatives of within-batch
+    clusters) to duplicates/, fresh docs to accepted/, and accepted docs
+    fold into the index so a LATER batch dedups against an EARLIER one.
+    Re-running the drained stream is a no-op (replay-safe append)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.dedup import build_dedup_index
+    from daily_top_songs_etl_spark.streaming.dedup_stream import (
+        read_routed,
+        run_dedup_index_stream,
+    )
+
+    base = (
+        "the shared boilerplate sentence that appears in every scraped "
+        "page of this particular mirror keeps going for a while so "
+        "shingle overlap dominates"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "a completely different historical document "
+                        "about engines and columnar storage formats")],
+        "doc_id long, text string",
+    )
+    cat = Catalog(spark, str(tmp_path / "ddidx"))
+    build_dedup_index(cat, "dd", corpus)
+
+    fresh1 = (
+        "genuinely new content from the first batch long enough to carry "
+        "its own shingle identity across many tokens of running text"
+    )
+    batch1 = spark.createDataFrame(
+        [
+            (101, base.replace("mirror", "archive")),  # near-dup of history
+            (102, fresh1),                             # fresh
+            (103, fresh1.replace("many", "plenty of")),  # within-batch dup of 102
+        ],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        # near-dup of batch 1's ACCEPTED doc (cross-batch history growth)
+        [(201, fresh1.replace("running", "flowing")),
+         (202, "another unrelated brand new document with an entirely "
+               "distinct vocabulary footprint spanning plenty of words")],
+        "doc_id long, text string",
+    )
+    landing = str(tmp_path / "landing")
+    batch1.coalesce(1).write.parquet(landing)
+    batch2.coalesce(1).write.mode("append").parquet(landing)
+
+    out = str(tmp_path / "out")
+    run_dedup_index_stream(
+        spark, landing, batch1.schema, cat, "dd",
+        str(tmp_path / "ckpt"), out,
+    )
+
+    accepted = {r.doc_id for r in read_routed(spark, out, "accepted").collect()}
+    dupes = {r.doc_id for r in read_routed(spark, out, "duplicates").collect()}
+    assert accepted & {202}, accepted          # fresh doc in batch 2 accepted
+    assert 101 in dupes                        # history near-dup rejected
+    assert (102 in accepted) ^ (103 in accepted)  # one batch-cluster rep
+    assert 201 in dupes                        # killed by EARLIER batch's accept
+    assert accepted.isdisjoint(dupes)
+    assert accepted | dupes == {101, 102, 103, 201, 202}
+
+    # replay: drained stream re-run must not double the index
+    sig_count = cat.read("dd__signatures").count()
+    run_dedup_index_stream(
+        spark, landing, batch1.schema, cat, "dd",
+        str(tmp_path / "ckpt"), out,
+    )
+    assert cat.read("dd__signatures").count() == sig_count
