@@ -1446,3 +1446,43 @@ def test_suggested_n_planes_log_scales():
     # doubling the corpus adds at most one plane (log scaling)
     for n in (10_000, 1_000_000, 100_000_000):
         assert suggested_n_planes(2 * n) - suggested_n_planes(n) <= 1
+
+
+def test_dedup_index_matches_monolithic_estimates(spark, tmp_path):
+    """The incremental path must lose nothing vs the monolithic one: on
+    the sf0.001 documents, match_against_dedup_index(batch vs stored
+    corpus) equals minhash_jaccard_estimates over the WHOLE table
+    restricted to cross (batch x corpus) pairs — same candidates, same
+    n_agree, same estimates."""
+    from pyspark.sql import functions as F
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        build_dedup_index,
+        match_against_dedup_index,
+        minhash_jaccard_estimates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    cat = Catalog(spark, str(tmp_path / "ddeq"))
+    build_dedup_index(cat, "dd", corpus)
+    incremental = {
+        (r.batch_doc_id, r.corpus_doc_id): (r.n_agree, r.est_jaccard)
+        for r in match_against_dedup_index(cat, "dd", batch).collect()
+    }
+
+    mono = {}
+    for r in minhash_jaccard_estimates(docs).collect():
+        a_is_batch = r.doc_id_a % 5 == 0
+        b_is_batch = r.doc_id_b % 5 == 0
+        if a_is_batch == b_is_batch:
+            continue  # within-batch or within-corpus pair
+        key = (
+            (r.doc_id_a, r.doc_id_b) if a_is_batch else (r.doc_id_b, r.doc_id_a)
+        )
+        mono[key] = (r.n_agree, r.est_jaccard)
+
+    assert incremental == mono and incremental, len(incremental)

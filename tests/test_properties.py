@@ -314,3 +314,96 @@ def test_multi_day_replay_matches_reference_model(
     assert got_songs == m_songs
     assert got_map == m_map
     assert got_ranking == m_ranking
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+            ),
+            min_size=3,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_dedup_apply_idempotent(spark, docs):
+    """For ANY corpus: applying LSH dedup to its own survivors drops
+    nothing. Sound because signatures are per-document (unchanged by
+    subsetting) and any surviving pair would have connected its
+    endpoints' clusters — so survivors are pair-free by construction.
+    The tiny vocabulary forces heavy shingle collisions (the interesting
+    near-dup regime)."""
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        dedup_apply,
+        minhash_lsh_pairs,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    survivors = dedup_apply(
+        corpus.select("doc_id"), minhash_lsh_pairs(corpus)
+    ).select("doc_id")
+    kept1 = {r.doc_id for r in survivors.collect()}
+    surviving_docs = corpus.join(survivors, "doc_id")
+    kept2 = {
+        r.doc_id
+        for r in dedup_apply(
+            surviving_docs.select("doc_id"), minhash_lsh_pairs(surviving_docs)
+        ).collect()
+    }
+    assert kept1 == kept2
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sr=st.sampled_from([8000, 16000, 44100]),
+    n_channels=st.integers(min_value=1, max_value=3),
+    bits=st.sampled_from([8, 16]),
+    frames=st.integers(min_value=0, max_value=50),
+    data=st.data(),
+)
+def test_wav_codec_roundtrip_property(spark, sr, n_channels, bits, frames, data):
+    """encode_wav ∘ decode_wav is the identity (modulo 8-bit
+    zero-centering) for ANY PCM stream at any supported shape."""
+    from daily_top_songs_etl_spark.extensions.multimodal import (
+        decode_wav,
+        encode_wav,
+        wav_features,
+    )
+
+    n = frames * n_channels
+    if bits == 16:
+        samples = data.draw(
+            st.lists(
+                st.integers(min_value=-32768, max_value=32767),
+                min_size=n, max_size=n,
+            )
+        )
+        expect = samples
+    else:
+        samples = data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=n, max_size=n,
+            )
+        )
+        expect = [s - 128 for s in samples]
+    payload = encode_wav(sr, n_channels, bits, samples)
+    assert decode_wav(payload) == (sr, n_channels, bits, expect)
+    feats = wav_features(payload)
+    assert len(feats) == 8 and feats[1] == float(n_channels)
+    assert 0.0 <= feats[4] <= 1.0 and 0.0 <= feats[5] <= 1.0
