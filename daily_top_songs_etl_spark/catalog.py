@@ -104,7 +104,11 @@ class Catalog:
         return reader.parquet(p)
 
     def write(
-        self, df: DataFrame, table: str, meta: dict | None = None
+        self,
+        df: DataFrame,
+        table: str,
+        meta: dict | None = None,
+        partition_by: list[str] | None = None,
     ) -> None:
         """Write a new snapshot version and flip the pointer atomically.
 
@@ -121,8 +125,9 @@ class Catalog:
         new_v = (self.current_version(table) or 0) + 1
         target = os.path.join(tdir, f"v={new_v}")
         writer = df.write.mode("overwrite")
-        if table in PARTITIONED:
-            writer = writer.partitionBy(*PARTITIONED[table])
+        cols = partition_by or PARTITIONED.get(table)
+        if cols:
+            writer = writer.partitionBy(*cols)
         writer.parquet(target)
         if meta is not None:
             with open(os.path.join(target, "_meta.json"), "w") as f:
@@ -145,17 +150,23 @@ class Catalog:
         except FileNotFoundError:
             return None
 
-    def append(self, df: DataFrame, table: str) -> None:
+    def append(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+    ) -> None:
         """Append into the current version in place (the fact-table fast
         path: no read-modify-write of existing partitions). Creates v=1 if
         the table does not exist yet."""
         p = self.path(table)
         if p is None:
-            self.write(df, table)
+            self.write(df, table, partition_by=partition_by)
             return
         writer = df.write.mode("append")
-        if table in PARTITIONED:
-            writer = writer.partitionBy(*PARTITIONED[table])
+        cols = partition_by or PARTITIONED.get(table)
+        if cols:
+            writer = writer.partitionBy(*cols)
         writer.parquet(p)
 
     def overwrite_partitions(

@@ -773,7 +773,12 @@ def _band_buckets(
 
 
 def build_dedup_index(
-    catalog, name: str, documents: DataFrame, n_hashes: int = N_HASHES
+    catalog,
+    name: str,
+    documents: DataFrame,
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+    probe_partitions: int | None = None,
 ) -> None:
     """Persist the corpus MinHash signatures as the catalog table
     ``{name}__signatures`` — the historical half of incremental dedup.
@@ -782,10 +787,33 @@ def build_dedup_index(
     and each batch probe scans signatures, never corpus text. Rebuilds
     write a new snapshot version (queries racing a rebuild read a
     consistent older index); per-batch growth goes through
-    :func:`append_to_dedup_index` instead of a rebuild."""
+    :func:`append_to_dedup_index` instead of a rebuild.
+
+    ``probe_partitions=N`` additionally materializes the band-exploded
+    layout ``{name}__bands`` — (doc_id, bucket, signature columns),
+    PARTITIONED by ``bucket_mod = pmod(bucket, N)``. A batch probe then
+    joins on (bucket_mod, bucket), and Spark's dynamic partition pruning
+    reads only the partitions holding the batch's own bucket mods — the
+    IVF-posting-list read pattern for dedup (the unpartitioned path
+    scans the whole signature table per probe). Costs n_bands× storage
+    of the (already tiny) signature index."""
     catalog.write(
-        minhash_signatures(documents, n_hashes), f"{name}__signatures"
+        minhash_signatures(documents, n_hashes),
+        f"{name}__signatures",
+        meta={
+            "n_hashes": n_hashes,
+            "band_size": band_size,
+            "probe_partitions": probe_partitions,
+        },
     )
+    if probe_partitions:
+        sig = catalog.read(f"{name}__signatures")
+        bands = (
+            _band_buckets(sig, "doc_id", n_hashes, band_size)
+            .join(sig, "doc_id")
+            .withColumn("bucket_mod", F.pmod("bucket", F.lit(probe_partitions)))
+        )
+        catalog.write(bands, f"{name}__bands", partition_by=["bucket_mod"])
 
 
 def append_to_dedup_index(
@@ -793,10 +821,20 @@ def append_to_dedup_index(
 ) -> None:
     """Fold an accepted batch into the index: append-only (no
     read-modify-write of the historical signatures) — the fact-table
-    fast path of the catalog."""
-    catalog.append(
-        minhash_signatures(batch, n_hashes), f"{name}__signatures"
-    )
+    fast path of the catalog. Keeps the partitioned probe layout in
+    sync when the index was built with ``probe_partitions``."""
+    sig = minhash_signatures(batch, n_hashes).localCheckpoint(eager=True)
+    catalog.append(sig, f"{name}__signatures")
+    meta = catalog.read_meta(f"{name}__signatures") or {}
+    nparts = meta.get("probe_partitions")
+    if nparts:
+        band_size = meta.get("band_size", BAND_SIZE)
+        bands = (
+            _band_buckets(sig, "doc_id", n_hashes, band_size)
+            .join(sig, "doc_id")
+            .withColumn("bucket_mod", F.pmod("bucket", F.lit(nparts)))
+        )
+        catalog.append(bands, f"{name}__bands", partition_by=["bucket_mod"])
 
 
 def match_against_dedup_index(
@@ -823,25 +861,62 @@ def match_against_dedup_index(
     band-exploded signature scan; at 100 TB the signature table is the
     scan (≲0.5% of corpus bytes), and laying it out bucket-clustered
     (operators/layout.py) turns each probe into a partition-pruned read
-    — the IVF-posting-list analogue for dedup."""
-    stored = catalog.read(f"{name}__signatures")
+    — the IVF-posting-list analogue for dedup.
+
+    When the index was built with ``probe_partitions``, the probe uses
+    the PARTITIONED ``{name}__bands`` layout: the batch's own bucket
+    mods (a bounded set — at most ``probe_partitions`` values, collected
+    from the batch-sized signature relation) become a STATIC partition
+    filter on the stored scan, so only the partitions holding those mods
+    are read (``PartitionFilters: bucket_mod IN (...)``, verified by
+    plan test). A static filter is used deliberately instead of relying
+    on dynamic partition pruning: the checkpointed batch side hides its
+    selective predicate from DPP's benefit heuristic, while the
+    collected mod set prunes unconditionally. Output is identical to the
+    unpartitioned path."""
     bsig = minhash_signatures(batch, n_hashes).localCheckpoint(eager=False)
-    cand = (
-        _band_buckets(bsig, "batch_doc_id", n_hashes, band_size)
-        .join(
-            _band_buckets(stored, "corpus_doc_id", n_hashes, band_size),
-            "bucket",
+    meta = catalog.read_meta(f"{name}__signatures") or {}
+    nparts = meta.get("probe_partitions")
+    bbands = _band_buckets(bsig, "batch_doc_id", n_hashes, band_size)
+    if nparts and catalog.exists(f"{name}__bands"):
+        stored_bands = catalog.read(f"{name}__bands")
+        bb = bbands.withColumn(
+            "bucket_mod", F.pmod("bucket", F.lit(nparts))
         )
-        .select("batch_doc_id", "corpus_doc_id")
-        .distinct()
-    )
+        # ≤ probe_partitions distinct values, from the (tiny) batch side
+        mods = [
+            r.bucket_mod for r in bb.select("bucket_mod").distinct().collect()
+        ]
+        cand = (
+            stored_bands.filter(F.col("bucket_mod").isin(mods))
+            .join(F.broadcast(bb.drop("bucket_mod")), "bucket")
+            .select(
+                "batch_doc_id",
+                F.col("doc_id").alias("corpus_doc_id"),
+                # signature columns ride in the bands layout, so the
+                # probe never touches the unpartitioned table
+                *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(n_hashes)],
+            )
+            .distinct()
+        )
+    else:
+        stored = catalog.read(f"{name}__signatures")
+        sb = stored.select(
+            F.col("doc_id").alias("corpus_doc_id"),
+            *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(n_hashes)],
+        )
+        cand = (
+            bbands.join(
+                _band_buckets(stored, "corpus_doc_id", n_hashes, band_size),
+                "bucket",
+            )
+            .select("batch_doc_id", "corpus_doc_id")
+            .distinct()
+            .join(sb, "corpus_doc_id")
+        )
     sa = bsig.select(
         F.col("doc_id").alias("batch_doc_id"),
         *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(n_hashes)],
-    )
-    sb = stored.select(
-        F.col("doc_id").alias("corpus_doc_id"),
-        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(n_hashes)],
     )
     n_agree = sum(
         F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
@@ -849,7 +924,6 @@ def match_against_dedup_index(
     )
     return (
         cand.join(sa, "batch_doc_id")
-        .join(sb, "corpus_doc_id")
         .select(
             "batch_doc_id",
             "corpus_doc_id",

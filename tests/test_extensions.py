@@ -1486,3 +1486,68 @@ def test_dedup_index_matches_monolithic_estimates(spark, tmp_path):
         mono[key] = (r.n_agree, r.est_jaccard)
 
     assert incremental == mono and incremental, len(incremental)
+
+
+def test_dedup_index_partitioned_probe_prunes(spark, tmp_path):
+    """probe_partitions layout: identical output to the flat path, the
+    probe plan carries a STATIC bucket_mod partition filter (so only the
+    batch's own partitions are read), and append keeps the partitioned
+    layout in sync."""
+    from pyspark.sql import functions as F
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        append_to_dedup_index,
+        build_dedup_index,
+        match_against_dedup_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    flat_cat = Catalog(spark, str(tmp_path / "flat"))
+    build_dedup_index(flat_cat, "dd", corpus)
+    flat = {
+        (r.batch_doc_id, r.corpus_doc_id): (r.n_agree, r.est_jaccard)
+        for r in match_against_dedup_index(flat_cat, "dd", batch).collect()
+    }
+
+    part_cat = Catalog(spark, str(tmp_path / "part"))
+    build_dedup_index(part_cat, "dd", corpus, probe_partitions=16)
+    part = {
+        (r.batch_doc_id, r.corpus_doc_id): (r.n_agree, r.est_jaccard)
+        for r in match_against_dedup_index(part_cat, "dd", batch).collect()
+    }
+    assert part == flat and part
+
+    # a 1-doc batch reads only its own bucket-mod partitions
+    tiny = docs.filter(F.col("doc_id") == 5)
+    plan = (
+        match_against_dedup_index(part_cat, "dd", tiny)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[bucket_mod#\d+ IN \(([^)]*)\)\]", plan)
+    assert m, plan[:2000]
+    assert 0 < len(m.group(1).split(",")) <= 4  # <= n_bands partitions
+
+    # append keeps the bands layout in sync: a near-copy of an appended
+    # doc must match through the PARTITIONED probe
+    nd = (
+        "a novel appended document with enough running text that a one "
+        "word change keeps almost every trigram shingle intact overall"
+    )
+    append_to_dedup_index(
+        part_cat, "dd",
+        spark.createDataFrame([(900001, nd)], "doc_id long, text string"),
+    )
+    probe = spark.createDataFrame(
+        [(900002, nd.replace("novel", "fresh"))], "doc_id long, text string"
+    )
+    hits = {
+        (r.batch_doc_id, r.corpus_doc_id)
+        for r in match_against_dedup_index(part_cat, "dd", probe).collect()
+    }
+    assert (900002, 900001) in hits
