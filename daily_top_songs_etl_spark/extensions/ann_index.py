@@ -71,7 +71,11 @@ def build_ann_index(
         .filter(F.col("__rn") == 1)
         .select("vec_id", F.col("cent_id").alias("cluster"), "v", "nv")
     )
-    catalog.write(lists, f"{name}__lists")
+    # The inverted lists are PARTITIONED by cluster, so a probe is a
+    # partition-pruned read of ~n_probe/n_centroids of the index — the
+    # on-disk analogue of an IVF posting list (query_ann_index collects
+    # the ≤ |Q|·n_probe probe clusters into a static partition filter).
+    catalog.write(lists, f"{name}__lists", partition_by=["cluster"])
 
 
 def query_ann_index(
@@ -106,12 +110,19 @@ def query_ann_index(
         .withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= n_probe)
         .select("query_id", "q", "nq", F.col("cent_id").alias("cluster"))
-    )
+    ).localCheckpoint(eager=False)  # feeds the partition filter AND the join
+    # Static partition pruning: the probed cluster set (≤ |Q|·n_probe,
+    # bounded by n_centroids) restricts the lists scan to its partitions —
+    # PartitionFilters: [cluster IN (...)] instead of a full index read.
+    probe_clusters = [
+        r.cluster for r in probes.select("cluster").distinct().collect()
+    ]
     cosine = _dot(F.col("q"), F.col("v")).cast("double") / (
         F.col("nq") * F.col("nv")
     )
     scored = (
-        lists.join(F.broadcast(probes), "cluster")
+        lists.filter(F.col("cluster").isin(probe_clusters))
+        .join(F.broadcast(probes), "cluster")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

@@ -1407,6 +1407,19 @@ def test_persisted_ann_index_build_query_recall(spark, embeddings, tmp_path):
     build_ann_index(cat, "vecs", embeddings, n_centroids=8, iters=2)
     assert cat.current_version("vecs__lists") == v1 + 1
 
+    # the lists are PARTITIONED by cluster and a single-query probe reads
+    # only its n_probe partitions (static cluster IN (...) filter)
+    one = embeddings.filter(F.col("vec_id") == 0)
+    plan = (
+        query_ann_index(cat, "vecs", one, k=5, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[cluster#\d+ IN \(([^)]*)\)", plan)
+    assert m, plan[:2000]
+    assert len(m.group(1).split(",")) == 2  # exactly n_probe partitions
+
 
 def test_minhash_estimate_tracks_exact_jaccard(spark, documents):
     from daily_top_songs_etl_spark.extensions.dedup import (
