@@ -747,8 +747,15 @@ def _dedup_built_catalog(spark: SparkSession, sf_dir: str):
         dd_dir = tempfile.mkdtemp(prefix="spark_graft_dedupidx_")
         atexit.register(shutil.rmtree, dd_dir, ignore_errors=True)
         cat = Catalog(spark, dd_dir)
+        # probe_partitions exercises the partition-pruned probe layout
+        # under the driver: the query scan carries a static bucket_mod
+        # partition filter, and the oracle hash-match proves the pruned
+        # path's output identical to the monolithic formulation.
         build_dedup_index(
-            cat, "dd", _t(spark, sf_dir, "documents").filter(_DEDUP_CORPUS_PRED)
+            cat,
+            "dd",
+            _t(spark, sf_dir, "documents").filter(_DEDUP_CORPUS_PRED),
+            probe_partitions=16,
         )
         _DEDUP_INDEXES[sf_dir] = cat
     return _DEDUP_INDEXES[sf_dir]
