@@ -2248,6 +2248,22 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_apply(docs, minhash_lsh_pairs(docs))
 
 
+def q_dedup_apply_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same keep/drop materialization through the UNCONDITIONALLY linear
+    star-edge graph: per band bucket every member connects to the bucket
+    minimum (≤ n_bands·N edges regardless of duplicate density, where
+    the pair graph degenerates to Σ|bucket|²). The transitive closure —
+    and therefore the survivor set — is identical, so the same oracle
+    hash-verifies both plans."""
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        dedup_apply,
+        minhash_lsh_star_edges,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_apply(docs, minhash_lsh_star_edges(docs))
+
+
 ORACLE_DEDUP_APPLY = f"""{_SQL_SHINGLES}
 , sig AS (
   SELECT doc_id,
@@ -6223,6 +6239,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_encode_vocab": q_bpe_encode_vocab,
     "dedup_index_build": q_dedup_index_build,
     "dedup_index_query": q_dedup_index_query,
+    "dedup_apply_star": q_dedup_apply_star,
     "string_agg": q_string_agg,
     "decontaminate": q_decontaminate,
     "token_freq_score": q_token_freq_score,
@@ -6391,6 +6408,7 @@ _ORACLES: dict[str, str] = {
     "text_quality_gate": ORACLE_TEXT_QUALITY_GATE,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "dedup_apply": ORACLE_DEDUP_APPLY,
+    "dedup_apply_star": ORACLE_DEDUP_APPLY,
     "stream_dedup": ORACLE_STREAM_DEDUP,
     "stream_interval_join": ORACLE_STREAM_INTERVAL_JOIN,
     "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,

@@ -185,6 +185,55 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_star_edges(
+    documents: DataFrame,
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Star-shaped LSH candidate edges: per band bucket, every member
+    connects to the bucket's MINIMUM doc_id instead of to every other
+    member. The transitive closure is IDENTICAL to the full pair graph
+    (within a bucket all members reach each other through the bucket
+    rep; across buckets shared docs chain components exactly as pairs
+    do), so connected components — and therefore ``dedup_apply``'s
+    survivor set — are bit-identical.
+
+    This is the UNCONDITIONALLY linear formulation: ≤ n_bands·N edges
+    regardless of duplicate density, where the pair graph degenerates to
+    Σ|bucket|² (100 identical docs → 99 star edges vs 4 950 pairs; a
+    boilerplate-heavy crawl at 100 TB makes that difference the job).
+    Use :func:`minhash_lsh_pairs` only when the PAIRS themselves are the
+    product (similarity reporting); use this for clustering/dedup."""
+    sig = minhash_signatures(documents, n_hashes).localCheckpoint(eager=False)
+    n_bands = n_hashes // band_size
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.col(f"mh_{b * band_size + j}")
+                            for j in range(band_size)
+                        ],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    reps = bands.groupBy("bucket").agg(F.min("doc_id").alias("rep"))
+    return (
+        bands.join(reps, "bucket")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(
+            F.col("rep").alias("doc_id_a"), F.col("doc_id").alias("doc_id_b")
+        )
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame, min_jaccard: float = 0.2
 ) -> DataFrame:

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from ..extensions.dedup import dedup_apply, exact_dedup, minhash_lsh_pairs
+from ..extensions.dedup import dedup_apply, exact_dedup, minhash_lsh_star_edges
 from ..extensions.mixture import mixture_sample
 from ..extensions.text import chunk_documents, decontaminate, pack_chunks, quality_gate
 
@@ -94,8 +94,12 @@ def pretrain_corpus_funnel(
         3, "exact_dedup", quality_docs.join(keep_exact, "doc_id", "left_semi")
     )
 
-    # near-dup removal: banded MinHash candidates → cluster reps survive
-    survivors = dedup_apply(exact_docs, minhash_lsh_pairs(exact_docs))
+    # near-dup removal: banded MinHash candidates → cluster reps
+    # survive. Star edges, not pairs: the funnel only needs the cluster
+    # partition, and star edges stay ≤ n_bands·N on boilerplate-heavy
+    # corpora where the pair graph is Σ|bucket|² (same components, same
+    # survivors — the funnel oracle hash-match is unchanged).
+    survivors = dedup_apply(exact_docs, minhash_lsh_star_edges(exact_docs))
     neardup_docs = persist_stage(
         4,
         "near_dedup",

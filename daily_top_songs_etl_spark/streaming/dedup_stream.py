@@ -41,7 +41,7 @@ from ..extensions.dedup import (
     append_to_dedup_index,
     dedup_apply,
     match_against_dedup_index,
-    minhash_lsh_pairs,
+    minhash_lsh_star_edges,
 )
 
 
@@ -72,9 +72,12 @@ def run_dedup_index_stream(
             return
         batch_df = batch_df.localCheckpoint(eager=True)  # pin files of THIS batch
         # 1. within-batch near-dup: dedup_apply returns the surviving ids
-        #    (one representative per cluster + every unclustered doc)
+        #    (one representative per cluster + every unclustered doc).
+        #    Star edges, not pairs: clustering only needs connectivity,
+        #    and a boilerplate-heavy batch makes the pair graph quadratic
+        #    while star edges stay <= n_bands x batch rows.
         keep = dedup_apply(
-            batch_df.select("doc_id"), minhash_lsh_pairs(batch_df)
+            batch_df.select("doc_id"), minhash_lsh_star_edges(batch_df)
         ).select("doc_id")
         survivors = batch_df.join(keep, "doc_id")
         # 2. batch-vs-history: any stored doc with est >= min_est kills

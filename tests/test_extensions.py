@@ -1564,3 +1564,41 @@ def test_dedup_index_partitioned_probe_prunes(spark, tmp_path):
         for r in match_against_dedup_index(part_cat, "dd", probe).collect()
     }
     assert (900002, 900001) in hits
+
+
+def test_star_edges_linear_and_equivalent(spark, documents):
+    """Star edges give the SAME connected components (and therefore the
+    same dedup_apply survivors) as the full pair graph, with linearly
+    many edges on a degenerate all-duplicates corpus where pairs
+    explode quadratically."""
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        dedup_apply,
+        minhash_lsh_pairs,
+        minhash_lsh_star_edges,
+    )
+
+    # degenerate corpus: 40 identical docs + 2 distinct ones
+    same = "the very same boilerplate sentence repeated across the crawl"
+    rows = [(i, same) for i in range(40)]
+    rows += [(100, "a unique document about columnar engines and codegen"),
+             (101, "another unique one concerning shuffle partitioning")]
+    degen = spark.createDataFrame(rows, "doc_id long, text string")
+    n_pairs = minhash_lsh_pairs(degen).count()
+    n_star = minhash_lsh_star_edges(degen).count()
+    assert n_pairs == 40 * 39 // 2  # quadratic: every identical pair
+    assert n_star == 39             # linear: one edge per non-rep member
+
+    # equivalence on the real corpus: identical survivor sets + flags
+    base = {
+        (r.doc_id, r.is_cluster_rep)
+        for r in dedup_apply(
+            documents.select("doc_id"), minhash_lsh_pairs(documents)
+        ).collect()
+    }
+    star = {
+        (r.doc_id, r.is_cluster_rep)
+        for r in dedup_apply(
+            documents.select("doc_id"), minhash_lsh_star_edges(documents)
+        ).collect()
+    }
+    assert base == star and base
