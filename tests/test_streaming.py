@@ -521,3 +521,100 @@ def test_dedup_index_stream_routes_and_grows(spark, tmp_path):
         str(tmp_path / "ckpt"), out,
     )
     assert cat.read("dd__signatures").count() == sig_count
+
+
+def test_pretrain_ingest_stream_end_to_end(spark, tmp_path):
+    """The full incremental corpus-ingest funnel over micro-batches:
+    quality-gate rejects, history dedup kills a near-copy of the seed
+    corpus, decontamination kills a benchmark-overlapping doc,
+    cross-batch dedup kills a near-copy of an earlier ACCEPTED doc,
+    survivors append to the versioned corpus table, and a replay of the
+    drained stream changes nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.dedup import build_dedup_index
+    from daily_top_songs_etl_spark.streaming.pretrain_stream import (
+        read_funnel_counts,
+        run_pretrain_ingest_stream,
+    )
+
+    from daily_top_songs_etl_spark.extensions.text import quality_gate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    passing = (
+        quality_gate(docs, passthrough=True)
+        .filter(F.col("passes_all"))
+        .orderBy("doc_id")
+    )
+    texts = [r.text for r in passing.limit(8).collect()]
+    assert len(texts) >= 5, "need gate-passing fixture docs"
+    schema = "doc_id long, text string"
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    seed = spark.createDataFrame([(1, texts[0]), (2, texts[1])], schema)
+    cat.write(seed, "corpus")
+    build_dedup_index(cat, "dd", seed, probe_partitions=16)
+
+    bench = spark.createDataFrame([(9000, texts[2])], schema)
+
+    words0 = texts[0].split()
+    batch1 = spark.createDataFrame(
+        [
+            (101, " ".join(words0[:-1] + ["changed"])),  # near-dup of seed 1
+            (102, texts[3]),                             # clean accept
+            (103, "!!! ??? !!! ??? !!!"),                # fails quality gate
+            (104, texts[2]),                             # contaminated (= bench)
+        ],
+        schema,
+    )
+    w3 = texts[3].split()
+    batch2 = spark.createDataFrame(
+        [
+            # near-dup of batch 1's ACCEPTED doc 102
+            (201, " ".join(w3[:-1] + ["altered"])),
+            (202, texts[4]),                             # clean accept
+        ],
+        schema,
+    )
+    landing = str(tmp_path / "landing")
+    batch1.coalesce(1).write.parquet(landing)
+    batch2.coalesce(1).write.mode("append").parquet(landing)
+
+    state = str(tmp_path / "state")
+    os.makedirs(state, exist_ok=True)
+    run_pretrain_ingest_stream(
+        spark, landing, batch1.schema, cat, "dd", "corpus", bench,
+        str(tmp_path / "ckpt"), state,
+    )
+
+    corpus_ids = {r.doc_id for r in cat.read("corpus").collect()}
+    assert corpus_ids == {1, 2, 102, 202}, corpus_ids
+
+    counts = {c["batch_id"]: c for c in read_funnel_counts(state)}
+    b1 = [c for c in counts.values() if c["raw"] == 4][0]
+    assert b1["quality"] == 3          # 103 gated out
+    assert b1["fresh_vs_history"] == 2  # 101 killed by history
+    assert b1["accepted"] == 1          # 104 decontaminated
+    b2 = [c for c in counts.values() if c["raw"] == 2][0]
+    assert b2["fresh_vs_history"] == 1  # 201 killed by batch 1's accept
+    assert b2["accepted"] == 1
+    for c in counts.values():  # funnel is monotone per batch
+        assert (
+            c["raw"] >= c["quality"] >= c["batch_unique"]
+            >= c["fresh_vs_history"] >= c["accepted"]
+        )
+
+    # replay: nothing changes (corpus version, contents, counts file)
+    v = cat.current_version("corpus")
+    n_sig = cat.read("dd__signatures").count()
+    run_pretrain_ingest_stream(
+        spark, landing, batch1.schema, cat, "dd", "corpus", bench,
+        str(tmp_path / "ckpt"), state,
+    )
+    assert cat.current_version("corpus") == v
+    assert {r.doc_id for r in cat.read("corpus").collect()} == corpus_ids
+    assert cat.read("dd__signatures").count() == n_sig
+    assert len(read_funnel_counts(state)) == 2
