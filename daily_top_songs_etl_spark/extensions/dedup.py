@@ -982,3 +982,40 @@ def match_against_dedup_index(
             ),
         )
     )
+
+
+def compact_dedup_index(
+    catalog, name: str, target_file_bytes: int = 128 << 20
+) -> None:
+    """Maintenance pass for a long-lived index: per-batch appends
+    accumulate small files whose per-file open/footer cost eventually
+    dominates every probe's stored-signature scan. Rewrite both layouts
+    as a NEW bin-packed snapshot version (the catalog's pointer flip is
+    the atomic swap, so probes racing the compaction read a consistent
+    older version). The signature table's ``_meta.json`` (n_hashes,
+    band_size, probe_partitions) is carried into the new version — a
+    compaction must never silently drop the partitioned-probe layout."""
+    import math
+    import os
+
+    sig_table = f"{name}__signatures"
+    meta = catalog.read_meta(sig_table) or {}
+    src = catalog.path(sig_table)
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(src)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / target_file_bytes))
+    catalog.write(
+        catalog.read(sig_table).repartition(n), sig_table, meta=meta
+    )
+    if meta.get("probe_partitions") and catalog.exists(f"{name}__bands"):
+        # partition dirs are preserved; files inside each bin-pack via
+        # the per-partition shuffle of the partitioned write
+        catalog.write(
+            catalog.read(f"{name}__bands").repartition(n),
+            f"{name}__bands",
+            partition_by=["bucket_mod"],
+        )

@@ -1602,3 +1602,62 @@ def test_star_edges_linear_and_equivalent(spark, documents):
         ).collect()
     }
     assert base == star and base
+
+
+def test_compact_dedup_index_preserves_results_and_meta(spark, tmp_path):
+    """After many small appends, compaction rewrites the index as one
+    new snapshot: fewer files, identical match results, and the
+    partitioned-probe meta (probe_partitions) survives so probes stay
+    pruned."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        append_to_dedup_index,
+        build_dedup_index,
+        compact_dedup_index,
+        match_against_dedup_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    build_dedup_index(cat, "dd", corpus.limit(50), probe_partitions=16)
+    rest = corpus.subtract(corpus.limit(50))
+    for i in range(5):  # fragment the index with small appends
+        append_to_dedup_index(cat, "dd", rest.filter(F.col("doc_id") % 5 == i))
+
+    def nfiles(table):
+        p = cat.path(table)
+        return sum(
+            1 for r, _, fs in os.walk(p) for f in fs if f.endswith(".parquet")
+        )
+
+    before = {
+        (r.batch_doc_id, r.corpus_doc_id): (r.n_agree, r.est_jaccard)
+        for r in match_against_dedup_index(cat, "dd", batch).collect()
+    }
+    files_before = nfiles("dd__signatures")
+    v_before = cat.current_version("dd__signatures")
+
+    compact_dedup_index(cat, "dd")
+
+    assert cat.current_version("dd__signatures") == v_before + 1
+    assert nfiles("dd__signatures") < files_before
+    assert (cat.read_meta("dd__signatures") or {}).get("probe_partitions") == 16
+    after = {
+        (r.batch_doc_id, r.corpus_doc_id): (r.n_agree, r.est_jaccard)
+        for r in match_against_dedup_index(cat, "dd", batch).collect()
+    }
+    assert after == before and after
+    # probe still pruned after compaction
+    one = docs.filter(F.col("doc_id") == 5)
+    plan = (
+        match_against_dedup_index(cat, "dd", one)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [bucket_mod" in plan
