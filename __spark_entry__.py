@@ -141,8 +141,12 @@ GROUP BY n_name
 _D1, _D2 = "2024-01-05", "2024-01-06"
 
 
-def _daily_user_rank(spark, sf_dir, day: str) -> DataFrame:
-    """Top-10 users by exact daily spend — the 'daily chart' snapshot."""
+def _daily_user_rank(spark, sf_dir, day: str, k: int = 50) -> DataFrame:
+    """Top-k users by exact daily spend — the 'daily chart' snapshot.
+    k=50 (round 4): at k=10 the two pinned days' charts were DISJOINT at
+    every SF, so the delta join — and its driver check — was a trivial
+    0=0 for three rounds; k=50 yields a real overlap (16 rows at sf0.01,
+    2 at sf0.1) that actually exercises the self-join delta."""
     events = _t(spark, sf_dir, "events")
     daily = (
         events.filter(F.to_date("ts") == F.lit(day))
@@ -153,7 +157,7 @@ def _daily_user_rank(spark, sf_dir, day: str) -> DataFrame:
         daily.withColumn("g", F.lit(1)),
         ["g"],
         [F.col("spend").desc(), F.col("user_id")],
-        10,
+        k,
     ).drop("g", "spend")
 
 
@@ -168,12 +172,19 @@ def q_rank_delta_two_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The date filter runs over a PROJECTED day column, not directly on the
+#: parquet scan: DuckDB v1.0's pushdown of `CAST(ts AS DATE) IN (DATE
+#: ...)` into a TIMESTAMP parquet column silently matches nothing (a
+#: plain equality pushes down fine — found round 4; the projection
+#: barrier sidesteps the quirk and matches Spark's semantics).
 ORACLE_RANK_DELTA = f"""
-WITH daily AS (
-  SELECT CAST(ts AS DATE) AS day, user_id,
+WITH ds AS (
+  SELECT CAST(ts AS DATE) AS day, user_id, value FROM events
+), daily AS (
+  SELECT day, user_id,
          SUM(CAST(value AS DECIMAL(18,6))) AS spend
-  FROM events
-  WHERE CAST(ts AS DATE) IN (DATE '{_D1}', DATE '{_D2}')
+  FROM ds
+  WHERE day IN (DATE '{_D1}', DATE '{_D2}')
   GROUP BY 1, 2
 ), ranked AS (
   SELECT day, user_id,
@@ -185,7 +196,7 @@ SELECT t1.user_id,
        t2.rnk - t1.rnk AS delta
 FROM ranked t1 JOIN ranked t2 ON t1.user_id = t2.user_id
 WHERE t1.day = DATE '{_D1}' AND t2.day = DATE '{_D2}'
-  AND t1.rnk <= 10 AND t2.rnk <= 10
+  AND t1.rnk <= 50 AND t2.rnk <= 50
 """
 
 
@@ -261,16 +272,27 @@ FROM orders LEFT JOIN customer ON o_custkey = c_custkey
 # J4/J7/F6: anti-join (ON CONFLICT dedup / NOT EXISTS GC)
 # --------------------------------------------------------------------------
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with NO urgent order. Round 4: the build side is
+    filtered (o_orderpriority) because the unfiltered form — customers
+    with no orders at all — is EMPTY at every SF of this generator, so
+    three rounds of driver checks were hash-matching 0=0; the filtered
+    form returns 203 rows at sf0.01 and exercises the anti-join for
+    real. Same plan shape: left_anti with a filtered right side."""
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
     return customer.join(
-        orders.select("o_custkey"), customer.c_custkey == F.col("o_custkey"), "left_anti"
+        urgent, customer.c_custkey == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name")
 
 
 ORACLE_ANTI_JOIN = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
 """
 
 
@@ -370,16 +392,23 @@ WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 7 DAY
 # T2/T3: orphan GC via anti-join
 # --------------------------------------------------------------------------
 def q_orphan_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts never ordered at bulk quantity (≥45) — the T2/T3 GC shape
+    (anti-join sweep of a dimension against fact references). Round 4:
+    filtered like `anti_join` above — every part has SOME lineitem in
+    this generator, so the unfiltered sweep was a trivial 0=0 for three
+    rounds; the bulk-quantity form returns 53 rows at sf0.01."""
     part = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
+    bulk = li.filter(F.col("l_quantity") >= 45).select("l_partkey")
     return part.join(
-        li.select("l_partkey"), part.p_partkey == F.col("l_partkey"), "left_anti"
+        bulk, part.p_partkey == F.col("l_partkey"), "left_anti"
     ).select("p_partkey", "p_name")
 
 
 ORACLE_ORPHAN_GC = """
 SELECT p_partkey, p_name FROM part
-WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey AND l_quantity >= 45)
 """
 
 
@@ -1722,21 +1751,26 @@ SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
 # Regex extraction (P1's regexp_extract_all generalized to a corpus op)
 # --------------------------------------------------------------------------
 def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All capitalized tokens per document with their match position —
+    """All s-initial tokens per document with their match position —
     regexp_extract_all + posexplode (the P1 meta-tag pattern as a
-    distributed corpus operator)."""
+    distributed corpus operator). The pattern targets tokens the
+    synthetic corpus actually contains (round 4: the previous
+    capitalized-word pattern matched NOTHING in the all-lowercase
+    testdata, making the oracle check a trivial 0=0)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.posexplode(
-            F.regexp_extract_all("text", F.lit(r"\b([A-Z][a-z]+)\b"), F.lit(1))
+            F.regexp_extract_all(
+                "text", F.lit(r"\b(s[a-z]+)\b"), F.lit(1)
+            )
         ).alias("pos", "token"),
     )
 
 
 ORACLE_REGEX_EXTRACT = r"""
 WITH m AS (
-  SELECT doc_id, regexp_extract_all(text, '\b([A-Z][a-z]+)\b', 1) AS toks
+  SELECT doc_id, regexp_extract_all(text, '\b(s[a-z]+)\b', 1) AS toks
   FROM documents
 )
 SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS token
