@@ -953,6 +953,71 @@ FROM rk WHERE rk <= 3
 """
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 sparse retrieval: top-10 documents for a 4-term query
+    (k1=1.2, b=0.75), per-term partial scores pivoted and added in fixed
+    term order so the float sum is engine-portable; rounded before
+    ranking, ties on doc_id."""
+    from daily_top_songs_etl_spark.extensions.text import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        ["spark", "vector", "join", "stream"],
+        k=10,
+    )
+
+
+ORACLE_BM25_TOPK = r"""
+WITH tok AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(lower(text)), '\s+')) AS dl,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+  FROM tok
+  WHERE term IN ('join', 'spark', 'stream', 'vector')
+  GROUP BY 1, 2
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+              AS BIGINT) AS sum_dl
+  FROM documents
+), scored AS (
+  SELECT doc_id, term,
+         ln(CAST(1.0 AS DOUBLE)
+            + (CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         * (tf * CAST(2.2 AS DOUBLE))
+         / (tf + CAST(1.2 AS DOUBLE)
+                 * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                    + CAST(0.75 AS DOUBLE) * dl
+                      / (CAST(sum_dl AS DOUBLE) / n_docs))) AS s
+  FROM tf JOIN df USING (term) CROSS JOIN stats
+), piv AS (
+  SELECT doc_id,
+         coalesce(max(CASE WHEN term = 'join' THEN s END),
+                  CAST(0.0 AS DOUBLE)) AS s0,
+         coalesce(max(CASE WHEN term = 'spark' THEN s END),
+                  CAST(0.0 AS DOUBLE)) AS s1,
+         coalesce(max(CASE WHEN term = 'stream' THEN s END),
+                  CAST(0.0 AS DOUBLE)) AS s2,
+         coalesce(max(CASE WHEN term = 'vector' THEN s END),
+                  CAST(0.0 AS DOUBLE)) AS s3,
+         CAST(count(*) AS BIGINT) AS n_terms_matched
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, n_terms_matched,
+       round(s0 + s1 + s2 + s3, 6) AS score,
+       CAST(row_number() OVER (ORDER BY round(s0 + s1 + s2 + s3, 6) DESC,
+                               doc_id) AS INTEGER) AS rank
+FROM piv
+QUALIFY rank <= 10
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daily_top_songs_etl_spark.extensions.dedup import simhash
 
@@ -3391,11 +3456,15 @@ def _ann_cent_lists_ctes() -> str:
 )"""
 
 
-def _pq_train_ctes(m: int = 4, k: int = 8, iters: int = 2) -> str:
+def _pq_train_ctes(
+    m: int = 4, k: int = 8, iters: int = 2, with_prefix: bool = True
+) -> str:
     """pq_train mirrored: per subspace j, slice ``qv`` and run the
     unrolled kmeans rounds with suffix ``_s{j}`` — yielding codebooks
-    ``c{iters}_s{j}`` (cluster = code, cv = quantized codeword)."""
-    parts = [_Q_QUANT_CTE]
+    ``c{iters}_s{j}`` (cluster = code, cv = quantized codeword).
+    ``with_prefix=False`` omits the leading ``q`` CTE for composition
+    into a statement that already defines it (the IVF-PQ oracle)."""
+    parts = [_Q_QUANT_CTE] if with_prefix else []
     for j in range(m):
         parts.append(f"""
 , q_s{j} AS MATERIALIZED (
@@ -3651,6 +3720,170 @@ FROM c2_s{j} c LEFT JOIN sizes_s{j} s USING (cluster)"""
 #: The split encode path must reproduce the combined train+encode result
 #: bit-for-bit — same oracle as `pq_codes`.
 ORACLE_PQ_ENCODE_APPLY = ORACLE_PQ_CODES
+
+
+#: Session-scoped IVF-PQ index cache keyed by sf_dir (same lifecycle as
+#: _ANN_INDEXES / _PQ_INDEXES): `ivfpq_index_build` pays the honest
+#: coarse + subspace training and list write, `ivfpq_query` reads the
+#: stored artifacts only.
+_IVFPQ_INDEXES: dict[str, object] = {}
+
+
+def _ivfpq_built_catalog(spark: SparkSession, sf_dir: str):
+    import atexit
+    import shutil
+    import tempfile
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.ann_index import (
+        build_ivfpq_index,
+    )
+
+    if sf_dir not in _IVFPQ_INDEXES:
+        ipq_dir = tempfile.mkdtemp(prefix="spark_graft_ivfpq_")
+        atexit.register(shutil.rmtree, ipq_dir, ignore_errors=True)
+        cat = Catalog(spark, ipq_dir)
+        build_ivfpq_index(
+            cat,
+            "ipq",
+            _t(spark, sf_dir, "embeddings"),
+            n_centroids=8,
+            iters=2,
+            m=4,
+            k_codes=8,
+        )
+        _IVFPQ_INDEXES[sf_dir] = cat
+    return _IVFPQ_INDEXES[sf_dir]
+
+
+def q_ivfpq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ index BUILD: train the coarse quantizer (kmeans k=8) AND
+    the m=4 subspace PQ codebooks (k=8 each, 2 Lloyd iterations
+    throughout), then persist centroids + codebook + PQ-CODED inverted
+    lists (cluster + 4 codes per vector — bytes, not floats) partitioned
+    by cluster. Returns the STORED lists table itself, hash-verified
+    against the composed kmeans-unroll ⊕ per-subspace-unroll oracle, so
+    the driver checks the persisted artifact. Mirrors the memory layout
+    of FAISS's IVFPQ with by_residual=False (public method, Jégou et
+    al. 2011); `ivfpq_query` carries the steady-state number."""
+    _IVFPQ_INDEXES.pop(sf_dir, None)  # time an honest rebuild
+    cat = _ivfpq_built_catalog(spark, sf_dir)
+    return cat.read("ipq__pqlists").select(
+        "vec_id", "cluster", "code_0", "code_1", "code_2", "code_3"
+    )
+
+
+def q_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ QUERY (steady state): per query, probe the 2 nearest of 8
+    inverted lists (broadcast centroid table → static partition-pruned
+    scan of the stored code lists) and rank candidates by asymmetric
+    distance — a per-query broadcast LUT against the stored codebook,
+    m integer lookup-adds per candidate. Composes BOTH prunings the
+    engine implements separately (`ann_index_query`'s probe pruning,
+    `pq_topk_adc`'s code-domain distance): the scan touches ~n_probe/
+    n_lists of the index and each row is 4 code bytes. Exact integer
+    math; hash-verified end-to-end via the composed unroll oracle."""
+    from daily_top_songs_etl_spark.extensions.ann_index import (
+        query_ivfpq_index,
+    )
+
+    cat = _ivfpq_built_catalog(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    return query_ivfpq_index(
+        cat, "ipq", emb.filter(F.col("vec_id") < 8), k=5, n_probe=2, m=4
+    )
+
+
+def _ivfpq_common_ctes() -> str:
+    """Shared IVF-PQ oracle prefix: quantized corpus ``q`` → coarse
+    kmeans unroll (c0..c2) → centroid/inverted-list CTEs (cent, lists)
+    → per-subspace PQ trainings (c2_s{j}) → per-vector codes
+    (enc_s{j}). Every piece is an already-hash-verified building block
+    (kmeans, ann_index_build, pq_index_build, pq_codes oracles)."""
+    return (
+        _kmeans_cte_prefix(8, 2)
+        + _ann_cent_lists_ctes()
+        + _pq_train_ctes(with_prefix=False)
+        + _pq_encode_ctes()
+    )
+
+
+ORACLE_IVFPQ_INDEX_BUILD = (
+    _ivfpq_common_ctes()
+    + """
+SELECT l.vec_id, l.cluster,
+       e0.code AS code_0, e1.code AS code_1,
+       e2.code AS code_2, e3.code AS code_3
+FROM lists l
+JOIN enc_s0 e0 USING (vec_id)
+JOIN enc_s1 e1 USING (vec_id)
+JOIN enc_s2 e2 USING (vec_id)
+JOIN enc_s3 e3 USING (vec_id)
+"""
+)
+
+ORACLE_IVFPQ_QUERY = (
+    _ivfpq_common_ctes()
+    + """
+, qq AS (
+  SELECT vec_id AS query_id, qv,
+         sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nq
+  FROM q WHERE vec_id < 8
+), probes AS (
+  SELECT query_id, cent_id AS cluster FROM (
+    SELECT qq.query_id, c.cent_id,
+           row_number() OVER (PARTITION BY qq.query_id ORDER BY
+             round(CAST(list_sum(list_transform(list_zip(qq.qv, c.cv),
+                        s -> s[1] * s[2])) AS DOUBLE) / (qq.nq * c.cn), 6)
+               DESC, c.cent_id) AS rn
+    FROM qq CROSS JOIN cent c
+  ) WHERE rn <= 2
+), pmelt AS (
+  SELECT l.vec_id AS neighbor_id, l.cluster, m.subspace, m.code
+  FROM lists l JOIN (
+    SELECT vec_id, 0 AS subspace, code FROM enc_s0
+    UNION ALL SELECT vec_id, 1 AS subspace, code FROM enc_s1
+    UNION ALL SELECT vec_id, 2 AS subspace, code FROM enc_s2
+    UNION ALL SELECT vec_id, 3 AS subspace, code FROM enc_s3
+  ) m USING (vec_id)
+), lut AS (
+  SELECT qs.vec_id AS query_id, 0 AS subspace, c.cluster AS code,
+         CAST(list_sum(list_transform(generate_series(1, len(qs.qv)),
+              i -> (qs.qv[i] - c.cv[i]) * (qs.qv[i] - c.cv[i]))) AS BIGINT)
+             AS d_part
+  FROM q_s0 qs CROSS JOIN c2_s0 c WHERE qs.vec_id < 8
+  UNION ALL
+  SELECT qs.vec_id, 1, c.cluster,
+         CAST(list_sum(list_transform(generate_series(1, len(qs.qv)),
+              i -> (qs.qv[i] - c.cv[i]) * (qs.qv[i] - c.cv[i]))) AS BIGINT)
+  FROM q_s1 qs CROSS JOIN c2_s1 c WHERE qs.vec_id < 8
+  UNION ALL
+  SELECT qs.vec_id, 2, c.cluster,
+         CAST(list_sum(list_transform(generate_series(1, len(qs.qv)),
+              i -> (qs.qv[i] - c.cv[i]) * (qs.qv[i] - c.cv[i]))) AS BIGINT)
+  FROM q_s2 qs CROSS JOIN c2_s2 c WHERE qs.vec_id < 8
+  UNION ALL
+  SELECT qs.vec_id, 3, c.cluster,
+         CAST(list_sum(list_transform(generate_series(1, len(qs.qv)),
+              i -> (qs.qv[i] - c.cv[i]) * (qs.qv[i] - c.cv[i]))) AS BIGINT)
+  FROM q_s3 qs CROSS JOIN c2_s3 c WHERE qs.vec_id < 8
+), adc AS (
+  SELECT p.query_id, ml.neighbor_id,
+         CAST(sum(l.d_part) AS BIGINT) AS adc_dist
+  FROM pmelt ml
+  JOIN probes p ON ml.cluster = p.cluster AND ml.neighbor_id <> p.query_id
+  JOIN lut l ON l.query_id = p.query_id AND l.subspace = ml.subspace
+            AND l.code = ml.code
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist ASC, neighbor_id ASC)
+            AS INTEGER) AS rank
+FROM adc
+QUALIFY rank <= 5
+"""
+)
 
 
 # --------------------------------------------------------------------------
@@ -6366,6 +6599,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_compress_ratio": q_text_compress_ratio,
     "observed_write": q_observed_write,
     "text_normalize": q_text_normalize,
+    "bm25_topk": q_bm25_topk,
+    "ivfpq_index_build": q_ivfpq_index_build,
+    "ivfpq_query": q_ivfpq_query,
     # --- registry tail: queries whose internal kernels produce complex
     # (array/struct) types. Registry outputs are flattened to scalars,
     # but non-window complex-kernel entries sit LAST so a canonicalizer
@@ -6400,6 +6636,9 @@ _ORACLES: dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_spans": ORACLE_DEDUP_SPANS,
     "tfidf_topk": ORACLE_TFIDF_TOPK,
+    "bm25_topk": ORACLE_BM25_TOPK,
+    "ivfpq_index_build": ORACLE_IVFPQ_INDEX_BUILD,
+    "ivfpq_query": ORACLE_IVFPQ_QUERY,
     "dedup_minhash_pairs": ORACLE_DEDUP_MINHASH,
     "dedup_minhash_estimate": ORACLE_DEDUP_MINHASH_EST,
     "dedup_index_build": ORACLE_DEDUP_INDEX_BUILD,

@@ -33,6 +33,28 @@ def _centroid_rel(centroids: DataFrame) -> DataFrame:
     ).withColumn("cn", _norm(F.col("cv")))
 
 
+def _assign_clusters(base: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid (cosine) assignment of quantized vectors ``base``
+    (vec_id, v, nv) against the broadcast centroid relation ``cent`` —
+    ties break on the lower centroid id. One broadcast nested-loop over
+    k centroids per vector; no corpus shuffle."""
+    cos_c = F.round(
+        _dot(F.col("v"), F.col("cv")).cast("double")
+        / (F.col("nv") * F.col("cn")),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__cos").desc(), F.col("cent_id")
+    )
+    return (
+        base.crossJoin(F.broadcast(cent))
+        .withColumn("__cos", cos_c)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cluster"), "v", "nv")
+    )
+
+
 def build_ann_index(
     catalog: Catalog,
     name: str,
@@ -56,21 +78,7 @@ def build_ann_index(
         F.col("qvec").alias("v"),
         _norm(F.col("qvec")).alias("nv"),
     )
-    cos_c = F.round(
-        _dot(F.col("v"), F.col("cv")).cast("double")
-        / (F.col("nv") * F.col("cn")),
-        6,
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("__cos").desc(), F.col("cent_id")
-    )
-    lists = (
-        base.crossJoin(F.broadcast(cent))
-        .withColumn("__cos", cos_c)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cluster"), "v", "nv")
-    )
+    lists = _assign_clusters(base, cent)
     # The inverted lists are PARTITIONED by cluster, so a probe is a
     # partition-pruned read of ~n_probe/n_centroids of the index — the
     # on-disk analogue of an IVF posting list (query_ann_index collects
@@ -137,4 +145,141 @@ def query_ann_index(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def build_ivfpq_index(
+    catalog: Catalog,
+    name: str,
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    m: int = 4,
+    k_codes: int = 8,
+    id_col: str = "vec_id",
+) -> None:
+    """Build the combined IVF-PQ index (Jégou et al. 2011's IVFADC
+    layout, encoding raw vectors rather than residuals — the
+    ``by_residual=False`` variant): a coarse k-means quantizer routes
+    each vector to an inverted list, and the list entry stores only the
+    vector's ``m`` PQ codes — a few bytes per vector instead of the full
+    D floats the plain ANN index keeps. This is the memory shape that
+    makes billion-vector search feasible: at 100 TB of embeddings the
+    flat inverted lists are themselves ~corpus-sized, while PQ-coded
+    lists shrink ~64× (64-dim float → 4 codes).
+
+    Persists three versioned catalog tables: ``{name}__centroids``
+    (coarse quantizer, tiny), ``{name}__codebook`` (m·k codewords,
+    tiny), and ``{name}__pqlists`` (one row per vector: cluster +
+    codes) partitioned by ``cluster`` so a probe is a partition-pruned
+    scan. Rebuilds write new snapshot versions; queries racing a
+    rebuild read a consistent older index.
+
+    Scale shape: two independent trainings (coarse kmeans + m subspace
+    kmeans — all broadcast-centroid Lloyd loops), then ONE corpus pass
+    joining the cosine cluster assignment with the PQ encode (both are
+    broadcast joins + a hash aggregate keyed on vec_id)."""
+    from .pq import pq_encode, pq_train
+
+    centroids = kmeans_fit(
+        embeddings, k=n_centroids, iters=iters, id_col=id_col
+    )
+    catalog.write(
+        centroids.select("cluster", "centroid", "n_vectors"),
+        f"{name}__centroids",
+    )
+    codebook = pq_train(
+        embeddings, m=m, k=k_codes, iters=iters, id_col=id_col
+    )
+    catalog.write(codebook, f"{name}__codebook")
+    cent = _centroid_rel(catalog.read(f"{name}__centroids"))
+    base = quantize_embeddings(embeddings).select(
+        F.col(id_col).alias("vec_id"),
+        F.col("qvec").alias("v"),
+        _norm(F.col("qvec")).alias("nv"),
+    )
+    assigned = _assign_clusters(base, cent).select("vec_id", "cluster")
+    codes = pq_encode(
+        embeddings, catalog.read(f"{name}__codebook"), m=m, id_col=id_col
+    ).withColumnRenamed(id_col, "vec_id")
+    lists = assigned.join(codes, "vec_id").select(
+        "vec_id", "cluster", *[f"code_{j}" for j in range(m)]
+    )
+    catalog.write(lists, f"{name}__pqlists", partition_by=["cluster"])
+
+
+def query_ivfpq_index(
+    catalog: Catalog,
+    name: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    m: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ query: probe the ``n_probe`` nearest inverted lists per
+    query (broadcast centroid table + static partition pruning, exactly
+    like :func:`query_ann_index`), then rank candidates by ASYMMETRIC
+    distance — each query precomputes a tiny per-subspace lookup table
+    against the stored codebook, and every candidate costs m integer
+    lookup-adds instead of a D-dim dot product. Two pruning layers
+    compose: the scan touches ~n_probe/n_centroids of the index AND
+    each touched row is a few code bytes, not a vector.
+
+    Returns (query_id, neighbor_id, adc_dist, rank) with ascending
+    quantized-L2 ADC distance, ties on neighbor id; exact integer math
+    end-to-end so the result is engine-portable."""
+    from .pq import adc_lut
+
+    cent = _centroid_rel(catalog.read(f"{name}__centroids"))
+    pqlists = catalog.read(f"{name}__pqlists")
+    codebook = catalog.read(f"{name}__codebook")
+    q = quantize_embeddings(queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("q"),
+        _norm(F.col("qvec")).alias("nq"),
+    )
+    cos_c = F.round(
+        _dot(F.col("q"), F.col("cv")).cast("double")
+        / (F.col("nq") * F.col("cn")),
+        6,
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("cent_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("__cos", cos_c)
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", F.col("cent_id").alias("cluster"))
+    ).localCheckpoint(eager=False)
+    # Static partition pruning (same pattern as query_ann_index): the
+    # ≤ |Q|·n_probe probed clusters become a PartitionFilters IN-list on
+    # the pqlists scan — the on-disk analogue of reading posting lists.
+    probe_clusters = [
+        r.cluster for r in probes.select("cluster").distinct().collect()
+    ]
+    lut = adc_lut(queries, codebook, m=m, id_col=id_col)
+    melted = pqlists.filter(F.col("cluster").isin(probe_clusters)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cluster",
+        F.posexplode(
+            F.array(*[F.col(f"code_{j}") for j in range(m)])
+        ).alias("subspace", "code"),
+    )
+    scored = (
+        melted.join(F.broadcast(probes), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d_part").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
     )

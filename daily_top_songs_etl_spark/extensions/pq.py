@@ -162,6 +162,54 @@ def encode_with_pq_index(
     return pq_encode(embeddings, cb, m=m, id_col=id_col, col=col)
 
 
+def adc_lut(
+    queries: DataFrame,
+    codebook: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Per-query ADC lookup table: the quantized distance from each query
+    subvector to every codeword — |Q|·m·k tiny rows, meant to be
+    broadcast. The corpus side then pays m integer lookup-adds per
+    (query, vector) instead of a D-dim multiply-accumulate. Shared by
+    :func:`pq_topk` (flat ADC) and
+    :func:`ann_index.query_ivfpq_index` (IVF-pruned ADC)."""
+    d = _dim(queries, col)
+    sub = d // m
+    qsubs = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.posexplode(
+            F.array(*[F.slice(col, j * sub + 1, sub) for j in range(m)])
+        ).alias("subspace", "svec_f"),
+    ).select(
+        query_id_col,
+        "subspace",
+        F.transform(
+            "svec_f",
+            lambda x: F.round(x.cast("double") * QUANT_SCALE, 0).cast("bigint"),
+        ).alias("svec"),
+    )
+    cb = codebook.select(
+        "subspace",
+        "code",
+        F.transform(
+            "centroid", lambda x: F.round(x * QUANT_SCALE, 0).cast("bigint")
+        ).alias("cvec"),
+    )
+    return qsubs.join(F.broadcast(cb), "subspace").select(
+        query_id_col,
+        "subspace",
+        "code",
+        F.aggregate(
+            F.zip_with("svec", "cvec", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("d_part"),
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -186,8 +234,6 @@ def pq_topk(
     """
     from pyspark.sql import Window
 
-    d = _dim(embeddings, col)
-    sub = d // m
     codes = pq_encode(embeddings, codebook, m=m, id_col=id_col, col=col)
     melted = codes.select(
         F.col(id_col).alias("neighbor_id"),
@@ -195,38 +241,9 @@ def pq_topk(
             F.array(*[F.col(f"code_{j}") for j in range(m)])
         ).alias("subspace", "code"),
     )
-    qsubs = queries.select(
-        F.col(id_col).alias(query_id_col),
-        F.posexplode(
-            F.array(*[F.slice(col, j * sub + 1, sub) for j in range(m)])
-        ).alias("subspace", "svec_f"),
-    ).select(
-        query_id_col,
-        "subspace",
-        F.transform(
-            "svec_f",
-            lambda x: F.round(x.cast("double") * QUANT_SCALE, 0).cast("bigint"),
-        ).alias("svec"),
-    )
-    cb = codebook.select(
-        "subspace",
-        "code",
-        F.transform(
-            "centroid", lambda x: F.round(x * QUANT_SCALE, 0).cast("bigint")
-        ).alias("cvec"),
-    )
-    lut = (
-        qsubs.join(F.broadcast(cb), "subspace")
-        .select(
-            query_id_col,
-            "subspace",
-            "code",
-            F.aggregate(
-                F.zip_with("svec", "cvec", lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("bigint"),
-                lambda a, x: a + x,
-            ).alias("d_part"),
-        )
+    lut = adc_lut(
+        queries, codebook, m=m, id_col=id_col, col=col,
+        query_id_col=query_id_col,
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()

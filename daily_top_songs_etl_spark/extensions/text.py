@@ -861,3 +861,96 @@ def dedup_segments_apply(
             ).alias("clean_prefix"),
         )
     )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 document retrieval (Robertson–Spärck Jones, the Okapi
+    weighting): score every document against a fixed bag of query terms
+    and keep the top-k — the classic sparse-retrieval pass a training
+    pipeline runs for decontamination lookups, near-query mining, and
+    seed-set expansion before any dense ANN stage.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with the guarded idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Engine-portable determinism: the per-term partial scores are pivoted
+    into ONE row per document and added in a FIXED term order (float
+    addition is not associative — a SUM() over an unordered group could
+    differ in the last bit between engines); avgdl is derived from an
+    exact integer token-count sum; the final score is rounded to 6
+    places BEFORE ranking, ties on doc_id.
+
+    Scale shape: the term filter is a tiny IN-list applied right at the
+    tokenized scan, so the (doc, term) aggregate carries only query-term
+    hits (≤ |terms| rows per doc) — never the full vocabulary; df
+    re-aggregates that relation; N/avgdl ride a one-row broadcast. Top-k
+    is a WindowGroupLimit, not a global sort.
+    """
+    from .fanout import fan_out_small_scan
+
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    t = tokens()
+    tok = fan_out_small_scan(documents).select(
+        "doc_id",
+        F.size(t).alias("dl"),
+        F.explode(t).alias("term"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = documents.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens())).alias("sum_dl"),
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl)
+    )
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("s", idf * tfn)
+    )
+    per_term = [
+        F.coalesce(
+            F.max(F.when(F.col("term") == t_, F.col("s"))), F.lit(0.0)
+        ).alias(f"_s_{i}")
+        for i, t_ in enumerate(terms)
+    ]
+    agg = scored.groupBy("doc_id").agg(
+        *per_term, F.count(F.lit(1)).alias("n_terms_matched")
+    )
+    total = F.col("_s_0")
+    for i in range(1, len(terms)):
+        total = total + F.col(f"_s_{i}")
+    # Global top-k via orderBy().limit() — compiles to
+    # TakeOrderedAndProject (each partition keeps k rows, no full sort);
+    # the unpartitioned rank window then runs over ≤ k rows, never the
+    # corpus.
+    top = (
+        agg.withColumn("score", F.round(total, 6))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "n_terms_matched", "score", "rank"
+    )

@@ -1661,3 +1661,137 @@ def test_compact_dedup_index_preserves_results_and_meta(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters: [bucket_mod" in plan
+
+
+def test_ivfpq_index_build_query(spark, embeddings, tmp_path):
+    """IVF-PQ lifecycle: codes-only inverted lists, deterministic
+    re-query, snapshot versioning, partition-pruned probes, and recall
+    above the ADC floor."""
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.ann_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from daily_top_songs_etl_spark.extensions.similarity import brute_force_topk
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    build_ivfpq_index(
+        cat, "v", embeddings, n_centroids=8, iters=2, m=4, k_codes=8
+    )
+    for t in ("v__centroids", "v__codebook", "v__pqlists"):
+        assert cat.exists(t)
+    lists = cat.read("v__pqlists")
+    # every corpus vector has exactly one list entry, stored as CODES
+    # (4 small ints), not float components
+    assert lists.count() == embeddings.count()
+    assert set(lists.columns) == {
+        "vec_id", "cluster", "code_0", "code_1", "code_2", "code_3"
+    }
+
+    queries = embeddings.filter(F.col("vec_id") < 8)
+    got = query_ivfpq_index(cat, "v", queries, k=5, n_probe=2)
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert len(by_q) == 8 and all(len(v) == 5 for v in by_q.values())
+    assert all(r.neighbor_id != r.query_id for r in rows)
+
+    # recall vs exact cosine: coarse pruning + code quantization both
+    # lose a little; the floor is below the plain ANN index's 0.3
+    exact = brute_force_topk(embeddings, queries, k=5)
+    g = {(r.query_id, r.neighbor_id) for r in rows}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    recall = len(g & e) / len(e)
+    assert recall >= 0.2, f"IVF-PQ recall {recall:.2f}"
+
+    # deterministic off the stored index
+    again = {
+        (r.query_id, r.neighbor_id)
+        for r in query_ivfpq_index(cat, "v", queries, k=5, n_probe=2).collect()
+    }
+    assert again == g
+
+    # rebuild bumps the snapshot version of every index table
+    v1 = cat.current_version("v__pqlists")
+    build_ivfpq_index(
+        cat, "v", embeddings, n_centroids=8, iters=2, m=4, k_codes=8
+    )
+    assert cat.current_version("v__pqlists") == v1 + 1
+
+    # single-query probe reads exactly n_probe list partitions
+    import re
+
+    one = embeddings.filter(F.col("vec_id") == 0)
+    plan = (
+        query_ivfpq_index(cat, "v", one, k=5, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    m = re.search(r"PartitionFilters: \[cluster#\d+ IN \(([^)]*)\)", plan)
+    assert m, plan[:2000]
+    assert len(m.group(1).split(",")) == 2
+
+
+def test_bm25_topk_matches_hand_computation(spark):
+    """BM25 on a 3-doc corpus against scores computed longhand in
+    Python — pins the idf guard, the length normalization, and the
+    fixed-order sum."""
+    import math
+
+    from daily_top_songs_etl_spark.extensions.text import bm25_topk
+
+    docs = [
+        (0, "spark join spark spark table"),
+        (1, "join stream join filter scan scan scan scan"),
+        (2, "table scan filter"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    terms = ["spark", "join"]
+    out = {
+        r.doc_id: r
+        for r in bm25_topk(df, terms, k=3, k1=1.2, b=0.75).collect()
+    }
+
+    n, avgdl = 3, (5 + 8 + 3) / 3.0
+    tfs = {0: {"spark": 3, "join": 1}, 1: {"join": 2}}
+    dls = {0: 5, 1: 8, 2: 3}
+    dfs = {"spark": 1, "join": 2}
+
+    def score(doc):
+        s = 0.0
+        for t in sorted(terms):
+            tf = tfs.get(doc, {}).get(t, 0)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            s += idf * (tf * 2.2) / (
+                tf + 1.2 * (1.0 - 0.75 + 0.75 * dls[doc] / avgdl)
+            )
+        return round(s, 6)
+
+    assert set(out) == {0, 1}  # doc 2 matches no query term
+    for doc in (0, 1):
+        assert abs(out[doc].score - score(doc)) < 1e-9, (doc, out[doc])
+    assert out[0].n_terms_matched == 2 and out[1].n_terms_matched == 1
+    # doc 0 outscores doc 1 (higher-idf term, 3 occurrences, shorter doc)
+    assert out[0].rank == 1 and out[1].rank == 2
+
+
+def test_bm25_topk_rank_contract(spark, documents):
+    """On the corpus table: exactly k rows, ranks 1..k, scores
+    non-increasing, deterministic across runs."""
+    from daily_top_songs_etl_spark.extensions.text import bm25_topk
+
+    out = bm25_topk(
+        documents, ["spark", "vector", "join", "stream"], k=10
+    ).collect()
+    assert [r.rank for r in out] == list(range(1, 11))
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(1 <= r.n_terms_matched <= 4 for r in out)
+    again = bm25_topk(
+        documents, ["spark", "vector", "join", "stream"], k=10
+    ).collect()
+    assert [(r.doc_id, r.score) for r in again] == [
+        (r.doc_id, r.score) for r in out
+    ]
