@@ -3822,6 +3822,62 @@ JOIN enc_s3 e3 USING (vec_id)
 """
 )
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-analysis centrality: damped PageRank (3 iterations, top-100)
+    over the symmetrized part↔supplier co-occurrence graph from
+    lineitem — the web-graph quality-prior computation of a crawl
+    pipeline, in exact scaled-integer math (rank div outdeg
+    contributions, damping via integer div) so every engine, partition
+    layout, and aggregation order produces bit-identical ranks."""
+    from daily_top_songs_etl_spark.extensions.graph import (
+        bipartite_edges,
+        pagerank,
+    )
+
+    edges = bipartite_edges(
+        _t(spark, sf_dir, "lineitem"), "l_partkey", "l_suppkey"
+    )
+    return pagerank(edges, iters=3, k=100)
+
+
+def _pagerank_round(prev: str, this: str) -> str:
+    return f"""
+, {this} AS MATERIALIZED (
+  SELECT node, CAST(150000 + (85 * s) // 100 AS BIGINT) AS rank FROM (
+    SELECT e.dst AS node, sum(r.rank // o.outdeg) AS s
+    FROM edges e JOIN outdeg o USING (src) JOIN {prev} r ON e.src = r.node
+    GROUP BY 1
+  )
+)"""
+
+
+ORACLE_PAGERANK = (
+    """
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT 'p:' || CAST(l_partkey AS VARCHAR) AS src,
+                  's:' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM lineitem
+), edges AS MATERIALIZED (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs
+), outdeg AS MATERIALIZED (
+  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1
+), r0 AS (
+  SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM outdeg
+)"""
+    + _pagerank_round("r0", "r1")
+    + _pagerank_round("r1", "r2")
+    + _pagerank_round("r2", "r3")
+    + """
+SELECT node, rank AS rank_scaled,
+       CAST(row_number() OVER (ORDER BY rank DESC, node) AS INTEGER) AS rk
+FROM r3
+QUALIFY rk <= 100
+"""
+)
+
+
 ORACLE_IVFPQ_QUERY = (
     _ivfpq_common_ctes()
     + """
@@ -4070,22 +4126,31 @@ GROUP BY 1
 # TPC-H Q11 shape: HAVING against a global scalar subquery
 # --------------------------------------------------------------------------
 def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parts whose revenue exceeds 0.06% of total revenue (TPC-H Q11's
-    HAVING > scalar-subquery shape). The global total is a 1-row
-    aggregate broadcast into the filter; the threshold compare is kept
-    EXACT by cross-multiplying decimals (v*10000 > 6*total) instead of
-    multiplying the total by a double fraction. One shuffle for the
-    per-part agg; the scalar side reuses the same aggregate via a
-    broadcast nested-loop join of a single row."""
+    """Parts whose revenue exceeds 1.2× the MEAN part revenue (TPC-H
+    Q11's HAVING > scalar-subquery shape). Q11's spec scales its
+    fraction by 1/SF because a fixed fraction of total empties as the
+    part count grows — the round-4 vacuity audit caught exactly that
+    (the old fixed 0.06% threshold matched rows at sf0.01 but NOTHING
+    at sf0.1); a mean-relative threshold is scale-invariant. The global
+    (total, count) is a 1-row aggregate broadcast into the filter; the
+    compare is EXACT integer math — revenue converted to BIGINT cents,
+    cross-multiplied (10·n·v_cents > 12·t_cents) instead of multiplying
+    by a double fraction. One shuffle for the per-part agg; the scalar
+    side reuses the same aggregate via a broadcast nested-loop join of
+    a single row."""
     li = _t(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
     )
     per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("v"))
-    total = per_part.agg(F.sum("v").alias("t"))
+    total = per_part.agg(
+        (F.sum("v") * 100).cast("bigint").alias("t_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    v_cents = (F.col("v") * 100).cast("bigint")
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("v") * 10000 > F.col("t") * 6)
+        .filter(v_cents * 10 * F.col("n_parts") > F.col("t_cents") * 12)
         .select("l_partkey", F.col("v").cast("double").alias("part_value"))
     )
 
@@ -4096,10 +4161,14 @@ WITH pv AS (
          SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
              (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS v
   FROM lineitem GROUP BY 1
-), tot AS (SELECT SUM(v) AS t FROM pv)
+), tot AS (
+  SELECT CAST(SUM(v) * 100 AS BIGINT) AS t_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_parts
+  FROM pv
+)
 SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
 FROM pv, tot
-WHERE v * 10000 > t * 6
+WHERE CAST(v * 100 AS BIGINT) * 10 * n_parts > t_cents * 12
 """
 
 
@@ -6602,6 +6671,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "ivfpq_index_build": q_ivfpq_index_build,
     "ivfpq_query": q_ivfpq_query,
+    "pagerank": q_pagerank,
     # --- registry tail: queries whose internal kernels produce complex
     # (array/struct) types. Registry outputs are flattened to scalars,
     # but non-window complex-kernel entries sit LAST so a canonicalizer
@@ -6639,6 +6709,7 @@ _ORACLES: dict[str, str] = {
     "bm25_topk": ORACLE_BM25_TOPK,
     "ivfpq_index_build": ORACLE_IVFPQ_INDEX_BUILD,
     "ivfpq_query": ORACLE_IVFPQ_QUERY,
+    "pagerank": ORACLE_PAGERANK,
     "dedup_minhash_pairs": ORACLE_DEDUP_MINHASH,
     "dedup_minhash_estimate": ORACLE_DEDUP_MINHASH_EST,
     "dedup_index_build": ORACLE_DEDUP_INDEX_BUILD,

@@ -1795,3 +1795,76 @@ def test_bm25_topk_rank_contract(spark, documents):
     assert [(r.doc_id, r.score) for r in again] == [
         (r.doc_id, r.score) for r in out
     ]
+
+
+def test_pagerank_hand_computed(spark):
+    """Exact scaled-integer PageRank on graphs small enough to compute
+    longhand: a symmetric 2-cycle is stationary at the initial mass; a
+    star concentrates rank in the hub by the hand-derived amounts."""
+    from daily_top_songs_etl_spark.extensions.graph import pagerank
+
+    # 2-cycle: a<->b, outdeg 1 each; every iteration maps
+    # 1_000_000 -> 150_000 + (85 * 1_000_000) // 100 = 1_000_000
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], ["src", "dst"]
+    )
+    got = {r.node: r.rank_scaled for r in pagerank(cyc, iters=3).collect()}
+    assert got == {"a": 1_000_000, "b": 1_000_000}
+
+    # star: hub c <-> leaves l1..l3. After one iteration:
+    #   hub:  150_000 + (85 * (3 * 1_000_000 // 1)) // 100 = 2_700_000
+    #   leaf: 150_000 + (85 * (1_000_000 // 3)) // 100   =   433_333
+    star_pairs = [("c", f"l{i}") for i in (1, 2, 3)]
+    star = spark.createDataFrame(
+        star_pairs + [(d, s) for s, d in star_pairs], ["src", "dst"]
+    )
+    one = {r.node: r.rank_scaled for r in pagerank(star, iters=1).collect()}
+    assert one["c"] == 2_700_000
+    assert one["l1"] == one["l2"] == one["l3"] == 433_333
+    # more iterations keep the hub dominant and leaves symmetric
+    three = {r.node: r.rank_scaled for r in pagerank(star, iters=3).collect()}
+    assert three["c"] > three["l1"] and len(set(three.values())) == 2
+
+
+def test_pagerank_bipartite_contract(spark):
+    """On the lineitem part-supplier graph: top-k contract (ranks 1..k,
+    non-increasing), supplier hubs outrank part nodes (suppliers have
+    ~part_per_supplier-fold higher degree), and determinism."""
+    from daily_top_songs_etl_spark.extensions.graph import (
+        bipartite_edges,
+        pagerank,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    edges = bipartite_edges(li, "l_partkey", "l_suppkey")
+    out = pagerank(edges, iters=3, k=50).collect()
+    assert [r.rk for r in out] == list(range(1, 51))
+    ranks = [r.rank_scaled for r in out]
+    assert ranks == sorted(ranks, reverse=True)
+    # high-degree supplier nodes dominate the head of the ranking
+    assert all(r.node.startswith("s:") for r in out[:10])
+    again = pagerank(edges, iters=3, k=50).collect()
+    assert [(r.node, r.rank_scaled) for r in again] == [
+        (r.node, r.rank_scaled) for r in out
+    ]
+
+
+def test_pagerank_materialized_edges_identical(spark):
+    """materialize_edges=True (the at-scale Pregel cache-the-graph path)
+    must produce bit-identical ranks to the recompute default."""
+    from daily_top_songs_etl_spark.extensions.graph import (
+        bipartite_edges,
+        pagerank,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    edges = bipartite_edges(li, "l_partkey", "l_suppkey")
+    a = sorted(
+        (r.node, r.rank_scaled)
+        for r in pagerank(edges, iters=2).collect()
+    )
+    b = sorted(
+        (r.node, r.rank_scaled)
+        for r in pagerank(edges, iters=2, materialize_edges=True).collect()
+    )
+    assert a == b
