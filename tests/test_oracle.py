@@ -32,7 +32,11 @@ def duck():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{SF_DIR}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written table: a DIRECTORY of part files (the
+            # tools/gen_sfx.py 10x datasets) — DuckDB needs the glob.
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     return con
 
