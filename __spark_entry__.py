@@ -3295,13 +3295,17 @@ WITH q AS (
                                      ORDER BY d2, cluster) AS rn FROM d)
   WHERE rn = 1
 )
-SELECT a.cluster,
+SELECT aq.cluster,
        CAST(g.i - 1 AS INTEGER) AS pos,
-       CAST(sum(q.qv[g.i]) AS BIGINT) AS sum_q,
+       CAST(sum(aq.qv[g.i]) AS BIGINT) AS sum_q,
        CAST(count(*) AS BIGINT) AS n_vectors
-FROM a, q, LATERAL unnest(generate_series(1, len(q.qv))) AS g(i)
-WHERE a.vec_id = q.vec_id
-GROUP BY a.cluster, g.i
+-- explicit JOIN before the lateral: with the comma-join form
+-- (FROM a, q, LATERAL ... WHERE a.vec_id = q.vec_id) DuckDB fails to
+-- push the equality below the lateral and builds the |q|^2 x dims
+-- cross product — 25B rows / 80 GB of spill at the 10x scale dataset
+FROM (SELECT a.cluster, q.qv FROM a JOIN q USING (vec_id)) aq,
+     LATERAL unnest(generate_series(1, len(aq.qv))) AS g(i)
+GROUP BY aq.cluster, g.i
 """
 
 
