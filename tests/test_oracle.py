@@ -30,6 +30,11 @@ TABLES = [
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
+    # Bound DuckDB and give it a spill location OUTSIDE the repo: an
+    # uncapped run against a scaled dataset once filled the disk with an
+    # 84 GB temp file in ./.tmp before the OS killed anything.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill_tests'")
     for t in TABLES:
         p = f"{SF_DIR}/{t}.parquet"
         if os.path.isdir(p):
