@@ -56,6 +56,50 @@ def _mset(cols, rows):
     return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
 
 
+def _checksum_compare(sdf, con, oracle_sql: str, n_rows: int):
+    """Order-insensitive multiset compare WITHOUT materializing either
+    result: both engines reduce each row to a 60-bit integer (the first
+    15 hex digits of md5 over the '|'-joined, name-sorted, N-for-NULL
+    stringified columns — the same canonical form the full compare
+    uses) and sum those modulo 10^12; counts and checksum sums must
+    match. Only integral/string outputs are eligible (float/date
+    stringification differs between engines), and only below 8M rows
+    (the modular sum must stay inside BIGINT on the Spark side).
+    Returns True/False, or None if the query is not eligible."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ok_types = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType,
+    )
+    if n_rows > 8_000_000 or not all(
+        isinstance(f.dataType, ok_types) for f in sdf.schema.fields
+    ):
+        return None
+    cols = sorted(sdf.columns)
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("N")) for c in cols
+    ]
+    h = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 15), 16, 10)
+        .cast("bigint") % F.lit(1_000_000_000_000)
+    )
+    srow = sdf.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("h").alias("s")
+    ).first()
+    dparts = ", ".join(
+        f"coalesce(CAST({c} AS VARCHAR), 'N')" for c in cols
+    )
+    drow = con.execute(
+        f"SELECT CAST(count(*) AS BIGINT), "
+        f"CAST(sum(CAST(concat('0x', substring(md5(rowstr), 1, 15)) "
+        f"AS BIGINT) % 1000000000000) AS BIGINT) "
+        f"FROM (SELECT concat_ws('|', {dparts}) AS rowstr "
+        f"FROM ({oracle_sql})) _q"
+    ).fetchone()
+    return (srow["n"], srow["s"]) == (drow[0], drow[1])
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir", nargs="?", default="/tmp/sfx1")
@@ -91,8 +135,19 @@ def main() -> int:
             sdf = fn(spark, args.sf_dir)
             n = sdf.count()
             if n > args.max_rows:
-                skipped.append({"name": name, "spark_rows": n})
-                print(f"SKIP {name}: {n} rows > cap", flush=True)
+                ck = _checksum_compare(sdf, con, oracles[name], n)
+                if ck is None:
+                    skipped.append({"name": name, "spark_rows": n})
+                    print(f"SKIP {name}: {n} rows > cap", flush=True)
+                else:
+                    (green if ck else red).append(
+                        name if ck else {"name": name, "checksum": True}
+                    )
+                    print(
+                        ("OK   " if ck else "RED  ")
+                        + f"{name} rows={n} (checksum compare)",
+                        flush=True,
+                    )
                 continue
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
