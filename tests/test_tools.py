@@ -1,0 +1,41 @@
+"""Tests for the standalone diagnostic tools in tools/."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from daily_top_songs_etl_spark.session import get_spark
+
+    return get_spark(app_name="tools-tests", shuffle_partitions=4)
+
+
+def test_checksum_compare_matches_and_detects_mismatch(spark):
+    """The no-materialization checksum compare must agree with equality
+    on identical multisets (any row order, NULLs included), reject a
+    differing multiset, and refuse float columns."""
+    from tools.oracle_sweep import _checksum_compare
+
+    con = duckdb.connect()
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], ["k", "v"]
+    )
+    same = "SELECT * FROM (VALUES (3, 'c'), (1, 'a'), (2, NULL)) t(k, v)"
+    assert _checksum_compare(df, con, same, 3) is True
+
+    differs = "SELECT * FROM (VALUES (3, 'c'), (1, 'a'), (2, 'x')) t(k, v)"
+    assert _checksum_compare(df, con, differs, 3) is False
+
+    fewer = "SELECT * FROM (VALUES (1, 'a'), (2, NULL)) t(k, v)"
+    assert _checksum_compare(df, con, fewer, 3) is False
+
+    floaty = spark.createDataFrame([(1, 0.5)], ["k", "x"])
+    assert _checksum_compare(floaty, con, "SELECT 1, 0.5", 1) is None
