@@ -4137,7 +4137,11 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the old fixed 0.06% threshold matched rows at sf0.01 but NOTHING
     at sf0.1); a mean-relative threshold is scale-invariant. The global
     (total, count) is a 1-row aggregate broadcast into the filter; the
-    compare is EXACT integer math — revenue converted to BIGINT cents,
+    compare is EXACT integer math — revenue converted to BIGINT cents
+    via an EXPLICIT floor(v*100) on both sides (v has scale 4 — price
+    2dp × discount 2dp — so v*100 keeps a 2-digit fraction, and Spark's
+    decimal→bigint cast truncates while DuckDB's rounds half-away:
+    the bare cast can differ by 1 cent and flip a boundary part),
     cross-multiplied (10·n·v_cents > 12·t_cents) instead of multiplying
     by a double fraction. One shuffle for the per-part agg; the scalar
     side reuses the same aggregate via a broadcast nested-loop join of
@@ -4148,10 +4152,10 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("v"))
     total = per_part.agg(
-        (F.sum("v") * 100).cast("bigint").alias("t_cents"),
+        F.floor(F.sum("v") * 100).cast("bigint").alias("t_cents"),
         F.count(F.lit(1)).alias("n_parts"),
     )
-    v_cents = (F.col("v") * 100).cast("bigint")
+    v_cents = F.floor(F.col("v") * 100).cast("bigint")
     return (
         per_part.join(F.broadcast(total))
         .filter(v_cents * 10 * F.col("n_parts") > F.col("t_cents") * 12)
@@ -4166,13 +4170,13 @@ WITH pv AS (
              (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS v
   FROM lineitem GROUP BY 1
 ), tot AS (
-  SELECT CAST(SUM(v) * 100 AS BIGINT) AS t_cents,
+  SELECT CAST(floor(SUM(v) * 100) AS BIGINT) AS t_cents,
          CAST(COUNT(*) AS BIGINT) AS n_parts
   FROM pv
 )
 SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
 FROM pv, tot
-WHERE CAST(v * 100 AS BIGINT) * 10 * n_parts > t_cents * 12
+WHERE CAST(floor(v * 100) AS BIGINT) * 10 * n_parts > t_cents * 12
 """
 
 

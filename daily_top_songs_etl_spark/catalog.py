@@ -169,6 +169,73 @@ class Catalog:
             writer = writer.partitionBy(*cols)
         writer.parquet(p)
 
+    def append_once(
+        self,
+        df: DataFrame,
+        table: str,
+        batch_id: int | str,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Idempotent append keyed by ``batch_id`` — the primitive that
+        makes ``foreachBatch`` growth exactly-once. Structured Streaming
+        replays a failed batch with the SAME batch_id and the same rows,
+        so an append that converges to one copy of the batch under
+        arbitrary replay is all a sink needs. Protocol:
+
+        1. stage the batch under ``<table>/_staging_batch_{id}`` (readers
+           only ever see the current ``v=N`` directory, so staging is
+           invisible; a replay overwrites the stage);
+        2. delete any ``batch-{id}-*`` files a previous (crashed) attempt
+           already moved into the snapshot;
+        3. ``os.replace`` each staged file into the snapshot under the
+           deterministic name ``batch-{id}-{seq}`` (atomic per file).
+
+        A crash at any point leaves a state the replay converges from:
+        before step 3 the table is untouched; mid-step-3 the partial
+        files are removed by step 2 of the replay. Unlike ``append``
+        (bare ``mode("append")``), a replay can never double the rows.
+        """
+        p = self.path(table)
+        if p is None:
+            # first batch: versioned write — a replay writes an identical
+            # snapshot as v+1 and flips the pointer to it (same content).
+            # The meta records which batch created the table so a replay
+            # arriving AFTER the pointer flip doesn't re-append the rows.
+            self.write(
+                df,
+                table,
+                meta={"created_by_batch": str(batch_id)},
+                partition_by=partition_by,
+            )
+            return
+        meta = self.read_meta(table) or {}
+        if str(meta.get("created_by_batch")) == str(batch_id):
+            return
+        tdir = self._table_dir(table)
+        staging = os.path.join(tdir, f"_staging_batch_{batch_id}")
+        writer = df.write.mode("overwrite")
+        cols = partition_by or PARTITIONED.get(table)
+        if cols:
+            writer = writer.partitionBy(*cols)
+        writer.parquet(staging)
+        prefix = f"batch-{batch_id}-"
+        for root, _dirs, files in os.walk(p):
+            for fname in files:
+                if fname.startswith(prefix):
+                    os.remove(os.path.join(root, fname))
+        for root, _dirs, files in os.walk(staging):
+            rel = os.path.relpath(root, staging)
+            dst_dir = p if rel == "." else os.path.join(p, rel)
+            for i, fname in enumerate(sorted(files)):
+                if fname.startswith(("_", ".")):
+                    continue
+                os.makedirs(dst_dir, exist_ok=True)
+                os.replace(
+                    os.path.join(root, fname),
+                    os.path.join(dst_dir, f"{prefix}{i:05d}.parquet"),
+                )
+        shutil.rmtree(staging, ignore_errors=True)
+
     def overwrite_partitions(
         self, df: DataFrame, table: str, touched: list
     ) -> None:

@@ -866,14 +866,25 @@ def build_dedup_index(
 
 
 def append_to_dedup_index(
-    catalog, name: str, batch: DataFrame, n_hashes: int = N_HASHES
+    catalog,
+    name: str,
+    batch: DataFrame,
+    n_hashes: int = N_HASHES,
+    batch_id: int | str | None = None,
 ) -> None:
     """Fold an accepted batch into the index: append-only (no
     read-modify-write of the historical signatures) — the fact-table
     fast path of the catalog. Keeps the partitioned probe layout in
-    sync when the index was built with ``probe_partitions``."""
+    sync when the index was built with ``probe_partitions``. Pass
+    ``batch_id`` from an at-least-once caller (foreachBatch): the
+    append then goes through ``catalog.append_once``, so a replayed
+    batch converges to ONE copy of its signature rows instead of
+    doubling them."""
     sig = minhash_signatures(batch, n_hashes).localCheckpoint(eager=True)
-    catalog.append(sig, f"{name}__signatures")
+    if batch_id is None:
+        catalog.append(sig, f"{name}__signatures")
+    else:
+        catalog.append_once(sig, f"{name}__signatures", batch_id)
     meta = catalog.read_meta(f"{name}__signatures") or {}
     nparts = meta.get("probe_partitions")
     if nparts:
@@ -883,7 +894,12 @@ def append_to_dedup_index(
             .join(sig, "doc_id")
             .withColumn("bucket_mod", F.pmod("bucket", F.lit(nparts)))
         )
-        catalog.append(bands, f"{name}__bands", partition_by=["bucket_mod"])
+        if batch_id is None:
+            catalog.append(bands, f"{name}__bands", partition_by=["bucket_mod"])
+        else:
+            catalog.append_once(
+                bands, f"{name}__bands", batch_id, partition_by=["bucket_mod"]
+            )
 
 
 def match_against_dedup_index(
@@ -998,24 +1014,37 @@ def compact_dedup_index(
     import math
     import os
 
+    def n_files(table: str) -> int:
+        # each table bin-packs against its OWN byte size — the bands
+        # layout is ~n_bands× the signatures table, so reusing one
+        # count would leave its files n_bands× over target
+        total = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(catalog.path(table))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        return max(1, math.ceil(total / target_file_bytes))
+
     sig_table = f"{name}__signatures"
     meta = catalog.read_meta(sig_table) or {}
-    src = catalog.path(sig_table)
-    total = sum(
-        os.path.getsize(os.path.join(r, f))
-        for r, _, fs in os.walk(src)
-        for f in fs
-        if f.endswith(".parquet")
-    )
-    n = max(1, math.ceil(total / target_file_bytes))
     catalog.write(
-        catalog.read(sig_table).repartition(n), sig_table, meta=meta
+        catalog.read(sig_table).repartition(n_files(sig_table)),
+        sig_table,
+        meta=meta,
     )
     if meta.get("probe_partitions") and catalog.exists(f"{name}__bands"):
-        # partition dirs are preserved; files inside each bin-pack via
-        # the per-partition shuffle of the partitioned write
+        # repartition ON the partition column: every bucket_mod lives in
+        # exactly one shuffle partition, so each partition directory is
+        # written by one task → few bin-packed files per directory. A
+        # keyless repartition(n) would spray each directory's rows
+        # across up to n tasks — up to n files PER directory, more
+        # fragmentation than the appends being compacted away.
+        bands_table = f"{name}__bands"
         catalog.write(
-            catalog.read(f"{name}__bands").repartition(n),
-            f"{name}__bands",
+            catalog.read(bands_table).repartition(
+                n_files(bands_table), "bucket_mod"
+            ),
+            bands_table,
             partition_by=["bucket_mod"],
         )

@@ -15,15 +15,22 @@ family) with ``foreachBatch``: each micro-batch is
 4. the ACCEPTED docs' signatures are folded into the index append-only,
    so later batches dedup against earlier ones too.
 
-Replay safety: foreachBatch is at-least-once, and a blind re-append of a
-replayed batch would double the appended signature rows (duplicate match
-rows downstream). Structured Streaming replays a failed batch under the
-SAME batch_id, so a marker file per processed batch id makes step 4
-exactly-once (the matview ledger pattern); steps 1-3 are naturally
-idempotent because each batch overwrites its own ``batch_{id}`` output
-directory. The marker is written AFTER the append — a crash between the
-two replays the append, which is the at-least-once corner the ledger
-closes on the next run (marker present ⇒ skip).
+Replay safety: foreachBatch is at-least-once; Structured Streaming
+replays a failed batch under the SAME batch_id with the same rows.
+Three mechanisms make the whole funnel converge under replay:
+
+- a marker file per processed batch id short-circuits fully-processed
+  replays at the TOP of the batch function (checked before any work —
+  steps 1-3 are NOT idempotent once step 4 has run, because a re-match
+  against an index that already holds the batch's own signatures would
+  self-match every accepted doc and overwrite ``accepted/batch_{id}``
+  with an empty set);
+- the history match excludes corpus rows whose doc_id is a member of
+  the batch itself, so even a replay that races past the marker (crash
+  after the index append, before the marker write) routes identically;
+- the index append goes through ``catalog.append_once`` keyed by
+  batch_id — a replayed append converges to ONE copy of the signature
+  rows instead of doubling them.
 
 Scale shape: identical to the batch operator — the only per-batch work
 proportional to history is the stored-signature scan (~0.3% of corpus
@@ -70,6 +77,9 @@ def run_dedup_index_stream(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        marker = os.path.join(marker_dir, f"batch_{batch_id}")
+        if os.path.exists(marker):
+            return  # fully processed: outputs routed, signatures appended
         batch_df = batch_df.localCheckpoint(eager=True)  # pin files of THIS batch
         # 1. within-batch near-dup: dedup_apply returns the surviving ids
         #    (one representative per cluster + every unclustered doc).
@@ -80,10 +90,18 @@ def run_dedup_index_stream(
             batch_df.select("doc_id"), minhash_lsh_star_edges(batch_df)
         ).select("doc_id")
         survivors = batch_df.join(keep, "doc_id")
-        # 2. batch-vs-history: any stored doc with est >= min_est kills
+        # 2. batch-vs-history: any stored doc with est >= min_est kills.
+        #    Exclude corpus rows that ARE batch members: a replay that
+        #    crashed after the index append would otherwise see the
+        #    batch's own signatures and self-match everything.
         hist_hits = (
             match_against_dedup_index(catalog, name, survivors)
             .filter(F.col("est_jaccard") >= min_est)
+            .join(
+                batch_df.select(F.col("doc_id").alias("corpus_doc_id")),
+                "corpus_doc_id",
+                "left_anti",
+            )
             .select(F.col("batch_doc_id").alias("doc_id"))
             .distinct()
         )
@@ -98,12 +116,12 @@ def run_dedup_index_stream(
         duplicates.write.mode("overwrite").parquet(
             os.path.join(out_dir, "duplicates", f"batch_{batch_id}")
         )
-        # 4. exactly-once index growth via the batch-id marker ledger
-        marker = os.path.join(marker_dir, f"batch_{batch_id}")
-        if not os.path.exists(marker):
-            append_to_dedup_index(catalog, name, accepted)
-            with open(marker, "w") as fh:
-                fh.write("done\n")
+        # 4. exactly-once index growth: idempotent per-batch append +
+        #    the marker ledger (marker last — everything above converges
+        #    under replay, so the marker is pure work-skipping)
+        append_to_dedup_index(catalog, name, accepted, batch_id=batch_id)
+        with open(marker, "w") as fh:
+            fh.write("done\n")
 
     (
         stream.writeStream.foreachBatch(apply_batch)

@@ -14,10 +14,18 @@ micro-batch:
 3. **dedup vs history** — probe the PERSISTED signature index
    (batch-sized shingle work; corpus text never re-read);
 4. **benchmark decontamination** — broadcast eval-gram match;
-5. **append** — accepted docs land in the versioned corpus table
-   (append-only), their signatures fold into the dedup index behind a
-   batch-id marker ledger (exactly-once under at-least-once
-   foreachBatch), and per-batch funnel counts are recorded.
+5. **append** — accepted docs land in the corpus table and their
+   signatures fold into the dedup index, BOTH via
+   ``catalog.append_once`` keyed by batch_id, so a replayed batch
+   converges to one copy of its rows; per-batch funnel counts are
+   recorded keyed by batch_id (the reader keeps the last line per id).
+
+Replay safety: foreachBatch is at-least-once; the marker ledger
+short-circuits fully-processed batch ids, the history match excludes
+the batch's own doc_ids (a replay that crashed after the index append
+but before the marker must not self-match), and the per-batch
+idempotent appends close the marker-vs-append window — growth is
+exactly-once, not merely "narrowed" at-least-once.
 
 Every per-batch stage cost is batch-sized except the stored-signature
 scan (~0.3% of corpus bytes, partition-prunable via
@@ -88,10 +96,17 @@ def run_pretrain_ingest_stream(
             gated.select("doc_id"), minhash_lsh_star_edges(gated)
         ).select("doc_id")
         batch_unique = gated.join(keep, "doc_id")
-        # 3. dedup vs everything already accepted
+        # 3. dedup vs everything already accepted (minus the batch's own
+        #    ids — a crash-replay that already appended this batch's
+        #    signatures must not self-match)
         hist_hits = (
             match_against_dedup_index(catalog, index_name, batch_unique)
             .filter(F.col("est_jaccard") >= min_est)
+            .join(
+                batch_df.select(F.col("doc_id").alias("corpus_doc_id")),
+                "corpus_doc_id",
+                "left_anti",
+            )
             .select(F.col("batch_doc_id").alias("doc_id"))
             .distinct()
         )
@@ -106,11 +121,14 @@ def run_pretrain_ingest_stream(
             contaminated, "doc_id", "left_anti"
         ).localCheckpoint(eager=True)
         n_accepted = accepted.count()
-        # 5. exactly-once growth: corpus append + index append + counts,
-        #    all behind the marker (foreachBatch replays under the SAME id)
+        # 5. exactly-once growth: both appends are idempotent per batch
+        #    id (append_once), so even a replay that raced past the
+        #    marker cannot double corpus or signature rows
         if n_accepted:
-            catalog.append(accepted, corpus_table)
-            append_to_dedup_index(catalog, index_name, accepted)
+            catalog.append_once(accepted, corpus_table, batch_id)
+            append_to_dedup_index(
+                catalog, index_name, accepted, batch_id=batch_id
+            )
         counts = {
             "batch_id": batch_id,
             "raw": n_raw,
@@ -134,8 +152,17 @@ def run_pretrain_ingest_stream(
 
 
 def read_funnel_counts(state_dir: str) -> list[dict]:
+    """Per-batch funnel counts; a replay that crashed between the counts
+    line and the marker re-appends its line, so keep the LAST line per
+    batch_id (both lines carry identical counts — the replay recomputes
+    the same batch)."""
     path = os.path.join(state_dir, "funnel_counts.jsonl")
     if not os.path.exists(path):
         return []
+    by_id: dict = {}
     with open(path) as fh:
-        return [json.loads(line) for line in fh if line.strip()]
+        for line in fh:
+            if line.strip():
+                row = json.loads(line)
+                by_id[row["batch_id"]] = row
+    return [by_id[k] for k in sorted(by_id)]

@@ -618,3 +618,190 @@ def test_pretrain_ingest_stream_end_to_end(spark, tmp_path):
     assert {r.doc_id for r in cat.read("corpus").collect()} == corpus_ids
     assert cat.read("dd__signatures").count() == n_sig
     assert len(read_funnel_counts(state)) == 2
+
+
+def test_append_once_replay_converges(spark, tmp_path):
+    """catalog.append_once is the exactly-once growth primitive: a
+    replayed append (same batch_id, same rows — the foreachBatch replay
+    contract) converges to ONE copy of the batch, including when a
+    crashed first attempt left partial per-batch files behind, and
+    including the table-creation batch."""
+    import os
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    schema = "k long, v string"
+
+    # table-creation batch: replay flips to an equivalent snapshot
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    cat.append_once(b0, "t", 0)
+    cat.append_once(b0, "t", 0)
+    assert cat.read("t").count() == 2
+
+    # steady-state batch replayed: still one copy
+    b1 = spark.createDataFrame([(3, "c"), (4, "d"), (5, "e")], schema)
+    cat.append_once(b1, "t", 1)
+    cat.append_once(b1, "t", 1)
+    assert cat.read("t").count() == 5
+    assert {r.k for r in cat.read("t").collect()} == {1, 2, 3, 4, 5}
+
+    # crashed-attempt debris: a stale batch-2 file from a partial first
+    # attempt (simulated by an extra copy under the per-batch name) is
+    # removed before the replay's files move in
+    b2 = spark.createDataFrame([(6, "f")], schema)
+    cat.append_once(b2, "t", 2)
+    p = cat.path("t")
+    real = max(  # the non-empty part file (empty partitions write too)
+        (f for f in os.listdir(p) if f.startswith("batch-2-")),
+        key=lambda f: os.path.getsize(os.path.join(p, f)),
+    )
+    import shutil as _sh
+
+    _sh.copy(
+        os.path.join(p, real), os.path.join(p, "batch-2-00099.parquet")
+    )
+    spark.catalog.refreshByPath(p)  # manual copy bypasses Spark's listing cache
+    assert cat.read("t").filter("k = 6").count() == 2  # debris doubles
+    cat.append_once(b2, "t", 2)  # replay
+    spark.catalog.refreshByPath(p)
+    assert cat.read("t").filter("k = 6").count() == 1
+    assert cat.read("t").count() == 6
+
+    # partitioned layout: per-batch files land inside partition dirs
+    pb = spark.createDataFrame([(7, "x"), (8, "y")], "k long, part string")
+    cat.append_once(pb, "pt", 0, partition_by=["part"])
+    cat.append_once(pb, "pt", 0, partition_by=["part"])
+    pb2 = spark.createDataFrame([(9, "x")], "k long, part string")
+    cat.append_once(pb2, "pt", 1, partition_by=["part"])
+    cat.append_once(pb2, "pt", 1, partition_by=["part"])
+    assert cat.read("pt").count() == 3
+    assert cat.read("pt").filter("part = 'x'").count() == 2
+
+
+def test_dedup_stream_replay_after_append_before_marker(spark, tmp_path):
+    """The at-least-once corner from the round-4 advice: a batch crashes
+    AFTER its signatures were appended to the index but BEFORE the
+    marker write and checkpoint commit. The replay then matches against
+    an index that already holds the batch's own signatures — without the
+    self-exclusion it would self-match every accepted doc (est = 1.0)
+    and overwrite accepted/ with an empty set. Simulate the crashed
+    first attempt by pre-appending the would-be-accepted signatures
+    under the batch id the stream will assign, then drive the replay."""
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        append_to_dedup_index,
+        build_dedup_index,
+    )
+    from daily_top_songs_etl_spark.streaming.dedup_stream import (
+        read_routed,
+        run_dedup_index_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "a historical document about engines and columnar formats "
+             "with enough running text to carry a shingle identity")],
+        "doc_id long, text string",
+    )
+    cat = Catalog(spark, str(tmp_path / "ddidx"))
+    build_dedup_index(cat, "dd", corpus)
+
+    fresh = (
+        "genuinely new content long enough to carry its own shingle "
+        "identity across many tokens of running text in this batch"
+    )
+    batch1 = spark.createDataFrame(
+        [(101, fresh)], "doc_id long, text string"
+    )
+    landing = str(tmp_path / "landing")
+    batch1.coalesce(1).write.parquet(landing)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_dedup_index_stream(
+        spark, landing, batch1.schema, cat, "dd", ckpt, out
+    )
+    assert {r.doc_id for r in read_routed(spark, out, "accepted").collect()} == {101}
+
+    # batch 2 will get batch_id=1; its accepted set is {202} (201 is a
+    # near-dup of the already-accepted 101). Simulate the crashed first
+    # attempt: signatures for 202 are ALREADY in the index under id 1,
+    # no marker, checkpoint uncommitted.
+    fresh2 = (
+        "another unrelated brand new document with an entirely distinct "
+        "vocabulary footprint spanning plenty of words and clauses"
+    )
+    batch2 = spark.createDataFrame(
+        [(201, fresh.replace("many", "plenty of")), (202, fresh2)],
+        "doc_id long, text string",
+    )
+    append_to_dedup_index(
+        cat, "dd", batch2.filter("doc_id = 202"), batch_id=1
+    )
+    batch2.coalesce(1).write.mode("append").parquet(landing)
+    run_dedup_index_stream(
+        spark, landing, batch1.schema, cat, "dd", ckpt, out
+    )
+
+    accepted = {r.doc_id for r in read_routed(spark, out, "accepted").collect()}
+    dupes = {r.doc_id for r in read_routed(spark, out, "duplicates").collect()}
+    assert 202 in accepted, (accepted, dupes)   # did NOT self-match
+    assert 201 in dupes                          # real history dup still dies
+    # exactly one copy of 202's signature row survives the replay
+    assert cat.read("dd__signatures").filter("doc_id = 202").count() == 1
+
+
+def test_pretrain_stream_replay_after_append_before_marker(spark, tmp_path):
+    """Same crash window for the corpus-ingest funnel: corpus + index
+    appends done, marker missing. The replay must neither duplicate
+    corpus rows nor reject its own docs as history dups."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        append_to_dedup_index,
+        build_dedup_index,
+    )
+    from daily_top_songs_etl_spark.extensions.text import quality_gate
+    from daily_top_songs_etl_spark.streaming.pretrain_stream import (
+        read_funnel_counts,
+        run_pretrain_ingest_stream,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    passing = (
+        quality_gate(docs, passthrough=True)
+        .filter(F.col("passes_all"))
+        .orderBy("doc_id")
+    )
+    texts = [r.text for r in passing.limit(4).collect()]
+    schema = "doc_id long, text string"
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    seed = spark.createDataFrame([(1, texts[0])], schema)
+    cat.write(seed, "corpus")
+    build_dedup_index(cat, "dd", seed)
+    bench = spark.createDataFrame([(9000, texts[1])], schema)
+
+    # the only batch (id 0) would accept doc 102; simulate its crashed
+    # first attempt: corpus + index already carry 102, marker missing
+    batch = spark.createDataFrame([(102, texts[2])], schema)
+    cat.append_once(batch, "corpus", 0)
+    append_to_dedup_index(cat, "dd", batch, batch_id=0)
+
+    landing = str(tmp_path / "landing")
+    batch.coalesce(1).write.parquet(landing)
+    state = str(tmp_path / "state")
+    os.makedirs(state, exist_ok=True)
+    run_pretrain_ingest_stream(
+        spark, landing, batch.schema, cat, "dd", "corpus", bench,
+        str(tmp_path / "ckpt"), state,
+    )
+
+    rows = cat.read("corpus").filter("doc_id = 102").count()
+    assert rows == 1, rows  # replay converged, no duplicate corpus rows
+    assert cat.read("dd__signatures").filter("doc_id = 102").count() == 1
+    counts = read_funnel_counts(state)
+    assert len(counts) == 1
+    assert counts[0]["accepted"] == 1  # 102 was not self-rejected
