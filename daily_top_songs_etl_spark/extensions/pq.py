@@ -2,15 +2,17 @@
 
 The classic ANN storage trick (Jégou et al. 2011, public method): split
 each D-dim vector into ``m`` subvectors, k-means each subspace
-independently (reusing :func:`similarity.kmeans_fit` — the same
-broadcast-centroid Lloyd loop), and store each vector as ``m`` small
+independently (the same broadcast-centroid Lloyd math as
+:func:`similarity.kmeans_fit`), and store each vector as ``m`` small
 integer codes. With m=4, k=16 a 64-dim float vector compresses
 256 bytes → 4 half-byte codes (PQ16x4 shape).
 
 Scale shape:
-- **train**: m independent kmeans fits over sliced subvectors — each
-  iteration broadcasts a k×(D/m) centroid table; the corpus never
-  shuffles except the per-(cluster, dim) centroid update aggregate.
+- **train**: ONE fused Lloyd loop over the exploded (vec, subspace)
+  relation — per iteration the m·k codeword table broadcasts and the
+  assignment + per-(subspace, cluster, dim) centroid update are a
+  single shuffle, i.e. one corpus pass per iteration rather than m
+  per-subspace jobs.
 - **encode**: the full m-subspace codebook is m×k rows — broadcast onto
   the corpus; the argmin per (vector, subspace) folds into ONE hash
   aggregate on vec_id (min-of-struct per subspace via conditional
@@ -25,10 +27,10 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import QUANT_SCALE, kmeans_fit
+from .similarity import QUANT_SCALE
 
 
 def _dim(embeddings: DataFrame, col: str) -> int:
@@ -46,27 +48,107 @@ def pq_train(
     id_col: str = "vec_id",
     col: str = "embedding",
 ) -> DataFrame:
-    """Train the PQ codebook: one kmeans per subspace.
+    """Train all ``m`` subspace codebooks in ONE fused Lloyd loop.
+
+    Semantically this is m independent k-means fits (one per subspace),
+    and the math is bit-identical to running :func:`similarity.kmeans_fit`
+    per sliced subvector (same quantization, same lowest-id init per
+    subspace, same exact-BIGINT distances, same struct-ordered
+    tie-breaks, same centroid rounding) — the per-subspace DuckDB unroll
+    oracle keeps hash-matching. Physically it is a single loop over an
+    exploded (vec, subspace, qsvec) relation: per iteration the m·k
+    codeword table broadcasts once and the assignment + centroid update
+    are ONE shuffle keyed on (subspace, cluster, dim) instead of m
+    separate per-subspace jobs — at 100 TB that is one corpus pass per
+    iteration rather than m, and locally it collapses ~4× the stage
+    count the sequential unionByName plan paid.
 
     Returns (subspace, code, centroid array<double>, n_vectors)."""
     d = _dim(embeddings, col)
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
     sub = d // m
-    books = []
-    for j in range(m):
-        sub_df = embeddings.select(
-            id_col, F.slice(col, j * sub + 1, sub).alias("embedding")
+    subs = (
+        embeddings.select(
+            id_col,
+            F.posexplode(
+                F.array(*[F.slice(col, j * sub + 1, sub) for j in range(m)])
+            ).alias("subspace", "svec_f"),
         )
-        books.append(
-            kmeans_fit(sub_df, k=k, iters=iters, id_col=id_col).select(
-                F.lit(j).alias("subspace"),
-                F.col("cluster").alias("code"),
-                "centroid",
-                "n_vectors",
+        .select(
+            id_col,
+            "subspace",
+            F.transform(
+                "svec_f",
+                lambda x: F.round(x.cast("double") * QUANT_SCALE, 0).cast(
+                    "bigint"
+                ),
+            ).alias("qvec"),
+        )
+        .cache()
+    )
+    w = Window.partitionBy("subspace").orderBy(id_col)
+    centroids = (
+        subs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "subspace",
+            (F.col("rn") - 1).alias("cluster"),
+            F.col("qvec").alias("cvec"),
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with("qvec", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    for _ in range(iters):
+        assigned = (
+            subs.join(F.broadcast(centroids), "subspace")
+            .withColumn("d", dist)
+            .groupBy(id_col, "subspace", "qvec")
+            .agg(F.min(F.struct("d", "cluster")).alias("best"))
+            .select(
+                id_col,
+                "subspace",
+                "qvec",
+                F.col("best.cluster").alias("cluster"),
             )
         )
-    return reduce(lambda a, b: a.unionByName(b), books)
+        per_dim = (
+            assigned.select(
+                "subspace", "cluster", F.posexplode("qvec").alias("pos", "v")
+            )
+            .groupBy("subspace", "cluster", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        )
+        centroids = per_dim.groupBy("subspace", "cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s", "c"))),
+                lambda x: F.round(
+                    x["s"].cast("double") / x["c"].cast("double"), 0
+                ).cast("bigint"),
+            ).alias("cvec")
+        )
+    sizes = (
+        subs.join(F.broadcast(centroids), "subspace")
+        .withColumn("d", dist)
+        .groupBy(id_col, "subspace")
+        .agg(F.min(F.struct("d", "cluster")).alias("best"))
+        .groupBy("subspace", F.col("best.cluster").alias("cluster"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+    return (
+        centroids.join(sizes, ["subspace", "cluster"], "left")
+        .select(
+            "subspace",
+            F.col("cluster").alias("code"),
+            F.transform(
+                "cvec", lambda x: x.cast("double") / QUANT_SCALE
+            ).alias("centroid"),
+            F.coalesce("n_vectors", F.lit(0)).alias("n_vectors"),
+        )
+    )
 
 
 def pq_encode(
