@@ -1955,10 +1955,11 @@ FROM events GROUP BY event_type
 
 
 # ==========================================================================
-# Multimodal columns: opaque binary + typed metadata, decode stubbed but
-# the Spark plumbing (schema, Arrow batching, JVM-side planning) real.
-# Media corpus derived deterministically from `documents` so the DuckDB
-# oracle can reconstruct it.
+# Multimodal columns: opaque binary + typed metadata. The registered
+# queries use the deterministic fake decoder so the DuckDB oracle can
+# reconstruct the media corpus from `documents`; the REAL stdlib decode
+# paths (PNG, PCM WAV, uncompressed Y4M video) are unit-tested against
+# committed fixtures (extensions.multimodal, tests/test_extensions.py).
 # ==========================================================================
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -1984,8 +1985,9 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode/feature kernel (deterministic fake
-    decoder — real codecs stubbed, see extensions.multimodal).
+    """Arrow-batched mapInPandas decode/feature kernel (deterministic
+    fake decoder for oracle portability; the real stdlib PNG/WAV/Y4M
+    decoders live in extensions.multimodal behind fake=False).
 
     The kernel emits ``feat array<double>``; the query flattens it to
     ``feat_0..feat_7`` DOUBLE columns so the result schema is all-scalar

@@ -8,10 +8,12 @@ expansion, :func:`decode_png`) runs inside the Arrow kernel, so
 ``fake=False`` extracts features from actual pixel data with no external
 codec dependency. Audio decode is REAL for PCM WAV — a pure-stdlib
 RIFF/fmt/data parser (:func:`decode_wav`) feeds amplitude statistics
-(:func:`wav_features`). Video codecs (ffmpeg) are not in this container,
-so that kind raises a clearly marked ``NotImplementedError`` on the real
-path; the deterministic fake decoder (``fake=True``) remains for
-engine-portable oracle comparison.
+(:func:`wav_features`). Video decode is REAL for uncompressed YUV4MPEG2
+— a pure-stdlib header + FRAME-plane parser (:func:`decode_y4m`) feeds
+luma/motion statistics (:func:`video_features`); compressed codecs
+(H.264/VP9 — ffmpeg territory) are documented out of scope. The
+deterministic fake decoder (``fake=True``) remains for engine-portable
+oracle comparison.
 
 Scale notes: binary payloads dominate row size, so ``mapInPandas`` with
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` tuned down (the default
@@ -312,6 +314,144 @@ def wav_features(payload: bytes) -> list[float]:
     ]
 
 
+def encode_y4m(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    fps_num: int = 25,
+    fps_den: int = 1,
+    colorspace: str = "mono",
+) -> bytes:
+    """Minimal stdlib YUV4MPEG2 encoder — the test-fixture / round-trip
+    counterpart of :func:`decode_y4m`. ``frames`` is a list of raw
+    planes: ``width*height`` luma bytes per frame for ``mono``, or
+    ``width*height*3//2`` (luma + 2 quarter-size chroma planes) for
+    ``420``."""
+    plane = _y4m_frame_bytes(width, height, colorspace)
+    header = (
+        f"YUV4MPEG2 W{width} H{height} F{fps_num}:{fps_den} "
+        f"Ip A1:1 C{colorspace}\n"
+    ).encode("ascii")
+    out = [header]
+    for f in frames:
+        if len(f) != plane:
+            raise ValueError(
+                f"frame has {len(f)} bytes, expected {plane} "
+                f"for {width}x{height} C{colorspace}"
+            )
+        out.append(b"FRAME\n")
+        out.append(bytes(f))
+    return b"".join(out)
+
+
+def _y4m_frame_bytes(width: int, height: int, colorspace: str) -> int:
+    if colorspace == "mono":
+        return width * height
+    if colorspace in ("420", "420jpeg", "420mpeg2", "420paldv"):
+        if width % 2 or height % 2:
+            raise ValueError("4:2:0 chroma requires even dimensions")
+        return width * height * 3 // 2
+    if colorspace == "422":
+        if width % 2:
+            raise ValueError("4:2:2 chroma requires even width")
+        return width * height * 2
+    if colorspace == "444":
+        return width * height * 3
+    raise ValueError(f"unsupported Y4M colorspace C{colorspace}")
+
+
+def decode_y4m(
+    data: bytes,
+) -> tuple[int, int, int, int, str, list[bytes]]:
+    """Pure-stdlib YUV4MPEG2 parser (the mjpegtools interchange format —
+    the standard UNCOMPRESSED video container, and the one format real
+    video decode is possible in without external codecs). Validates the
+    stream magic, parses the header parameters (W/H/F mandatory here,
+    interlace/aspect ignored), then walks ``FRAME`` markers slicing
+    fixed-size planar YUV frames. Returns ``(width, height, fps_num,
+    fps_den, colorspace, frames)`` where each frame is the raw plane
+    bytes (luma first).
+
+    Compressed codecs (H.264/VP9/AV1 in mp4/webm) need ffmpeg and stay
+    out of scope. Corrupt input — bad magic, missing W/H, a truncated
+    frame, an unknown colorspace — raises ``ValueError``: fail loudly,
+    never produce garbage features (same contract as :func:`decode_png`
+    / :func:`decode_wav`)."""
+    magic = b"YUV4MPEG2"
+    nl = data.find(b"\n")
+    if nl < 0 or not data.startswith(magic):
+        raise ValueError("not a Y4M: bad YUV4MPEG2 stream header")
+    width = height = None
+    fps_num, fps_den = 25, 1
+    colorspace = "420"  # the Y4M default when no C tag is present
+    for token in data[len(magic):nl].split(b" "):
+        token = token.decode("ascii", errors="replace")
+        if not token:
+            continue
+        tag, val = token[0], token[1:]
+        if tag == "W":
+            width = int(val)
+        elif tag == "H":
+            height = int(val)
+        elif tag == "F":
+            num, den = val.split(":")
+            fps_num, fps_den = int(num), int(den)
+        elif tag == "C":
+            colorspace = val
+        # Ip/It/Ib (interlace) and A (aspect) don't affect plane layout
+    if not width or not height or width < 1 or height < 1:
+        raise ValueError("Y4M header missing W/H dimensions")
+    if fps_num < 1 or fps_den < 1:
+        raise ValueError("Y4M header has non-positive frame rate")
+    plane = _y4m_frame_bytes(width, height, colorspace)
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(data):
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or data[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed Y4M: expected FRAME marker")
+        body = data[fnl + 1 : fnl + 1 + plane]
+        if len(body) != plane:
+            raise ValueError("truncated Y4M frame")
+        frames.append(body)
+        pos = fnl + 1 + plane
+    if not frames:
+        raise ValueError("Y4M stream contains no frames")
+    return width, height, fps_num, fps_den, colorspace, frames
+
+
+def video_features(payload: bytes) -> list[float]:
+    """8-dim feature vector from REAL decoded Y4M video (same shape
+    contract as :func:`png_features` / :func:`wav_features`): geometry,
+    frame count, duration, then luma statistics — mean level, peak,
+    mean absolute TEMPORAL difference (a motion-energy proxy: 0 for a
+    static clip), and luma dynamic range. All statistics are exact
+    integer sums over the luma plane before one float division, so the
+    output is deterministic across partitionings."""
+    import math
+
+    width, height, fps_num, fps_den, _cs, frames = decode_y4m(payload)
+    n_px = width * height
+    luma = [f[:n_px] for f in frames]  # chroma never enters the stats
+    total = sum(sum(p) for p in luma)
+    peak = max(max(p) for p in luma)
+    lo = min(min(p) for p in luma)
+    motion = 0
+    for prev, cur in zip(luma, luma[1:]):
+        motion += sum(abs(a - b) for a, b in zip(prev, cur))
+    n_motion = n_px * max(1, len(luma) - 1)
+    return [
+        math.log1p(width),
+        math.log1p(height),
+        math.log1p(len(frames)),
+        len(frames) * fps_den / fps_num,
+        total / (len(luma) * n_px) / 255.0,
+        peak / 255.0,
+        motion / n_motion / 255.0,
+        (peak - lo) / 255.0,
+    ]
+
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -365,11 +505,13 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     ``fake=True``: deterministic 8-dim feature from the payload digest —
     exercises the full distributed path (schema, batching, null payloads)
     and is engine-portable for the DuckDB oracle. ``fake=False`` decodes
-    REAL payloads for PNG images (:func:`decode_png` →
-    :func:`png_features`) and PCM WAV audio (:func:`decode_wav` →
-    :func:`wav_features`), both stdlib-only; the video kind raises a
-    clearly marked ``NotImplementedError`` (no stdlib video codec —
-    ffmpeg is not in this container).
+    REAL payloads for all three kinds, stdlib-only: PNG images
+    (:func:`decode_png` → :func:`png_features`), PCM WAV audio
+    (:func:`decode_wav` → :func:`wav_features`), and uncompressed
+    YUV4MPEG2 video (:func:`decode_y4m` → :func:`video_features`).
+    Compressed video codecs (H.264/VP9 — ffmpeg territory) are out of
+    scope; corrupt payloads of any kind raise rather than yielding
+    garbage features.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -393,11 +535,10 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                     feats.append(png_features(payload))
                 elif kind == "audio":
                     feats.append(wav_features(payload))
+                elif kind == "video":
+                    feats.append(video_features(payload))
                 else:
-                    raise NotImplementedError(
-                        f"real {kind} decode requires ffmpeg — not "
-                        "available in this environment; use fake=True"
-                    )
+                    raise ValueError(f"unknown media kind {kind!r}")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -444,8 +585,8 @@ def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
 
 def sample_frames(media: DataFrame, every_n: int = 5) -> DataFrame:
     """Frame-sampling plan for video rows: one output row per selected
-    frame index, produced by sequence+explode JVM-side; the decode of the
-    selected frames is the (stubbed) kernel above."""
+    frame index, produced by sequence+explode JVM-side; decoding the
+    selected frames is the kernel above (real for Y4M payloads)."""
     return (
         media.filter(F.col("kind") == "video")
         .withColumn(

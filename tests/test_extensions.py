@@ -1868,3 +1868,82 @@ def test_pagerank_materialized_edges_identical(spark):
         for r in pagerank(edges, iters=2, materialize_edges=True).collect()
     )
     assert a == b
+
+
+def test_decode_y4m_roundtrip_and_corrupt():
+    """Stdlib Y4M codec: encode→decode round-trips mono and 4:2:0
+    streams; corrupt/unsupported input fails loudly (closes the last
+    multimodal stub — compressed codecs stay documented out of scope)."""
+    from daily_top_songs_etl_spark.extensions.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    w, h = 8, 6
+    mono = [bytes((i * 7 + t) % 256 for i in range(w * h)) for t in range(3)]
+    data = encode_y4m(w, h, mono, fps_num=30, fps_den=1, colorspace="mono")
+    assert decode_y4m(data) == (w, h, 30, 1, "mono", mono)
+
+    yuv = [bytes(range(w * h)) + bytes(64 for _ in range(w * h // 2))]
+    d420 = encode_y4m(w, h, yuv, colorspace="420")
+    assert decode_y4m(d420) == (w, h, 25, 1, "420", yuv)
+
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        decode_y4m(b"RIFF not a y4m\n")
+    with pytest.raises(ValueError, match="missing W/H"):
+        decode_y4m(b"YUV4MPEG2 F25:1\nFRAME\n")
+    with pytest.raises(ValueError, match="truncated Y4M frame"):
+        decode_y4m(data[:-5])
+    with pytest.raises(ValueError, match="unsupported Y4M colorspace"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C411\nFRAME\n\x00\x00\x00")
+    with pytest.raises(ValueError, match="no frames"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 Cmono\n")
+    with pytest.raises(ValueError, match="expected FRAME"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 Cmono\nJUNK\n\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="even dimensions"):
+        encode_y4m(3, 3, [b"x" * 9], colorspace="420")
+
+
+def test_extract_features_real_video_decode(spark):
+    """fake=False decodes ALL THREE kinds for real in one Arrow batch:
+    the committed Y4M fixture's luma/motion statistics match the locally
+    computed values next to a real PNG and a real WAV row."""
+    import os
+
+    from daily_top_songs_etl_spark.extensions.multimodal import (
+        MEDIA_SCHEMA,
+        encode_y4m,
+        extract_features,
+        video_features,
+    )
+
+    fdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    vid = open(os.path.join(fdir, "moving_gradient_16x12.y4m"), "rb").read()
+    png = open(os.path.join(fdir, "gradient_16x12_rgb.png"), "rb").read()
+    wav = open(os.path.join(fdir, "tone_440_8k_stereo16.wav"), "rb").read()
+    expect = video_features(vid)
+    media = spark.createDataFrame(
+        [
+            (0, "video", vid,
+             {"width": 16, "height": 12, "sample_rate": None,
+              "n_frames": 6, "mime": "video/x-yuv4mpeg"}),
+            (1, "image", png,
+             {"width": 16, "height": 12, "sample_rate": None,
+              "n_frames": None, "mime": "image/png"}),
+            (2, "audio", wav,
+             {"width": None, "height": None, "sample_rate": 8000,
+              "n_frames": None, "mime": "audio/wav"}),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in extract_features(media, fake=False).collect()}
+    assert rows[0].n_bytes == len(vid)
+    assert rows[0].feat == expect
+    assert rows[0].feat[3] == pytest.approx(6 / 25)  # duration from header
+    assert rows[0].feat[6] > 0.0  # moving clip has motion energy
+    assert rows[1].feat[2] == 3.0  # PNG row decodes in the same batch
+    assert rows[2].feat[1] == 2.0  # WAV row decodes in the same batch
+
+    # a STATIC clip has exactly zero motion energy (exact integer sums)
+    static = encode_y4m(4, 4, [bytes(range(16))] * 3, colorspace="mono")
+    assert video_features(static)[6] == 0.0
