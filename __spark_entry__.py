@@ -3435,6 +3435,75 @@ def q_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental vector INGEST into the persisted ANN index (the FAISS
+    ``add_with_ids`` shape): the index is built on the 80% corpus slice
+    (vec_id % 5 != 0), then the held-out 20% arrives as a batch and folds
+    in WITHOUT retraining — nearest-STORED-centroid assignment (broadcast
+    k rows, batch-sized work), partitioned-list append, O(k) occupancy
+    bookkeeping. Pays an honest subset build + ingest per call (fresh
+    temp catalog — no session cache); returns the appended vectors' list
+    assignments read back from the STORED lists. At 100 TB this is the
+    path that ingests new embeddings daily while rebuilds happen on
+    drift cadence. Extension family (no reference analogue)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.ann_index import (
+        append_to_ann_index,
+        build_ann_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = tempfile.mkdtemp(prefix="spark_graft_annapp_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    cat = Catalog(spark, d)
+    build_ann_index(
+        cat, "idx", emb.filter(F.col("vec_id") % 5 != 0),
+        n_centroids=8, iters=2,
+    )
+    append_to_ann_index(cat, "idx", emb.filter(F.col("vec_id") % 5 == 0))
+    return (
+        cat.read("idx__lists")
+        .filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id", "cluster")
+    )
+
+
+def _oracle_ann_index_append() -> str:
+    """kmeans unroll over the 80% slice ⊕ cosine assignment of the 20%
+    batch against those centroids — DuckDB replay of
+    build_ann_index(subset) + append_to_ann_index(batch)."""
+    cos = (
+        "round(CAST(list_sum(list_transform(list_zip(q.qv, c.cv),"
+        " s -> s[1] * s[2])) AS DOUBLE)"
+        " / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x))"
+        " AS DOUBLE)) * c.cn), 6)"
+    )
+    return (
+        _Q_QUANT_CTE
+        + """
+, q_base AS MATERIALIZED (SELECT * FROM q WHERE vec_id % 5 <> 0)
+, q_batch AS MATERIALIZED (SELECT * FROM q WHERE vec_id % 5 = 0)"""
+        + _kmeans_rounds("q_base", "", 8, 2)
+        + f"""
+, cent AS MATERIALIZED (
+  SELECT cluster AS cent_id, cv,
+         sqrt(CAST(list_sum(list_transform(cv, x -> x * x)) AS DOUBLE)) AS cn
+  FROM c2
+)
+SELECT vec_id, cluster FROM (
+  SELECT q.vec_id, c.cent_id AS cluster,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {cos} DESC, c.cent_id) AS rn
+  FROM q_batch q CROSS JOIN cent c
+) WHERE rn = 1
+"""
+    )
+
+
 def _ann_cent_lists_ctes() -> str:
     """Shared oracle CTEs mirroring build_ann_index(k=8, iters=2): the
     centroid relation (re-quantized, with norms) and the cosine-assigned
@@ -6585,6 +6654,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_encode_apply": q_pq_encode_apply,
     "dedup_semantic_apply": q_dedup_semantic_apply,
     # --- end of driver correctness window (slot 50) ---
+    "ann_index_append": q_ann_index_append,
     "shipping_priority": q_shipping_priority,
     "regional_volume": q_regional_volume,
     "nation_trade_volume": q_nation_trade_volume,
@@ -6842,6 +6912,7 @@ _ORACLES: dict[str, str] = {
     "pq_encode_apply": ORACLE_PQ_ENCODE_APPLY,
     "pq_topk_adc": ORACLE_PQ_TOPK,
     "ann_index_query": ORACLE_ANN_INDEX_QUERY,
+    "ann_index_append": _oracle_ann_index_append(),
     "quality_linear": ORACLE_QUALITY_LINEAR,
     "pmi_topk": ORACLE_PMI_TOPK,
     "bpe_encode": ORACLE_BPE_ENCODE,

@@ -86,6 +86,91 @@ def build_ann_index(
     catalog.write(lists, f"{name}__lists", partition_by=["cluster"])
 
 
+def append_to_ann_index(
+    catalog: Catalog,
+    name: str,
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    batch_id: int | str | None = None,
+) -> None:
+    """Fold a batch of NEW vectors into the persisted index WITHOUT
+    retraining — the standard IVF ingest path (FAISS ``add_with_ids``
+    semantics): each batch vector is assigned to its nearest STORED
+    centroid (broadcast k rows — batch-sized work, never a corpus pass)
+    and appended to the partitioned inverted lists. Works on both
+    layouts: flat lists (:func:`build_ann_index`) get pre-quantized
+    components + norms; PQ-coded lists (:func:`build_ivfpq_index`) are
+    encoded with the STORED codebook — no subspace retraining either.
+
+    The tiny centroid table is re-versioned with updated ``n_vectors``
+    occupancy (stored counts + batch counts — an O(k) bookkeeping write,
+    not a lists scan). Centroids/codebooks drift only on an explicit
+    rebuild, so recall degrades gracefully as the appended fraction
+    grows; rebuild cadence is the operator's knob, exactly as in a
+    production IVF deployment.
+
+    Pass ``batch_id`` from an at-least-once caller (foreachBatch): list
+    growth then goes through ``catalog.append_once`` and the occupancy
+    update is guarded by a marker in the centroid table's meta, so a
+    replayed batch converges to ONE copy of its rows and ONE count
+    increment (the ``append_to_dedup_index`` contract)."""
+    cent_table = f"{name}__centroids"
+    cent_meta = catalog.read_meta(cent_table) or {}
+    if batch_id is not None and str(
+        cent_meta.get("last_appended_batch")
+    ) == str(batch_id):
+        return
+    cent = _centroid_rel(catalog.read(cent_table))
+    base = quantize_embeddings(embeddings).select(
+        F.col(id_col).alias("vec_id"),
+        F.col("qvec").alias("v"),
+        _norm(F.col("qvec")).alias("nv"),
+    )
+    assigned = _assign_clusters(base, cent).localCheckpoint(eager=True)
+    if catalog.exists(f"{name}__pqlists"):
+        from .pq import pq_encode
+
+        codebook = catalog.read(f"{name}__codebook")
+        m = int(codebook.agg(F.max("subspace")).first()[0]) + 1
+        codes = pq_encode(
+            embeddings, codebook, m=m, id_col=id_col
+        ).withColumnRenamed(id_col, "vec_id")
+        rows = (
+            assigned.select("vec_id", "cluster")
+            .join(codes, "vec_id")
+            .select("vec_id", "cluster", *[f"code_{j}" for j in range(m)])
+        )
+        table = f"{name}__pqlists"
+    else:
+        rows = assigned
+        table = f"{name}__lists"
+    if batch_id is None:
+        catalog.append(rows, table, partition_by=["cluster"])
+    else:
+        catalog.append_once(rows, table, batch_id, partition_by=["cluster"])
+    batch_counts = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("__b")
+    )
+    updated = (
+        catalog.read(cent_table)
+        .join(batch_counts, "cluster", "left")
+        .select(
+            "cluster",
+            "centroid",
+            (F.col("n_vectors") + F.coalesce("__b", F.lit(0))).alias(
+                "n_vectors"
+            ),
+        )
+    )
+    meta = dict(cent_meta)
+    if batch_id is not None:
+        meta["last_appended_batch"] = str(batch_id)
+    # the meta marker commits WITH the counts under one pointer flip,
+    # AFTER the (idempotent) list append — a crash anywhere replays to
+    # the same final state
+    catalog.write(updated, cent_table, meta=meta or None)
+
+
 def query_ann_index(
     catalog: Catalog,
     name: str,

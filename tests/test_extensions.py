@@ -1947,3 +1947,107 @@ def test_extract_features_real_video_decode(spark):
     # a STATIC clip has exactly zero motion energy (exact integer sums)
     static = encode_y4m(4, 4, [bytes(range(16))] * 3, colorspace="mono")
     assert video_features(static)[6] == 0.0
+
+
+def test_ann_index_append_lifecycle(spark, tmp_path):
+    """Incremental vector ingest: build on a subset, append the rest
+    WITHOUT retraining — appended rows land in the stored lists with the
+    nearest-stored-centroid assignment, occupancy counts update by O(k)
+    bookkeeping, the query path sees appended vectors, and a batch_id
+    replay converges to one copy + one count increment."""
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.ann_index import (
+        append_to_ann_index,
+        build_ann_index,
+        query_ann_index,
+    )
+
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    n_batch = batch.count()
+
+    cat = Catalog(spark, str(tmp_path / "ann"))
+    build_ann_index(cat, "idx", base, n_centroids=4, iters=2)
+    n0 = {r.cluster: r.n_vectors for r in cat.read("idx__centroids").collect()}
+    cents_before = {
+        r.cluster: r.centroid for r in cat.read("idx__centroids").collect()
+    }
+
+    append_to_ann_index(cat, "idx", batch, batch_id=7)
+
+    lists = cat.read("idx__lists")
+    appended = lists.filter(F.col("vec_id") % 5 == 0)
+    assert appended.count() == n_batch
+    # occupancy: new counts = old + per-cluster batch counts; centroids
+    # themselves are unchanged (no retraining on append)
+    n1 = {r.cluster: r.n_vectors for r in cat.read("idx__centroids").collect()}
+    bc = {
+        r.cluster: r.n
+        for r in appended.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert n1 == {c: n0[c] + bc.get(c, 0) for c in n0}
+    assert {
+        r.cluster: r.centroid for r in cat.read("idx__centroids").collect()
+    } == cents_before
+    assert sum(n1.values()) == emb.count()
+
+    # the query path sees appended vectors: an appended vector queried
+    # against the index finds ITSELF excluded but ranks real neighbors;
+    # query BY a base vector can return appended ids
+    res = query_ann_index(cat, "idx", emb.limit(8), k=5, n_probe=4)
+    assert {r.neighbor_id % 5 == 0 for r in res.collect()} & {True}
+
+    # replay convergence (same batch_id): no duplicate rows, no double
+    # counting
+    append_to_ann_index(cat, "idx", batch, batch_id=7)
+    assert cat.read("idx__lists").count() == sum(n1.values())
+    assert {
+        r.cluster: r.n_vectors for r in cat.read("idx__centroids").collect()
+    } == n1
+
+
+def test_ivfpq_index_append_lifecycle(spark, tmp_path):
+    """Same ingest path on the PQ-coded layout: appended vectors are
+    encoded with the STORED codebook (no subspace retraining) and become
+    queryable through the IVF-PQ probe."""
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.ann_index import (
+        append_to_ann_index,
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from daily_top_songs_etl_spark.extensions.pq import pq_encode
+
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+
+    cat = Catalog(spark, str(tmp_path / "ivfpq"))
+    build_ivfpq_index(cat, "idx", base, n_centroids=4, iters=2, m=4, k_codes=8)
+    cb_before = sorted(map(tuple, cat.read("idx__codebook").collect()))
+    append_to_ann_index(cat, "idx", batch)
+
+    # codebook untouched; appended codes == encode-with-stored-codebook
+    assert sorted(map(tuple, cat.read("idx__codebook").collect())) == cb_before
+    stored = {
+        r.vec_id: (r.code_0, r.code_1, r.code_2, r.code_3)
+        for r in cat.read("idx__pqlists")
+        .filter(F.col("vec_id") % 5 == 0)
+        .collect()
+    }
+    expect = {
+        r.vec_id: (r.code_0, r.code_1, r.code_2, r.code_3)
+        for r in pq_encode(
+            batch, cat.read("idx__codebook"), m=4
+        ).collect()
+    }
+    assert stored == expect and len(stored) == batch.count()
+
+    # appended ids are reachable through the probe
+    res = query_ivfpq_index(cat, "idx", emb.limit(6), k=5, n_probe=4)
+    assert any(r.neighbor_id % 5 == 0 for r in res.collect())
