@@ -6153,6 +6153,53 @@ WHERE n_copies > 0
 """
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α-temperature source weighting (mT5/XLM-R mixing rule): per-lang
+    sampling weight ∝ (token share)^0.5, budget allocation, repetition
+    epochs. α is rational-by-construction (halves) so p^α is a
+    sqrt/multiply chain of correctly-rounded IEEE ops, and the
+    normalizing sum is an ORDERED fold over the lang-sorted array — the
+    weights hash-match DuckDB bit-for-bit. Extension family (no
+    reference analogue)."""
+    from daily_top_songs_etl_spark.extensions.mixture import (
+        temperature_mixture,
+    )
+
+    return temperature_mixture(
+        _t(spark, sf_dir, "documents"),
+        alpha_halves=1,
+        budget_tokens=1_000_000,
+        group_col="lang",
+    )
+
+
+ORACLE_TEMPERATURE_MIXTURE = r"""
+WITH tok AS (
+  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+), per AS (
+  SELECT lang, CAST(sum(len(t)) AS BIGINT) AS n_tokens FROM tok GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS N FROM per
+), tmp AS (
+  SELECT lang, n_tokens,
+         sqrt(CAST(n_tokens AS DOUBLE) / CAST(N AS DOUBLE)) AS t
+  FROM per, tot
+), s AS (
+  -- explicit left fold in lang order: float addition is not
+  -- associative, so an unordered SUM() could differ in the last bit
+  SELECT CAST(list_reduce(list_prepend(0.0, list(t ORDER BY lang)),
+                          (a, b) -> a + b) AS DOUBLE) AS S
+  FROM tmp
+)
+SELECT lang, n_tokens,
+       t / S AS weight,
+       CAST(floor(1000000.0 * (t / S)) AS BIGINT) AS allocated_tokens,
+       floor(1000000.0 * (t / S)) / CAST(n_tokens AS DOUBLE) AS epochs
+FROM tmp, s
+"""
+
+
 def q_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear quality-model margin over exact-integer-derived features
     (classifier-filter pattern; raw margin, not sigmoid — exp() rounding
@@ -6655,6 +6702,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semantic_apply": q_dedup_semantic_apply,
     # --- end of driver correctness window (slot 50) ---
     "ann_index_append": q_ann_index_append,
+    "temperature_mixture": q_temperature_mixture,
     "shipping_priority": q_shipping_priority,
     "regional_volume": q_regional_volume,
     "nation_trade_volume": q_nation_trade_volume,
@@ -6896,6 +6944,7 @@ _ORACLES: dict[str, str] = {
     "part_supplier_counts": ORACLE_PART_SUPPLIER_COUNTS,
     "mixture_sample": ORACLE_MIXTURE_SAMPLE,
     "mixture_upsample": ORACLE_MIXTURE_UPSAMPLE,
+    "temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,
     "observed_write": ORACLE_OBSERVED_WRITE,
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
     "dedup_segments_apply": ORACLE_DEDUP_SEGMENTS,

@@ -76,6 +76,77 @@ def mixture_sample(
     )
 
 
+def temperature_mixture(
+    documents: DataFrame,
+    alpha_halves: int = 1,
+    budget_tokens: int = 1_000_000,
+    group_col: str = "lang",
+) -> DataFrame:
+    """α-temperature source weighting — the multilingual-pretraining
+    mixing rule (mT5 / XLM-R, public method): sample source ``i`` with
+    probability ``w_i ∝ p_i^α`` where ``p_i`` is the source's token
+    share. α<1 flattens the distribution (low-resource sources are
+    upsampled relative to their natural share); α=1 is proportional.
+    Returns per source: exact token count, sampling ``weight``, the
+    ``allocated_tokens`` out of ``budget_tokens``, and ``epochs`` —
+    allocated/available, i.e. how many times the source repeats (>1 =
+    upsampling).
+
+    ``alpha_halves`` expresses α in HALF units (1 → α=0.5, 2 → α=1,
+    3 → α=1.5): ``p^(h/2)`` then evaluates as an integer-power multiply
+    chain times one ``sqrt`` — every step an IEEE correctly-rounded
+    operation, so weights are bit-identical across engines. A general
+    float α needs ``pow``, whose last ulp differs between libm
+    implementations — that variant would not be oracle-exact, which is
+    why the parameter is rational by construction. The normalizing
+    ``Σ p_j^α`` runs as an ordered fold over the group-sorted array —
+    never an unordered float SUM() — the same fixed-order float-addition
+    discipline as the BM25 operator.
+
+    Scale shape: one token-count aggregate over the corpus (map-side
+    combinable), then everything else happens on the ≤|groups| row
+    relation with two one-row broadcasts; the corpus shuffles once and
+    only (group) keys move."""
+    if alpha_halves < 1:
+        raise ValueError("alpha_halves must be >= 1")
+    t = tokens("text")
+    per = documents.groupBy(group_col).agg(
+        F.sum(F.size(t)).alias("n_tokens")
+    )
+    total = per.agg(F.sum("n_tokens").alias("__N"))
+    j = per.join(F.broadcast(total))
+    p = F.col("n_tokens").cast("double") / F.col("__N").cast("double")
+    # p^(h/2) as a multiply chain × one sqrt: odd h → sqrt(p)·p^((h-1)/2),
+    # even h → p^(h/2). Every step correctly rounded → engine-portable.
+    temp = F.sqrt(p) if alpha_halves % 2 else p
+    for _ in range(alpha_halves // 2 - (0 if alpha_halves % 2 else 1)):
+        temp = temp * p
+    j = j.select(group_col, "n_tokens", temp.alias("__t"))
+    s = j.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(group_col, F.col("__t")))),
+            F.lit(0.0),
+            lambda a, x: a + x["__t"],
+        ).alias("__S")
+    )
+    w = F.col("__t") / F.col("__S")
+    return (
+        j.join(F.broadcast(s))
+        .select(
+            group_col,
+            "n_tokens",
+            w.alias("weight"),
+            F.floor(F.lit(float(budget_tokens)) * w)
+            .cast("bigint")
+            .alias("allocated_tokens"),
+            (
+                F.floor(F.lit(float(budget_tokens)) * w)
+                / F.col("n_tokens").cast("double")
+            ).alias("epochs"),
+        )
+    )
+
+
 #: Feature weights for the linear quality margin: (weight, bias) over
 #: [n_tokens/100, stopword_ratio, punct_ratio, mean_word_len/10].
 DEFAULT_QUALITY_WEIGHTS = (0.35, 2.0, -4.0, -0.8)

@@ -2051,3 +2051,41 @@ def test_ivfpq_index_append_lifecycle(spark, tmp_path):
     # appended ids are reachable through the probe
     res = query_ivfpq_index(cat, "idx", emb.limit(6), k=5, n_probe=4)
     assert any(r.neighbor_id % 5 == 0 for r in res.collect())
+
+
+def test_temperature_mixture_semantics(spark):
+    """α-temperature rebalancing: weights sum to 1; α=0.5 gives every
+    low-share source MORE than its natural share and high-share sources
+    less (flattening); α=1 (alpha_halves=2) is exactly proportional;
+    allocation respects the budget; epochs = allocated/available."""
+    from daily_top_songs_etl_spark.extensions.mixture import (
+        temperature_mixture,
+    )
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    out = {
+        r.lang: r
+        for r in temperature_mixture(
+            docs, alpha_halves=1, budget_tokens=1_000_000
+        ).collect()
+    }
+    total = sum(r.n_tokens for r in out.values())
+    assert sum(r.weight for r in out.values()) == pytest.approx(1.0)
+    assert sum(r.allocated_tokens for r in out.values()) <= 1_000_000
+    for r in out.values():
+        share = r.n_tokens / total
+        if share < 1 / len(out):
+            assert r.weight > share  # upsampled
+        elif share > 1 / len(out):
+            assert r.weight < share  # downsampled
+        assert r.epochs == pytest.approx(r.allocated_tokens / r.n_tokens)
+
+    prop = {
+        r.lang: r.weight
+        for r in temperature_mixture(docs, alpha_halves=2).collect()
+    }
+    for lang, r in out.items():
+        assert prop[lang] == pytest.approx(r.n_tokens / total)
+
+    with pytest.raises(ValueError, match="alpha_halves"):
+        temperature_mixture(docs, alpha_halves=0)
