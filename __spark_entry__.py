@@ -2365,7 +2365,7 @@ def q_dedup_apply_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_apply(docs, minhash_lsh_star_edges(docs))
 
 
-ORACLE_DEDUP_APPLY = f"""{_SQL_SHINGLES}
+_DEDUP_CLUSTER_CTES = f"""{_SQL_SHINGLES}
 , sig AS (
   SELECT doc_id,
          {_SIG_COLS}
@@ -2391,12 +2391,53 @@ ORACLE_DEDUP_APPLY = f"""{_SQL_SHINGLES}
 ), cl AS (
   SELECT node AS doc_id, min(lbl) AS cluster_id
   FROM reach GROUP BY node
-)
+)"""
+
+ORACLE_DEDUP_APPLY = f"""{_DEDUP_CLUSTER_CTES}
 SELECT d.doc_id,
        coalesce(c.doc_id = c.cluster_id, FALSE) AS is_cluster_rep
 FROM documents d
 LEFT JOIN cl c ON d.doc_id = c.doc_id
 WHERE c.doc_id IS NULL OR c.doc_id = c.cluster_id
+"""
+
+
+def q_dedup_apply_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keep/drop: one representative per near-dup cluster,
+    chosen as the LONGEST member (n_chars priority, ties → lowest id)
+    instead of the lowest id — "keep the best copy". Clusters come from
+    the linear star-edge graph; identical transitive closure to the pair
+    graph, so the oracle reuses the recursive-CTE clustering with a
+    priority-ranked winner."""
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        dedup_apply_priority,
+        minhash_lsh_star_edges,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_apply_priority(
+        docs, minhash_lsh_star_edges(docs), priority_col="n_chars"
+    )
+
+
+ORACLE_DEDUP_APPLY_BEST = f"""{_DEDUP_CLUSTER_CTES}
+, memb AS (
+  SELECT c.doc_id, c.cluster_id, d.n_chars
+  FROM cl c JOIN documents d USING (doc_id)
+), win AS (
+  SELECT cluster_id, doc_id AS rep FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM memb
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       coalesce(d.doc_id = w.rep, FALSE) AS is_cluster_rep
+FROM documents d
+LEFT JOIN memb m ON d.doc_id = m.doc_id
+LEFT JOIN win w ON m.cluster_id = w.cluster_id
+WHERE m.doc_id IS NULL OR d.doc_id = w.rep
 """
 
 
@@ -6703,6 +6744,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- end of driver correctness window (slot 50) ---
     "ann_index_append": q_ann_index_append,
     "temperature_mixture": q_temperature_mixture,
+    "dedup_apply_best": q_dedup_apply_best,
     "shipping_priority": q_shipping_priority,
     "regional_volume": q_regional_volume,
     "nation_trade_volume": q_nation_trade_volume,
@@ -6883,6 +6925,7 @@ _ORACLES: dict[str, str] = {
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "dedup_apply": ORACLE_DEDUP_APPLY,
     "dedup_apply_star": ORACLE_DEDUP_APPLY,
+    "dedup_apply_best": ORACLE_DEDUP_APPLY_BEST,
     "stream_dedup": ORACLE_STREAM_DEDUP,
     "stream_interval_join": ORACLE_STREAM_INTERVAL_JOIN,
     "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,

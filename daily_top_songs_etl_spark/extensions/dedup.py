@@ -642,6 +642,55 @@ def dedup_apply(documents: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def dedup_apply_priority(
+    documents: DataFrame,
+    pairs: DataFrame,
+    priority_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware survivor selection: the same keep/drop contract as
+    :func:`dedup_apply`, but each cluster's representative is the member
+    with the HIGHEST ``priority_col`` (ties: lowest id) instead of the
+    lowest id — the production choice ("keep the best copy": longest
+    text, highest quality score, freshest crawl). The priority must be
+    engine-portable for oracle comparison — exact integers (n_chars) or
+    fixed-order float expressions qualify.
+
+    Plan shape matches dedup_apply: the cluster relation is pair-bounded
+    (tiny), so it broadcasts INTO the corpus for the priority lookup and
+    the winner aggregate runs on that tiny relation; the corpus itself
+    never shuffles."""
+    clusters = connected_components(pairs)
+    members = documents.select(id_col, priority_col).join(
+        F.broadcast(clusters), id_col
+    )
+    winners = (
+        members.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(priority_col).alias("p"),
+                    (-F.col(id_col)).alias("nid"),
+                )
+            ).alias("b")
+        )
+        .select((-F.col("b.nid")).alias(id_col))
+    )
+    dropped = members.join(winners, id_col, "left_anti").select(id_col)
+    reps = winners.select(id_col, F.lit(True).alias("is_cluster_rep"))
+    return (
+        documents.select(id_col)
+        .join(F.broadcast(dropped), id_col, "left_anti")
+        .join(F.broadcast(reps), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("is_cluster_rep"), F.lit(False)).alias(
+                "is_cluster_rep"
+            ),
+        )
+    )
+
+
 def fuzzy_pairs(
     df: DataFrame,
     text_col: str,

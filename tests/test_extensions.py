@@ -2089,3 +2089,30 @@ def test_temperature_mixture_semantics(spark):
 
     with pytest.raises(ValueError, match="alpha_halves"):
         temperature_mixture(docs, alpha_halves=0)
+
+
+def test_dedup_apply_priority_picks_best(spark):
+    """Priority survivor selection: within a cluster the highest-priority
+    member wins (ties -> lowest id); unclustered docs always survive;
+    survivor count matches dedup_apply (same clusters, different rep)."""
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        dedup_apply,
+        dedup_apply_priority,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (7, 5), (9, 50)],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_id_a long, doc_id_b long"
+    )
+    out = {
+        r.doc_id: r.is_cluster_rep
+        for r in dedup_apply_priority(docs, pairs, "n_chars").collect()
+    }
+    # cluster {1,2,3}: 2 and 3 tie on n_chars=99 -> 2 wins (lower id)
+    assert out == {2: True, 7: False, 9: False}
+    base = dedup_apply(docs.select("doc_id"), pairs)
+    assert base.count() == len(out)  # same survivor cardinality
+    assert {r.doc_id for r in base.collect()} == {1, 7, 9}  # min-id rep
