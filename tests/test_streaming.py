@@ -805,3 +805,60 @@ def test_pretrain_stream_replay_after_append_before_marker(spark, tmp_path):
     counts = read_funnel_counts(state)
     assert len(counts) == 1
     assert counts[0]["accepted"] == 1  # 102 was not self-rejected
+
+
+def test_vector_ingest_stream_grows_index_exactly_once(spark, tmp_path):
+    """Continuous vector ingest: micro-batches fold into the stored ANN
+    index (assignment against STORED centroids, occupancy bookkeeping),
+    appended vectors become queryable, and a full re-run of the drained
+    stream changes nothing (the index tables carry their own exactly-once
+    markers)."""
+    from pyspark.sql import functions as F
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.ann_index import (
+        build_ann_index,
+        query_ann_index,
+    )
+    from daily_top_songs_etl_spark.streaming.vector_stream import (
+        run_vector_ingest_stream,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    b1 = emb.filter(F.col("vec_id") % 5 == 0).filter(F.col("vec_id") < 250)
+    b2 = emb.filter(F.col("vec_id") % 5 == 0).filter(F.col("vec_id") >= 250)
+
+    cat = Catalog(spark, str(tmp_path / "ann"))
+    build_ann_index(cat, "idx", base, n_centroids=4, iters=2)
+
+    landing = str(tmp_path / "landing")
+    b1.coalesce(1).write.parquet(landing)
+    b2.coalesce(1).write.mode("append").parquet(landing)
+    ckpt = str(tmp_path / "ckpt")
+    run_vector_ingest_stream(spark, landing, b1.schema, cat, "idx", ckpt)
+
+    lists = cat.read("idx__lists")
+    assert lists.count() == emb.count()
+    n1 = {r.cluster: r.n_vectors for r in cat.read("idx__centroids").collect()}
+    assert sum(n1.values()) == emb.count()
+
+    # appended ids reachable through the stored-index probe
+    res = query_ann_index(cat, "idx", emb.limit(6), k=5, n_probe=4)
+    assert any(r.neighbor_id % 5 == 0 for r in res.collect())
+
+    # replay: drained stream re-run is a no-op
+    run_vector_ingest_stream(spark, landing, b1.schema, cat, "idx", ckpt)
+    assert cat.read("idx__lists").count() == emb.count()
+    assert {
+        r.cluster: r.n_vectors for r in cat.read("idx__centroids").collect()
+    } == n1
+
+    # unbuilt index refuses ingest
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not built"):
+        run_vector_ingest_stream(
+            spark, landing, b1.schema, Catalog(spark, str(tmp_path / "x")),
+            "nope", str(tmp_path / "ckpt2"),
+        )
