@@ -106,6 +106,12 @@ def main() -> int:
     ap.add_argument("--max-rows", type=int, default=1_500_000)
     ap.add_argument("--mem", default="24GB")
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names: sweep only these "
+        "(targeted scale verification of new entries)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -126,6 +132,13 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if args.only:
+        names = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            print(f"unknown queries: {unknown}", file=sys.stderr)
+            return 2
+        qs = {n: qs[n] for n in names}
     green, red, skipped, rows_only, vacuous = [], [], [], [], []
     for name, fn in qs.items():
         if name not in oracles:
