@@ -2116,3 +2116,25 @@ def test_dedup_apply_priority_picks_best(spark):
     base = dedup_apply(docs.select("doc_id"), pairs)
     assert base.count() == len(out)  # same survivor cardinality
     assert {r.doc_id for r in base.collect()} == {1, 7, 9}  # min-id rep
+
+
+def test_kmeans_centroid_state_paths_identical(spark):
+    """The pagerank-style materialization knob: the lazily chained
+    default and the driver-state loop produce bit-identical centroids
+    and sizes (the knob trades corpus scans for driver roundtrips, never
+    results)."""
+    from daily_top_songs_etl_spark.extensions.similarity import kmeans_fit
+
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet").filter(
+        F.col("vec_id") < 300
+    )
+    a = sorted(map(tuple, kmeans_fit(emb, k=4, iters=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            kmeans_fit(emb, k=4, iters=3, centroid_state="driver").collect(),
+        )
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="centroid_state"):
+        kmeans_fit(emb, centroid_state="bogus")
