@@ -6194,6 +6194,45 @@ WHERE n_copies > 0
 """
 
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: per ingestion-order corpus slice,
+    token volume, never-before-seen distinct tokens, cumulative
+    vocabulary. Bucketing is arithmetic against a broadcast (min, max) —
+    no global sort; one token-keyed shuffle; the cumulative window runs
+    over ≤ 10 rows. Extension family (no reference analogue)."""
+    from daily_top_songs_etl_spark.extensions.text import vocab_growth
+
+    return vocab_growth(_t(spark, sf_dir, "documents"), n_buckets=10)
+
+
+ORACLE_VOCAB_GROWTH = r"""
+WITH b AS (
+  SELECT CAST(min(doc_id) AS BIGINT) AS lo,
+         CAST(max(doc_id) AS BIGINT) AS hi
+  FROM documents
+), tk AS (
+  SELECT CAST(((d.doc_id - b.lo) * 10) // (b.hi - b.lo + 1) AS INTEGER)
+           AS bucket,
+         unnest(string_split_regex(trim(lower(d.text)), '\s+')) AS tok
+  FROM documents d, b
+), per AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens FROM tk GROUP BY 1
+), firsts AS (
+  SELECT tok, min(bucket) AS bucket FROM tk GROUP BY 1
+), newp AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS new_tokens FROM firsts
+  GROUP BY 1
+)
+SELECT p.bucket, p.n_tokens,
+       CAST(coalesce(n.new_tokens, 0) AS BIGINT) AS new_tokens,
+       CAST(sum(coalesce(n.new_tokens, 0))
+            OVER (ORDER BY p.bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_vocab
+FROM per p LEFT JOIN newp n USING (bucket)
+"""
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """α-temperature source weighting (mT5/XLM-R mixing rule): per-lang
     sampling weight ∝ (token share)^0.5, budget allocation, repetition
@@ -6745,6 +6784,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_index_append": q_ann_index_append,
     "temperature_mixture": q_temperature_mixture,
     "dedup_apply_best": q_dedup_apply_best,
+    "vocab_growth": q_vocab_growth,
     "shipping_priority": q_shipping_priority,
     "regional_volume": q_regional_volume,
     "nation_trade_volume": q_nation_trade_volume,
@@ -6973,6 +7013,7 @@ _ORACLES: dict[str, str] = {
     "decontaminate": ORACLE_DECONTAMINATE,
     "token_freq_score": ORACLE_TOKEN_FREQ_SCORE,
     "vocab_build": ORACLE_VOCAB_BUILD,
+    "vocab_growth": ORACLE_VOCAB_GROWTH,
     "vocab_encode": ORACLE_VOCAB_ENCODE,
     "value_deciles": ORACLE_VALUE_DECILES,
     "incremental_agg": ORACLE_INCREMENTAL_AGG,

@@ -539,6 +539,55 @@ def decontaminate(
     )
 
 
+def vocab_growth(documents: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Heaps-law vocabulary growth profile: split the corpus into
+    ``n_buckets`` ingestion-order slices (doc_id ranges) and report, per
+    slice, the token volume, the count of NEVER-BEFORE-SEEN distinct
+    tokens, and the cumulative vocabulary size. The curve a tokenizer /
+    dedup plan is sized from — a flattening tail means new data stops
+    contributing vocabulary; a linear tail means the corpus is still
+    open-domain (or full of serial-number noise).
+
+    Scale shape: bucketing is pure arithmetic on doc_id against a 1-row
+    broadcast (min, max) — NO global sort or row_number (a ntile over
+    the whole corpus would collapse onto one task); token first-seen is
+    one shuffle keyed on the token; everything after runs on the
+    ≤ n_buckets row relation, where the cumulative window is trivially
+    safe. All counts are exact integers — engine-portable."""
+    bounds = documents.agg(
+        F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi")
+    )
+    bucket = F.expr(
+        f"CAST(((doc_id - __lo) * {n_buckets}) div (__hi - __lo + 1) AS INT)"
+    )
+    toks = (
+        documents.join(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), F.explode(tokens()).alias("tok"))
+    )
+    per_bucket = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    new_per = (
+        toks.groupBy("tok")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
+    )
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_bucket.join(new_per, "bucket", "left")
+        .select(
+            "bucket",
+            "n_tokens",
+            F.coalesce("new_tokens", F.lit(0)).alias("new_tokens"),
+        )
+        .withColumn("cum_vocab", F.sum("new_tokens").over(w))
+    )
+
+
 def token_freq_score(documents: DataFrame) -> DataFrame:
     """Unigram-LM-style commonness score: per document, the sum and mean of
     each token's corpus-wide occurrence count. Rare-token-heavy docs (low

@@ -2138,3 +2138,35 @@ def test_kmeans_centroid_state_paths_identical(spark):
     assert a == b
     with pytest.raises(ValueError, match="centroid_state"):
         kmeans_fit(emb, centroid_state="bogus")
+
+
+def test_vocab_growth_semantics(spark):
+    """Heaps-law profile invariants: buckets partition the token volume,
+    new_tokens sums to the corpus vocabulary, cum_vocab is its running
+    sum, bucket 0 introduces its whole slice vocabulary, and a token
+    seen in an early bucket is never counted new again."""
+    from daily_top_songs_etl_spark.extensions.text import tokens, vocab_growth
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    rows = sorted(
+        (r.bucket, r.n_tokens, r.new_tokens, r.cum_vocab)
+        for r in vocab_growth(docs, n_buckets=10).collect()
+    )
+    assert [b for b, *_ in rows] == list(range(10))
+    total_tokens = docs.select(F.explode(tokens()).alias("t")).count()
+    vocab = docs.select(F.explode(tokens()).alias("t")).distinct().count()
+    assert sum(n for _, n, _, _ in rows) == total_tokens
+    assert sum(nw for _, _, nw, _ in rows) == vocab
+    assert rows[-1][3] == vocab  # cumulative ends at full vocabulary
+    run = 0
+    for _, _, nw, cum in rows:
+        run += nw
+        assert cum == run
+    # a controlled corpus: bucket 1 reuses bucket 0's words entirely
+    ctl = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta alpha alpha")],
+        "doc_id long, text string",
+    )
+    ctl_rows = {r.bucket: r for r in vocab_growth(ctl, n_buckets=2).collect()}
+    assert ctl_rows[0].new_tokens == 2 and ctl_rows[1].new_tokens == 0
+    assert ctl_rows[1].cum_vocab == 2
