@@ -407,3 +407,57 @@ def test_wav_codec_roundtrip_property(spark, sr, n_channels, bits, frames, data)
     feats = wav_features(payload)
     assert len(feats) == 8 and feats[1] == float(n_channels)
     assert 0.0 <= feats[4] <= 1.0 and 0.0 <= feats[5] <= 1.0
+
+
+def test_append_once_converges_under_crash_at_any_rename(spark, tmp_path):
+    """Exactly-once growth under arbitrary interruption: kill append_once
+    at EVERY possible os.replace boundary (including before the first and
+    after the last rename), replay it cleanly, and require the table to
+    hold exactly one copy of every batch regardless of where the crash
+    landed. This is the mechanical version of the round-5 streaming
+    replay contract: a crash anywhere leaves a state the replay converges
+    from."""
+    import os as _os
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+
+    base = spark.createDataFrame([(0, "seed")], "k long, v string")
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+
+    crash_point = 0
+    real_replace = _os.replace
+
+    class _Boom(RuntimeError):
+        pass
+
+    def crashing_replace(src, dst):
+        nonlocal crash_point
+        if crash_point == 0:
+            raise _Boom("injected crash before rename")
+        crash_point -= 1
+        return real_replace(src, dst)
+
+    for point in range(0, 6):  # beyond the real rename count = no crash
+        cat = Catalog(spark, str(tmp_path / f"wh_{point}"))
+        cat.write(base, "t")
+        crash_point = point
+        _os.replace = crashing_replace
+        try:
+            try:
+                cat.append_once(batch, "t", 42)
+                crashed = False
+            except _Boom:
+                crashed = True
+        finally:
+            _os.replace = real_replace
+        # replay after the (possible) crash — same batch id, same rows
+        cat.append_once(batch, "t", 42)
+        spark.catalog.refreshByPath(cat.path("t"))
+        got = sorted((r.k, r.v) for r in cat.read("t").collect())
+        assert got == [(0, "seed"), (1, "a"), (2, "b"), (3, "c")], (
+            point,
+            crashed,
+            got,
+        )
