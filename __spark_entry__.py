@@ -6194,6 +6194,40 @@ WHERE n_copies > 0
 """
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language subwords-per-word fertility (the cross-lingual
+    tokenizer-quality metric): exact BIGINT sums per lang, one double
+    division each for fertility and chars_per_word. Single
+    map-side-combinable aggregate keyed on lang. Extension family (no
+    reference analogue)."""
+    from daily_top_songs_etl_spark.extensions.text import (
+        tokenizer_fertility,
+    )
+
+    return tokenizer_fertility(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_TOKENIZER_FERTILITY = r"""
+WITH tok AS (
+  SELECT lang, text,
+         string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+), per AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(t)) AS BIGINT) AS n_words,
+         CAST(sum(list_sum(list_transform(t,
+              w -> ceil(length(w) / 4.0)::BIGINT))) AS BIGINT) AS n_subwords,
+         CAST(sum(length(text)) AS BIGINT) AS n_chars
+  FROM tok GROUP BY 1
+)
+SELECT lang, n_docs, n_words, n_subwords,
+       CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility,
+       CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS chars_per_word
+FROM per
+"""
+
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth: per ingestion-order corpus slice,
     token volume, never-before-seen distinct tokens, cumulative
@@ -6785,6 +6819,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mixture": q_temperature_mixture,
     "dedup_apply_best": q_dedup_apply_best,
     "vocab_growth": q_vocab_growth,
+    "tokenizer_fertility": q_tokenizer_fertility,
     "shipping_priority": q_shipping_priority,
     "regional_volume": q_regional_volume,
     "nation_trade_volume": q_nation_trade_volume,
@@ -7014,6 +7049,7 @@ _ORACLES: dict[str, str] = {
     "token_freq_score": ORACLE_TOKEN_FREQ_SCORE,
     "vocab_build": ORACLE_VOCAB_BUILD,
     "vocab_growth": ORACLE_VOCAB_GROWTH,
+    "tokenizer_fertility": ORACLE_TOKENIZER_FERTILITY,
     "vocab_encode": ORACLE_VOCAB_ENCODE,
     "value_deciles": ORACLE_VALUE_DECILES,
     "incremental_agg": ORACLE_INCREMENTAL_AGG,

@@ -41,6 +41,44 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def tokenizer_fertility(documents: DataFrame) -> DataFrame:
+    """Per-language tokenizer fertility — subwords emitted per word — the
+    standard cross-lingual tokenizer-quality metric (SentencePiece /
+    XLM-R evaluations, public): languages the tokenizer fragments show
+    high fertility, inflating their effective token cost in a training
+    mixture (this feeds :func:`..mixture.temperature_mixture` budgeting).
+    Uses the engine's BPE-ish 4-char subword proxy (same expression as
+    :func:`token_stats`). Exactness: per-language sums are exact BIGINTs;
+    fertility and chars_per_word are ONE double division each —
+    engine-portable. Plan: all word/subword arithmetic happens in the
+    array domain per row, then a single map-side-combinable aggregate
+    keyed on lang — one shuffle of |langs|×partitions rows."""
+    t = tokens()
+    subwords = F.aggregate(
+        t,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("bigint"),
+    )
+    per = documents.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(t)).alias("n_words"),
+        F.sum(subwords).alias("n_subwords"),
+        F.sum(F.length("text")).alias("n_chars"),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_subwords",
+        (
+            F.col("n_subwords").cast("double") / F.col("n_words").cast("double")
+        ).alias("fertility"),
+        (
+            F.col("n_chars").cast("double") / F.col("n_words").cast("double")
+        ).alias("chars_per_word"),
+    )
+
+
 def language_id(documents: DataFrame) -> DataFrame:
     """Heuristic language ID: fraction of tokens that are high-frequency
     English words. Deterministic single division; threshold 0.05."""

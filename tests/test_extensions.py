@@ -2170,3 +2170,29 @@ def test_vocab_growth_semantics(spark):
     ctl_rows = {r.bucket: r for r in vocab_growth(ctl, n_buckets=2).collect()}
     assert ctl_rows[0].new_tokens == 2 and ctl_rows[1].new_tokens == 0
     assert ctl_rows[1].cum_vocab == 2
+
+
+def test_tokenizer_fertility_semantics(spark):
+    """Fertility invariants: every word yields >= 1 subword (fertility
+    >= 1); a language of short words has fertility exactly 1; long words
+    raise it; counts partition the corpus."""
+    from daily_top_songs_etl_spark.extensions.text import (
+        tokenizer_fertility,
+    )
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    rows = {r.lang: r for r in tokenizer_fertility(docs).collect()}
+    assert sum(r.n_docs for r in rows.values()) == docs.count()
+    for r in rows.values():
+        assert r.fertility >= 1.0
+        assert r.chars_per_word > 0
+
+    ctl = spark.createDataFrame(
+        [(1, "aa bb cc", "xx"), (2, "abcdefgh ij", "yy")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.lang: r for r in tokenizer_fertility(ctl).collect()}
+    assert out["xx"].fertility == 1.0          # all words <= 4 chars
+    assert out["yy"].n_words == 2
+    assert out["yy"].n_subwords == 3           # ceil(8/4) + ceil(2/4)
+    assert out["yy"].fertility == 1.5
