@@ -6228,6 +6228,171 @@ FROM per
 """
 
 
+# --------------------------------------------------------------------------
+# Bigram-LM familiarity scoring (conditional-context quality signal)
+# --------------------------------------------------------------------------
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc corpus-bigram familiarity: BIGINT sum/hapax-count of each
+    document's word-transition corpus frequencies — the conditional
+    upgrade of token_freq_score's unigram proxy (KenLM-filter stand-in).
+    Ratios are UNROUNDED single double divisions (bit-identical IEEE)."""
+    from daily_top_songs_etl_spark.extensions.text import bigram_lm_score
+
+    return bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_BIGRAM_LM_SCORE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+     THEN list_transform(generate_series(1, len(t)-1),
+                         i -> array_to_string(t[i:i+1], ' '))
+     ELSE [] END) AS gram
+  FROM tok
+), vocab AS (
+  SELECT gram, count(*) AS gram_count FROM bg GROUP BY gram
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(gram_count) AS BIGINT) AS sum_bigram_freq,
+       CAST(sum(CASE WHEN gram_count = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax_bigrams,
+       CAST(sum(gram_count) AS DOUBLE) / count(*) AS mean_bigram_freq,
+       CAST(sum(CASE WHEN gram_count = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS hapax_ratio
+FROM bg JOIN vocab USING (gram)
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination (broadcast-bitset variant)
+# --------------------------------------------------------------------------
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-bitset decontamination: same bench/corpus split as
+    q_decontaminate (doc_id % 13), but membership is probed against a
+    32-bits-per-gram / 4-hash Bloom filter built from the benchmark gram
+    set — the state that crosses a 1000-executor cluster is the nonzero
+    32-bit words of the bitset, not the gram strings. Zero false
+    negatives by construction; the deterministic md5-derived false
+    positives are part of the (cross-engine bit-identical) answer."""
+    from daily_top_songs_etl_spark.extensions.text import bloom_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 13 != 0)
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    return bloom_decontaminate(corpus, bench, n=7)
+
+
+_BLOOM_POS_LIST = ", ".join(
+    f"CAST('0x' || substr(md5('{j}:' || gram), 1, 15) AS BIGINT) % m_bits"
+    for j in range(4)
+)
+ORACLE_BLOOM_DECONTAMINATE = rf"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(t) >= 7
+            THEN list_transform(generate_series(1, len(t)-6),
+                                i -> array_to_string(t[i:i+6], ' '))
+            ELSE [] END)) AS gram
+  FROM tok
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 13 = 0
+), m AS (
+  SELECT CAST(32 * count(*) AS BIGINT) AS m_bits FROM bench
+), bench_pos AS (
+  SELECT unnest([{_BLOOM_POS_LIST}]) AS pos
+  FROM bench CROSS JOIN m
+), words AS (
+  SELECT pos // 32 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS word
+  FROM bench_pos GROUP BY 1
+), cpos AS (
+  SELECT doc_id, gram, unnest([{_BLOOM_POS_LIST}]) AS pos
+  FROM grams CROSS JOIN m WHERE doc_id % 13 <> 0
+), hits AS (
+  SELECT doc_id, gram
+  FROM cpos JOIN words ON words.word_idx = cpos.pos // 32
+  WHERE (word & (CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER))) <> 0
+  GROUP BY doc_id, gram
+  HAVING count(*) = 4
+), cand AS (
+  SELECT doc_id, count(*) AS n FROM hits GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_candidate_grams,
+       coalesce(c.n, 0) > 0 AS flagged
+FROM (SELECT doc_id FROM documents WHERE doc_id % 13 <> 0) d
+LEFT JOIN cand c USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# Coarse-to-fine similarity rerank (Matryoshka / FAISS-refine pattern)
+# --------------------------------------------------------------------------
+def q_sim_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-dim (16 of 64) coarse top-30 per query, exact full-dim
+    rerank to top-10 — two corpus scans, zero corpus shuffles, windows
+    carry ids+scores only."""
+    from daily_top_songs_etl_spark.extensions.similarity import rerank_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, coarse_dim=16,
+        n_candidates=30,
+    )
+
+
+ORACLE_SIM_TOPK_RERANK = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE)*1000)::BIGINT)
+             AS v
+  FROM embeddings
+), coarse AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(CAST(list_sum(list_transform(list_zip(qs.v[1:16], c.v[1:16]),
+                                            s -> s[1]*s[2])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(qs.v[1:16], x -> x*x))
+                            AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(c.v[1:16], x -> x*x))
+                              AS DOUBLE))),
+               6) AS coarse_cosine
+  FROM q qs JOIN q c ON c.vec_id != qs.vec_id
+  WHERE qs.vec_id < 5
+), cand AS (
+  SELECT query_id, neighbor_id
+  FROM coarse
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY coarse_cosine DESC, neighbor_id) <= 30
+), rescored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(CAST(list_sum(list_transform(list_zip(qq.v, cc.v),
+                                            s -> s[1]*s[2])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(qq.v, x -> x*x))
+                            AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(cc.v, x -> x*x))
+                              AS DOUBLE))),
+               6) AS cosine
+  FROM cand
+  JOIN q qq ON qq.vec_id = cand.query_id
+  JOIN q cc ON cc.vec_id = cand.neighbor_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id)
+            AS INTEGER) AS rank,
+       neighbor_id, cosine
+FROM rescored
+QUALIFY rank <= 10
+"""
+
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth: per ingestion-order corpus slice,
     token volume, never-before-seen distinct tokens, cumulative
@@ -6820,6 +6985,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_apply_best": q_dedup_apply_best,
     "vocab_growth": q_vocab_growth,
     "tokenizer_fertility": q_tokenizer_fertility,
+    "bigram_lm_score": q_bigram_lm_score,
+    "bloom_decontaminate": q_bloom_decontaminate,
+    "sim_topk_rerank": q_sim_topk_rerank,
     "shipping_priority": q_shipping_priority,
     "regional_volume": q_regional_volume,
     "nation_trade_volume": q_nation_trade_volume,
@@ -7050,6 +7218,9 @@ _ORACLES: dict[str, str] = {
     "vocab_build": ORACLE_VOCAB_BUILD,
     "vocab_growth": ORACLE_VOCAB_GROWTH,
     "tokenizer_fertility": ORACLE_TOKENIZER_FERTILITY,
+    "bigram_lm_score": ORACLE_BIGRAM_LM_SCORE,
+    "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
+    "sim_topk_rerank": ORACLE_SIM_TOPK_RERANK,
     "vocab_encode": ORACLE_VOCAB_ENCODE,
     "value_deciles": ORACLE_VALUE_DECILES,
     "incremental_agg": ORACLE_INCREMENTAL_AGG,

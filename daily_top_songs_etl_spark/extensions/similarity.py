@@ -600,3 +600,91 @@ def quantize_int8(
             ).alias("codes"),
         )
     )
+
+
+def rerank_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    coarse_dim: int = 16,
+    n_candidates: int = 30,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Coarse-to-fine cosine top-k: rank ALL corpus vectors by a cheap
+    truncated-dimension cosine (the first ``coarse_dim`` components — the
+    Matryoshka-representation / FAISS-refine pattern), keep
+    ``n_candidates`` per query, then re-rank only those candidates with
+    the exact full-dimension cosine.
+
+    Scale shape: stage 1 scans the corpus once against the broadcast
+    query set touching ``coarse_dim/dim`` of the vector bytes, and the
+    per-query top-C window carries only (ids, score) — never the vectors.
+    Stage 2 re-scans the corpus with a **broadcast semi-probe of the
+    |Q|×C candidate ids** (each candidate row carries its query's full
+    vector from the broadcast side), so the full-precision math runs on
+    |Q|×C pairs instead of |Q|×|N|. Total: two corpus scans, zero corpus
+    shuffles, output bounded by |Q|×k. Recall is governed by
+    n_candidates/k exactly as in IVF-refine; the result is deterministic
+    (not necessarily identical to brute force — that is the point of the
+    coarse stage, and the oracle mirrors the same two-stage semantics).
+
+    Exactness: both stages use the quantized-BIGINT dot products of this
+    module; cosines round(·, 6) before ranking with id tiebreaks — the
+    sqrt in the norm makes the rounded value safe cross-engine (never an
+    exactly-representable decimal boundary).
+    """
+    q = quantize_embeddings(queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("q"),
+        _norm(F.slice(F.col("qvec"), 1, coarse_dim)).alias("nq_c"),
+        _norm(F.col("qvec")).alias("nq"),
+    )
+    c = quantize_embeddings(embeddings).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("v"),
+        _norm(F.slice(F.col("qvec"), 1, coarse_dim)).alias("nv_c"),
+        _norm(F.col("qvec")).alias("nv"),
+    )
+    coarse_cos = _dot(
+        F.slice(F.col("q"), 1, coarse_dim), F.slice(F.col("v"), 1, coarse_dim)
+    ).cast("double") / (F.col("nq_c") * F.col("nv_c"))
+    w_coarse = Window.partitionBy("query_id").orderBy(
+        F.col("coarse_cosine").desc(), F.col("neighbor_id")
+    )
+    candidates = (
+        c.select("neighbor_id", "v", "nv_c")
+        .crossJoin(F.broadcast(q.select("query_id", "q", "nq_c")))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(coarse_cos, 6).alias("coarse_cosine"),
+        )
+        .withColumn("coarse_rank", F.row_number().over(w_coarse))
+        .filter(F.col("coarse_rank") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+    # Stage 2: candidates (|Q|×C rows) pick up the full query vector from
+    # the tiny broadcast side, then probe the corpus by neighbor_id — the
+    # corpus-side join key — as a broadcast hash join.
+    probe = candidates.join(
+        F.broadcast(q.select("query_id", "q", "nq")), "query_id"
+    )
+    full_cos = _dot(F.col("q"), F.col("v")).cast("double") / (
+        F.col("nq") * F.col("nv")
+    )
+    rescored = (
+        c.select("neighbor_id", "v", "nv")
+        .join(F.broadcast(probe), "neighbor_id")
+        .select(
+            "query_id", "neighbor_id", F.round(full_cos, 6).alias("cosine")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

@@ -1041,3 +1041,173 @@ def bm25_topk(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", "n_terms_matched", "score", "rank"
     )
+
+
+def bigram_lm_score(documents: DataFrame) -> DataFrame:
+    """Bigram-LM familiarity score: per document, how common its word
+    *transitions* are in the corpus — the conditional-context upgrade of
+    :func:`token_freq_score`'s unigram proxy (the KenLM-style filter used
+    to rank web text against a reference corpus, per the CCNet paper).
+    A doc whose bigrams are mostly corpus-hapax (``hapax_ratio`` high) is
+    template noise / OCR garbage / serial-number soup even when its
+    individual tokens are common.
+
+    Determinism: per-doc sums are BIGINT sums of BIGINT corpus counts
+    (reduction-order-independent — float log-prob sums are not); the two
+    ratios are emitted as single UNROUNDED double divisions (identical
+    IEEE op on identical ints on both engines → identical bits; rounding
+    would reintroduce the HALF_UP-vs-half-even divergence class).
+
+    Plan shape: bigram construction in the array domain per row (no
+    shuffle), explode, map-side-combinable gram-count aggregate (bounded
+    by |bigram vocab| × partitions), gram-keyed join back onto the
+    exploded stream (both sides hash-partition on the gram, and the
+    aggregate side arrives pre-exchanged — no broadcast, because a bigram
+    vocabulary at corpus scale is NOT small), then a per-doc aggregate
+    whose partials combine map-side (a doc's grams are colocated after
+    the explode). Docs with < 2 tokens have no bigrams and are absent by
+    construction.
+    """
+    from .fanout import fan_out_small_scan
+
+    grams = fan_out_small_scan(documents).select(
+        "doc_id",
+        F.explode(_let_tokens(lambda t: _ngrams(t, 2))).alias("gram"),
+    )
+    vocab = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("gram_count")
+    )
+    return (
+        grams.join(vocab, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("gram_count").alias("sum_bigram_freq"),
+            F.sum(
+                F.when(F.col("gram_count") == 1, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_hapax_bigrams"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.col("sum_bigram_freq").cast("bigint").alias("sum_bigram_freq"),
+            F.col("n_hapax_bigrams").cast("bigint").alias("n_hapax_bigrams"),
+            (
+                F.col("sum_bigram_freq").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("mean_bigram_freq"),
+            (
+                F.col("n_hapax_bigrams").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("hapax_ratio"),
+        )
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 7,
+    bits_per_gram: int = 32,
+    n_hashes: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination: the broadcast-bitset
+    variant of :func:`decontaminate`. Instead of broadcasting the
+    benchmark's full distinct-gram set (strings — MBs to GBs for a large
+    eval suite), the corpus probes a bit array sized ``bits_per_gram`` ×
+    |bench grams|: **zero false negatives** by Bloom construction (every
+    truly shared gram has all its bits set), and a deterministic per-gram
+    false-positive rate of (1-e^(-k/b))^k ≈ 2e-4 at the default 32
+    bits/gram with 4 hashes — sized so that a DOCUMENT (which probes once
+    per distinct gram, ~10² probes for a web-page-sized doc) is falsely
+    flagged ~2% of the time; a naive 2-hash/16-bit filter's 1.4% per-gram
+    FP compounds to ~50-70% per doc, useless for decontamination. This is
+    the 100 TB shape: the only state crossing the cluster is the bitset
+    (nonzero 32-bit words, ≤ m/32 rows), the corpus side is scan →
+    gram construction → broadcast-hash probe → per-doc aggregate — no
+    corpus shuffle before the (tiny, matched-docs-only) final count.
+
+    Exactness/portability: bit positions are md5-derived 60-bit integers
+    mod m (``conv(substr(md5('j:'||gram),1,15),16,10)`` — DuckDB mirrors
+    with ``CAST('0x'||...)``), words are BIGINT ``bit_or`` of
+    ``1<<(pos%32)`` — integer ops only, so the candidate set (false
+    positives included) is bit-identical across engines. m is derived
+    from a 1-row broadcast count of bench grams, so the fill factor —
+    hence the FP rate — is scale-invariant.
+
+    Emits one row per corpus doc: Bloom-candidate gram count + flag
+    (a superset of :func:`decontaminate`'s exact answer — the property
+    test asserts it).
+    """
+    from .fanout import fan_out_small_scan
+
+    def _grams_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(_let_tokens(lambda t: _ngrams(t, n)))
+            ).alias("gram"),
+        )
+
+    bench_grams = _grams_of(benchmark).select("gram").distinct()
+    m_row = bench_grams.agg(
+        (F.count(F.lit(1)) * bits_per_gram).cast("bigint").alias("__m_bits")
+    )
+
+    def _positions(df: DataFrame) -> DataFrame:
+        """Explode each gram row into its n_hashes (word_idx, mask) probes."""
+        keep = df.columns
+        positions = F.array(
+            *[
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{j}:"), F.col("gram"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("__m_bits")
+                for j in range(n_hashes)
+            ]
+        )
+        return (
+            df.crossJoin(F.broadcast(m_row))
+            .select(*keep, F.explode(positions).alias("__pos"))
+            .select(
+                *keep,
+                F.shiftright(F.col("__pos"), 5).alias("word_idx"),
+                # shiftleft's bit-count argument must be a literal in the
+                # Python API; the variable-shift form is SQL-only.
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 32 AS INT))"
+                ).alias("mask"),
+            )
+        )
+
+    words = (
+        _positions(bench_grams)
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    corpus_probes = _positions(_grams_of(fan_out_small_scan(corpus)))
+    hits = (
+        corpus_probes.join(F.broadcast(words), "word_idx")
+        .filter(F.col("word").bitwiseAND(F.col("mask")) == F.col("mask"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("__n_set"))
+        .filter(F.col("__n_set") == n_hashes)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_candidate_grams"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidate_grams", F.lit(0)).cast("bigint").alias(
+                "n_candidate_grams"
+            ),
+            (F.coalesce("n_candidate_grams", F.lit(0)) > 0).alias("flagged"),
+        )
+    )

@@ -2196,3 +2196,112 @@ def test_tokenizer_fertility_semantics(spark):
     assert out["yy"].n_words == 2
     assert out["yy"].n_subwords == 3           # ceil(8/4) + ceil(2/4)
     assert out["yy"].fertility == 1.5
+
+
+def test_bloom_decontaminate_superset_of_exact(spark, documents):
+    """Bloom construction guarantees zero false negatives: every doc the
+    exact gram-join flags is Bloom-flagged, and each doc's candidate-gram
+    count bounds its exact shared-gram count from above. FP inflation at
+    32 bits/gram + 4 hashes stays small."""
+    from daily_top_songs_etl_spark.extensions.text import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    corpus = documents.filter(F.col("doc_id") % 13 != 0)
+    bench = documents.filter(F.col("doc_id") % 13 == 0)
+    exact = {
+        r.doc_id: r.n_shared_ngrams
+        for r in decontaminate(corpus, bench, n=7).collect()
+    }
+    bloom = {
+        r.doc_id: r.n_candidate_grams
+        for r in bloom_decontaminate(corpus, bench, n=7).collect()
+    }
+    assert set(bloom) == set(exact)  # full corpus audit on both paths
+    for doc_id, n_exact in exact.items():
+        assert bloom[doc_id] >= n_exact, f"false negative on doc {doc_id}"
+    n_exact_flagged = sum(1 for v in exact.values() if v > 0)
+    n_bloom_flagged = sum(1 for v in bloom.values() if v > 0)
+    assert n_bloom_flagged >= n_exact_flagged
+    # ~2% expected doc-level FP rate at 1/8 fill with 4 hashes
+    # (per-gram p ≈ 2e-4 compounding over ~90 distinct grams/doc);
+    # allow generous slack for the small corpus.
+    n_clean = sum(1 for v in exact.values() if v == 0)
+    n_fp = sum(
+        1 for d, v in bloom.items() if v > 0 and exact[d] == 0
+    )
+    assert n_fp <= max(5, 0.10 * n_clean), f"FP rate too high: {n_fp}/{n_clean}"
+
+
+def test_bigram_lm_score_exact_counts(spark):
+    """Hand-checkable corpus: bigram corpus counts, hapax counts and the
+    unrounded ratios all match pencil-and-paper."""
+    from daily_top_songs_etl_spark.extensions.text import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),       # bigrams: (a b), (b a), (a b)
+            (2, "a b c"),         # bigrams: (a b), (b c)
+            (3, "solo"),          # no bigram -> absent from output
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in bigram_lm_score(docs).collect()}
+    assert set(out) == {1, 2}
+    # corpus counts: "a b" -> 3, "b a" -> 1, "b c" -> 1
+    r1 = out[1]
+    assert r1.n_bigrams == 3
+    assert r1.sum_bigram_freq == 3 + 1 + 3
+    assert r1.n_hapax_bigrams == 1
+    assert r1.mean_bigram_freq == 7 / 3
+    assert r1.hapax_ratio == 1 / 3
+    r2 = out[2]
+    assert (r2.n_bigrams, r2.sum_bigram_freq, r2.n_hapax_bigrams) == (2, 4, 1)
+
+
+def test_rerank_topk_matches_brute_force_when_candidates_cover(
+    spark, embeddings
+):
+    """With n_candidates = corpus size the coarse stage cannot drop a true
+    neighbor, so the rerank result must EQUAL brute force exactly (same
+    pairs, same ranks, same cosines); with a tight candidate budget the
+    result is still a high-recall subset with correct full-dim cosines."""
+    from daily_top_songs_etl_spark.extensions.similarity import (
+        brute_force_topk,
+        rerank_topk,
+    )
+
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    n = embeddings.count()
+    exact = brute_force_topk(embeddings, queries, k=5)
+    full = rerank_topk(
+        embeddings, queries, k=5, coarse_dim=16, n_candidates=n
+    )
+    e = {(r.query_id, r.rank, r.neighbor_id, r.cosine) for r in exact.collect()}
+    f = {(r.query_id, r.rank, r.neighbor_id, r.cosine) for r in full.collect()}
+    assert e == f
+    tight = rerank_topk(
+        embeddings, queries, k=5, coarse_dim=16, n_candidates=30
+    )
+    t = {(r.query_id, r.neighbor_id): r.cosine for r in tight.collect()}
+    exact_cos = {
+        (r.query_id, r.neighbor_id): r.cosine for r in exact.collect()
+    }
+    # every returned cosine is the true full-dim cosine
+    for pair, cos in t.items():
+        if pair in exact_cos:
+            assert cos == exact_cos[pair]
+    recall = len(set(t) & set(exact_cos)) / len(exact_cos)
+    # Random Gaussian vectors are the worst case for truncated-dim
+    # screening (no Matryoshka variance front-loading: the 16/64 coarse
+    # cosine correlates ~sqrt(1/4) with the full one), so the bar is
+    # deliberately low; real embeddings concentrate variance in leading
+    # dims and the full-coverage equality above pins the semantics.
+    assert recall >= 0.15, f"rerank recall {recall:.2f} too low"
+    wide = rerank_topk(
+        embeddings, queries, k=5, coarse_dim=16, n_candidates=150
+    )
+    w = {(r.query_id, r.neighbor_id) for r in wide.collect()}
+    recall_wide = len(w & set(exact_cos)) / len(exact_cos)
+    assert recall_wide >= recall  # recall grows with candidate budget
