@@ -6393,6 +6393,58 @@ QUALIFY rank <= 10
 """
 
 
+# --------------------------------------------------------------------------
+# k-NN majority-vote classification (seed-label propagation / eval)
+# --------------------------------------------------------------------------
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify 20 held-out query vectors by majority vote of their 10
+    nearest labeled neighbors (vote ties break on smaller label id);
+    emits the true label + correctness flag alongside, so accuracy is an
+    aggregate away."""
+    from daily_top_songs_etl_spark.extensions.similarity import knn_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_classify(emb, emb.filter(F.col("vec_id") < 20), k=10)
+
+
+ORACLE_KNN_CLASSIFY = """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE)*1000)::BIGINT)
+             AS v
+  FROM embeddings
+), scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nlabel,
+         round(CAST(list_sum(list_transform(list_zip(qs.v, c.v),
+                                            s -> s[1]*s[2])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(qs.v, x -> x*x)) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(c.v, x -> x*x)) AS DOUBLE))),
+               6) AS cosine
+  FROM q qs JOIN q c ON c.vec_id != qs.vec_id
+  WHERE qs.vec_id < 20
+), topk AS (
+  SELECT query_id, neighbor_id, nlabel
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, neighbor_id) <= 10
+), votes AS (
+  SELECT query_id, nlabel, count(*) AS n_votes
+  FROM topk GROUP BY query_id, nlabel
+), win AS (
+  SELECT query_id, nlabel AS predicted_label, n_votes
+  FROM votes
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY n_votes DESC, nlabel) = 1
+)
+SELECT w.query_id,
+       CAST(w.predicted_label AS INTEGER) AS predicted_label,
+       CAST(w.n_votes AS BIGINT) AS n_votes,
+       CAST(t.label AS INTEGER) AS query_label,
+       w.predicted_label = t.label AS correct
+FROM win w JOIN q t ON t.vec_id = w.query_id
+"""
+
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth: per ingestion-order corpus slice,
     token volume, never-before-seen distinct tokens, cumulative
@@ -6988,6 +7040,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_lm_score": q_bigram_lm_score,
     "bloom_decontaminate": q_bloom_decontaminate,
     "sim_topk_rerank": q_sim_topk_rerank,
+    "knn_classify": q_knn_classify,
     "shipping_priority": q_shipping_priority,
     "regional_volume": q_regional_volume,
     "nation_trade_volume": q_nation_trade_volume,
@@ -7221,6 +7274,7 @@ _ORACLES: dict[str, str] = {
     "bigram_lm_score": ORACLE_BIGRAM_LM_SCORE,
     "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
     "sim_topk_rerank": ORACLE_SIM_TOPK_RERANK,
+    "knn_classify": ORACLE_KNN_CLASSIFY,
     "vocab_encode": ORACLE_VOCAB_ENCODE,
     "value_deciles": ORACLE_VALUE_DECILES,
     "incremental_agg": ORACLE_INCREMENTAL_AGG,

@@ -688,3 +688,67 @@ def rerank_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def knn_classify(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification over the labeled embedding
+    corpus — the classifier-inference pattern of quality/educational-value
+    scoring pipelines (label a small seed set, propagate to the corpus by
+    nearest neighbors), plus its own evaluation column.
+
+    Scale shape: the neighbor search is :func:`brute_force_topk` (swap in
+    the IVF/LSH variants for a larger query side — identical downstream),
+    so the corpus is scanned, never shuffled. Everything after operates
+    on the |Q|×k neighbor relation: the label pickup **broadcasts the
+    neighbor ids into a second corpus scan** (corpus-side join key, tiny
+    build side), voting and the argmax window run on ≤ |Q|×k rows.
+
+    Determinism: votes are exact counts; the winning label breaks vote
+    ties on the smaller label id; the query's own row is excluded from
+    its neighborhood by the top-k operator.
+
+    Emits one row per query: predicted label, its vote count, the
+    query's true label and a correctness flag (aggregate for accuracy).
+    """
+    neighbors = brute_force_topk(embeddings, queries, k=k, id_col=id_col)
+    labels = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).cast("int").alias("__nlabel"),
+    )
+    votes = (
+        labels.join(
+            F.broadcast(neighbors.select("query_id", "neighbor_id")),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "__nlabel")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("__nlabel")
+    )
+    winners = (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            F.col("__nlabel").alias("predicted_label"),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+        )
+    )
+    truth = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).cast("int").alias("query_label"),
+    )
+    return winners.join(F.broadcast(truth), "query_id").select(
+        "query_id",
+        "predicted_label",
+        "n_votes",
+        "query_label",
+        (F.col("predicted_label") == F.col("query_label")).alias("correct"),
+    )

@@ -2305,3 +2305,42 @@ def test_rerank_topk_matches_brute_force_when_candidates_cover(
     w = {(r.query_id, r.neighbor_id) for r in wide.collect()}
     recall_wide = len(w & set(exact_cos)) / len(exact_cos)
     assert recall_wide >= recall  # recall grows with candidate budget
+
+
+def test_knn_classify_votes_and_tiebreak(spark):
+    """Majority vote wins; exact vote ties fall to the smaller label id;
+    the query's own row never votes."""
+    from daily_top_songs_etl_spark.extensions.similarity import knn_classify
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.05, 0.0], 7),
+            (2, [1.0, 0.02, 0.0, 0.0], 7),
+            (3, [0.98, 0.0, 0.0, 0.03], 7),
+            (4, [0.0, 1.0, 0.0, 0.02], 2),
+            (5, [0.01, 0.97, 0.0, 0.0], 2),
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    # Query 10 sits in the label-7 cluster but carries label 2 itself.
+    queries = spark.createDataFrame(
+        [(10, [0.9, 0.1, 0.0, 0.0], 2)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    out = knn_classify(corpus.union(queries), queries, k=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.predicted_label, r.n_votes, r.query_label, r.correct) == (
+        7, 3, 2, False,
+    )
+    # Tie case: two equidistant neighbors with labels 9 and 3 -> 3 wins.
+    tie_corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0], 9), (2, [0.0, 1.0], 3)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    tie_q = spark.createDataFrame(
+        [(10, [0.5, 0.5], 9)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    tr = knn_classify(tie_corpus.union(tie_q), tie_q, k=2).collect()[0]
+    assert (tr.predicted_label, tr.n_votes) == (3, 1)
