@@ -6445,6 +6445,66 @@ FROM win w JOIN q t ON t.vec_id = w.query_id
 """
 
 
+# --------------------------------------------------------------------------
+# In-engine ANN recall@k (IVF vs exact ground truth)
+# --------------------------------------------------------------------------
+def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the IVF index (8 lists, 2 probes) against the exact
+    brute-force top-10, per query — the quality metric an ANN deployment
+    monitors, computed entirely in-engine. Both inputs are |Q|x k
+    relations, so the metric join is broadcast-trivial at any corpus
+    size."""
+    from daily_top_songs_etl_spark.extensions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        recall_at_k,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth = brute_force_topk(emb, queries, k=10)
+    approx = ivf_topk(emb, queries, k=10)
+    return recall_at_k(approx, truth)
+
+
+_IVF_CTES = ORACLE_SIM_TOPK_IVF.strip()
+assert _IVF_CTES.startswith("WITH ") and "\nSELECT query_id," in _IVF_CTES
+_IVF_BODY, _IVF_SELECT = _IVF_CTES.split("\nSELECT query_id,", 1)
+ORACLE_ANN_RECALL_AT_K = f"""{_IVF_BODY}
+, ivf AS (
+SELECT query_id,{_IVF_SELECT}
+), bf_scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(CAST(list_sum(list_transform(list_zip(qs.v, c.v),
+                                            s -> s[1]*s[2])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(qs.v, x -> x*x))
+                            AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(c.v, x -> x*x))
+                              AS DOUBLE))),
+               6) AS cosine
+  FROM q qs JOIN q c ON c.vec_id != qs.vec_id
+  WHERE qs.vec_id < 5
+), bf AS (
+  SELECT query_id, neighbor_id
+  FROM bf_scored
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, neighbor_id) <= 10
+), n_true AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_true FROM bf GROUP BY 1
+), n_hit AS (
+  SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM bf b JOIN ivf i ON i.query_id = b.query_id
+                      AND i.neighbor_id = b.neighbor_id
+  GROUP BY 1
+)
+SELECT t.query_id, t.n_true,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(t.n_true AS DOUBLE)
+           AS recall
+FROM n_true t LEFT JOIN n_hit h USING (query_id)
+"""
+
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth: per ingestion-order corpus slice,
     token volume, never-before-seen distinct tokens, cumulative
@@ -7041,6 +7101,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_decontaminate": q_bloom_decontaminate,
     "sim_topk_rerank": q_sim_topk_rerank,
     "knn_classify": q_knn_classify,
+    "ann_recall_at_k": q_ann_recall_at_k,
     "shipping_priority": q_shipping_priority,
     "regional_volume": q_regional_volume,
     "nation_trade_volume": q_nation_trade_volume,
@@ -7275,6 +7336,7 @@ _ORACLES: dict[str, str] = {
     "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
     "sim_topk_rerank": ORACLE_SIM_TOPK_RERANK,
     "knn_classify": ORACLE_KNN_CLASSIFY,
+    "ann_recall_at_k": ORACLE_ANN_RECALL_AT_K,
     "vocab_encode": ORACLE_VOCAB_ENCODE,
     "value_deciles": ORACLE_VALUE_DECILES,
     "incremental_agg": ORACLE_INCREMENTAL_AGG,

@@ -752,3 +752,42 @@ def knn_classify(
         "query_label",
         (F.col("predicted_label") == F.col("query_label")).alias("correct"),
     )
+
+
+def recall_at_k(retrieved: DataFrame, truth: DataFrame) -> DataFrame:
+    """Per-query recall@k of one retrieval result against a ground-truth
+    result — the metric every ANN deployment monitors (and the engine can
+    compute in-line, since the exact baseline is just another query).
+    Both inputs are (query_id, neighbor_id, ...) top-k relations, e.g.
+    :func:`ivf_topk` / :func:`lsh_bucket_topk` / :func:`rerank_topk`
+    against :func:`brute_force_topk`.
+
+    Scale shape: both sides are ≤ |Q|×k rows regardless of corpus size,
+    so this is a broadcast-joinable metric over already-bounded outputs —
+    the expensive part is producing the inputs, not comparing them.
+    Counts are exact BIGINTs; recall is one unrounded double division.
+    """
+    n_true = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    hits = (
+        retrieved.select("query_id", "neighbor_id")
+        .join(
+            F.broadcast(truth.select("query_id", "neighbor_id")),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    return (
+        n_true.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_true",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.col("n_true").cast("double")
+            ).alias("recall"),
+        )
+    )

@@ -2344,3 +2344,21 @@ def test_knn_classify_votes_and_tiebreak(spark):
     )
     tr = knn_classify(tie_corpus.union(tie_q), tie_q, k=2).collect()[0]
     assert (tr.predicted_label, tr.n_votes) == (3, 1)
+
+
+def test_recall_at_k_exact_fractions(spark):
+    """recall@k on hand-built retrieval sets: hits, misses, and a query
+    the retriever returned nothing for (recall 0, not absent)."""
+    from daily_top_songs_etl_spark.extensions.similarity import recall_at_k
+
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)],
+        "query_id bigint, neighbor_id bigint",
+    )
+    retrieved = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99)],  # query 2 retrieved nothing
+        "query_id bigint, neighbor_id bigint",
+    )
+    out = {r.query_id: r for r in recall_at_k(retrieved, truth).collect()}
+    assert (out[1].n_true, out[1].n_hit, out[1].recall) == (3, 2, 2 / 3)
+    assert (out[2].n_true, out[2].n_hit, out[2].recall) == (2, 0, 0.0)
