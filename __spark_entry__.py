@@ -6505,6 +6505,204 @@ FROM n_true t LEFT JOIN n_hit h USING (query_id)
 """
 
 
+# --------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training pair generation)
+# --------------------------------------------------------------------------
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each of 20 labeled anchors, the 5 nearest corpus vectors with
+    a DIFFERENT label — the hard-negative pairs a contrastive embedding
+    trainer mines. Anchor set broadcasts into one corpus scan; the label
+    mismatch filters before the per-anchor top-k window."""
+    from daily_top_songs_etl_spark.extensions.similarity import (
+        hard_negatives,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+ORACLE_HARD_NEGATIVES = """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE)*1000)::BIGINT)
+             AS v
+  FROM embeddings
+), scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS negative_id,
+         CAST(c.label AS INTEGER) AS negative_label,
+         round(CAST(list_sum(list_transform(list_zip(qs.v, c.v),
+                                            s -> s[1]*s[2])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(qs.v, x -> x*x)) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(c.v, x -> x*x)) AS DOUBLE))),
+               6) AS cosine
+  FROM q qs JOIN q c ON c.vec_id != qs.vec_id AND c.label != qs.label
+  WHERE qs.vec_id < 20
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, negative_id)
+            AS INTEGER) AS rank,
+       negative_id, negative_label, cosine
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion (hybrid sparse + dense retrieval)
+# --------------------------------------------------------------------------
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 top-20 (4-term query over
+    documents) with the dense cosine top-20 (query vector = vec_id 0
+    over the embedding sidecar, vec_id keyed to doc_id) by reciprocal
+    rank, k_rrf=60 — the calibration-free combiner every hybrid search
+    stack ships. Both inputs are bounded top-k relations, so fusion is
+    broadcast-scale regardless of corpus size."""
+    from daily_top_songs_etl_spark.extensions.similarity import (
+        brute_force_topk,
+        rrf_fuse,
+    )
+    from daily_top_songs_etl_spark.extensions.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    sparse = bm25_topk(
+        docs, ["spark", "vector", "join", "stream"], k=20
+    ).select("doc_id", "rank")
+    dense = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([sparse, dense], k_rrf=60, k=10)
+
+
+ORACLE_RRF_FUSION = r"""
+WITH tok AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(lower(text)), '\s+')) AS dl,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+  FROM tok
+  WHERE term IN ('join', 'spark', 'stream', 'vector')
+  GROUP BY 1, 2
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+              AS BIGINT) AS sum_dl
+  FROM documents
+), bm25_scored AS (
+  SELECT doc_id, term,
+         ln(CAST(1.0 AS DOUBLE)
+            + (CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         * (tf * CAST(2.2 AS DOUBLE))
+         / (tf + CAST(1.2 AS DOUBLE)
+                 * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                    + CAST(0.75 AS DOUBLE) * dl
+                      / (CAST(sum_dl AS DOUBLE) / n_docs))) AS s
+  FROM tf JOIN df USING (term) CROSS JOIN stats
+), bm25_piv AS (
+  SELECT doc_id,
+         coalesce(max(CASE WHEN term = 'join' THEN s END),
+                  CAST(0.0 AS DOUBLE)) AS s0,
+         coalesce(max(CASE WHEN term = 'spark' THEN s END),
+                  CAST(0.0 AS DOUBLE)) AS s1,
+         coalesce(max(CASE WHEN term = 'stream' THEN s END),
+                  CAST(0.0 AS DOUBLE)) AS s2,
+         coalesce(max(CASE WHEN term = 'vector' THEN s END),
+                  CAST(0.0 AS DOUBLE)) AS s3
+  FROM bm25_scored GROUP BY 1
+), sparse AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY round(s0 + s1 + s2 + s3, 6) DESC,
+                                 doc_id) AS INTEGER) AS rank
+  FROM bm25_piv
+  QUALIFY rank <= 20
+), emb_q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE)*1000)::BIGINT)
+             AS v
+  FROM embeddings
+), dense_scored AS (
+  SELECT c.vec_id AS doc_id,
+         round(CAST(list_sum(list_transform(list_zip(qq.v, c.v),
+                                            s -> s[1]*s[2])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(qq.v, x -> x*x)) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(c.v, x -> x*x)) AS DOUBLE))),
+               6) AS cosine
+  FROM emb_q c JOIN emb_q qq ON qq.vec_id = 0
+  WHERE c.vec_id != 0
+), dense AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, doc_id)
+              AS INTEGER) AS rank
+  FROM dense_scored
+  QUALIFY rank <= 20
+), contrib AS (
+  SELECT doc_id, 0 AS src,
+         CAST(1.0 AS DOUBLE) / CAST(60 + rank AS DOUBLE) AS c
+  FROM sparse
+  UNION ALL
+  SELECT doc_id, 1 AS src,
+         CAST(1.0 AS DOUBLE) / CAST(60 + rank AS DOUBLE) AS c
+  FROM dense
+), piv AS (
+  SELECT doc_id,
+         coalesce(max(CASE WHEN src = 0 THEN c END),
+                  CAST(0.0 AS DOUBLE)) AS f0,
+         coalesce(max(CASE WHEN src = 1 THEN c END),
+                  CAST(0.0 AS DOUBLE)) AS f1,
+         CAST(count(*) AS BIGINT) AS n_lists
+  FROM contrib GROUP BY 1
+)
+SELECT doc_id, n_lists, round(f0 + f1, 6) AS rrf_score,
+       CAST(row_number() OVER (ORDER BY round(f0 + f1, 6) DESC, doc_id)
+            AS INTEGER) AS rank
+FROM piv
+QUALIFY rank <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Asymmetric containment dedup (short-doc-inside-long-doc detection)
+# --------------------------------------------------------------------------
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs: |A∩B|/|A| and |A∩B|/|B| over 3-token shingles,
+    pair kept when either direction ≥ 0.5 — catches a short document
+    swallowed by a longer one, which Jaccard's union term hides."""
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        ngram_containment_pairs,
+    )
+
+    return ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), min_containment=0.5
+    )
+
+
+ORACLE_DEDUP_CONTAINMENT = f"""{_SQL_SHINGLES}
+, sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da AS doc_id_a, db AS doc_id_b, n_common,
+       round(CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE), 6)
+           AS containment_a,
+       round(CAST(n_common AS DOUBLE) / CAST(sb.n AS DOUBLE), 6)
+           AS containment_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = da
+JOIN sizes sb ON sb.doc_id = db
+WHERE greatest(round(CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE), 6),
+               round(CAST(n_common AS DOUBLE) / CAST(sb.n AS DOUBLE), 6))
+      >= 0.5
+"""
+
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth: per ingestion-order corpus slice,
     token volume, never-before-seen distinct tokens, cumulative
@@ -7102,6 +7300,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_rerank": q_sim_topk_rerank,
     "knn_classify": q_knn_classify,
     "ann_recall_at_k": q_ann_recall_at_k,
+    "hard_negatives": q_hard_negatives,
+    "rrf_fusion": q_rrf_fusion,
+    "dedup_containment": q_dedup_containment,
     "shipping_priority": q_shipping_priority,
     "regional_volume": q_regional_volume,
     "nation_trade_volume": q_nation_trade_volume,
@@ -7337,6 +7538,9 @@ _ORACLES: dict[str, str] = {
     "sim_topk_rerank": ORACLE_SIM_TOPK_RERANK,
     "knn_classify": ORACLE_KNN_CLASSIFY,
     "ann_recall_at_k": ORACLE_ANN_RECALL_AT_K,
+    "hard_negatives": ORACLE_HARD_NEGATIVES,
+    "rrf_fusion": ORACLE_RRF_FUSION,
+    "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
     "vocab_encode": ORACLE_VOCAB_ENCODE,
     "value_deciles": ORACLE_VALUE_DECILES,
     "incremental_agg": ORACLE_INCREMENTAL_AGG,

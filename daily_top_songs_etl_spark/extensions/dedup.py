@@ -282,6 +282,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    documents: DataFrame, min_containment: float = 0.5
+) -> DataFrame:
+    """Asymmetric containment dedup (Broder's resemblance companion):
+    containment(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|.
+    Catches the pair class Jaccard misses — a short document swallowed
+    whole by a much longer one (boilerplate page + article, quoted post
+    + thread), where the union term drowns the overlap. A pair is
+    emitted when EITHER direction clears the threshold; both directions
+    ride along so the caller can tell "A inside B" from "B inside A".
+
+    Exact integer intersection counts, one rounded double division per
+    direction. Same scale posture as :func:`ngram_jaccard_pairs`: the
+    shared-shingle self-join keys on xxhash64(shingle); at 100 TB feed
+    MinHash-LSH candidates instead (swap the pair source exactly as
+    :func:`ngram_jaccard_lsh` does — downstream is unchanged).
+    """
+    sh = _shingled(documents).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("n_shingles").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("n_shingles").alias("size_b")
+    )
+    c_a = F.round(
+        F.col("n_common").cast("double") / F.col("size_a").cast("double"), 6
+    )
+    c_b = F.round(
+        F.col("n_common").cast("double") / F.col("size_b").cast("double"), 6
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_id_a")
+        .join(F.broadcast(sb), "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "n_common",
+            c_a.alias("containment_a"),
+            c_b.alias("containment_b"),
+        )
+        .filter(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= min_containment
+        )
+    )
+
+
 def ngram_jaccard_lsh(
     documents: DataFrame,
     min_jaccard: float = 0.2,

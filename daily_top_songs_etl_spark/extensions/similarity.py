@@ -791,3 +791,126 @@ def recall_at_k(retrieved: DataFrame, truth: DataFrame) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each labeled
+    anchor, the k nearest corpus vectors carrying a DIFFERENT label —
+    the pairs an embedding-model trainer wants most (close in the space,
+    apart in truth), and the standard way retrieval pipelines build
+    negatives for InfoNCE/triplet losses.
+
+    Scale shape: identical to :func:`brute_force_topk` — the anchor set
+    broadcasts into one corpus scan (no corpus shuffle), the label
+    mismatch is a filter BEFORE the per-anchor top-k window, and output
+    is bounded at |Q|×k. For a large anchor set, swap the scoring stage
+    for :func:`ivf_topk` candidates and re-apply the same label filter —
+    downstream is unchanged.
+
+    Determinism: integer-quantized cosine rounded to 6 places before
+    ranking, ties on the smaller negative id.
+    """
+    q = quantize_embeddings(queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).cast("int").alias("__qlabel"),
+        F.col("qvec").alias("q"),
+        _norm(F.col("qvec")).alias("nq"),
+    )
+    c = quantize_embeddings(embeddings).select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).cast("int").alias("negative_label"),
+        F.col("qvec").alias("v"),
+        _norm(F.col("qvec")).alias("nv"),
+    )
+    cosine = _dot(F.col("q"), F.col("v")).cast("double") / (
+        F.col("nq") * F.col("nv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("negative_id") != F.col("query_id"))
+            & (F.col("negative_label") != F.col("__qlabel"))
+        )
+        .select(
+            "query_id",
+            "negative_id",
+            "negative_label",
+            F.round(cosine, 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "negative_id", "negative_label", "cosine")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) over N ranked
+    lists: score(d) = Σ_i 1/(k_rrf + rank_i(d)) — the standard way a
+    hybrid retrieval stack combines a sparse (BM25) and a dense (ANN)
+    ranking without score calibration.
+
+    Engine-portable determinism: each list's contribution is ONE double
+    division from integers (identical in any IEEE engine); the
+    contributions are pivoted into per-source columns and added in fixed
+    source order (float addition is not associative — an unordered SUM
+    could differ in the last bit); rounded to 6 before ranking, ties on
+    the id.
+
+    Scale shape: the inputs are already top-k relations (bounded rows
+    regardless of corpus size), so fusion is a broadcast-scale pivot —
+    the expensive part is producing the input rankings, never combining
+    them. Works for any N lists; each doc contributes at most one rank
+    per list.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    contribs = None
+    for i, r in enumerate(rankings):
+        c = r.select(
+            F.col(id_col),
+            F.lit(i).alias("__src"),
+            (
+                F.lit(1.0)
+                / (F.lit(k_rrf) + F.col(rank_col)).cast("double")
+            ).alias("__c"),
+        )
+        contribs = c if contribs is None else contribs.unionByName(c)
+    per_src = [
+        F.coalesce(
+            F.max(F.when(F.col("__src") == i, F.col("__c"))),
+            F.lit(0.0),
+        ).alias(f"__s_{i}")
+        for i in range(len(rankings))
+    ]
+    piv = contribs.groupBy(id_col).agg(
+        *per_src, F.count(F.lit(1)).cast("bigint").alias("n_lists")
+    )
+    total = F.col("__s_0")
+    for i in range(1, len(rankings)):
+        total = total + F.col(f"__s_{i}")
+    top = (
+        piv.withColumn("rrf_score", F.round(total, 6))
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return top.withColumn(
+        "rank", F.row_number().over(w)
+    ).select(id_col, "n_lists", "rrf_score", "rank")

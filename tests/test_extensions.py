@@ -2362,3 +2362,103 @@ def test_recall_at_k_exact_fractions(spark):
     out = {r.query_id: r for r in recall_at_k(retrieved, truth).collect()}
     assert (out[1].n_true, out[1].n_hit, out[1].recall) == (3, 2, 2 / 3)
     assert (out[2].n_true, out[2].n_hit, out[2].recall) == (2, 0, 0.0)
+
+
+def test_hard_negatives_excludes_same_label(spark, embeddings):
+    from daily_top_songs_etl_spark.extensions.similarity import (
+        brute_force_topk,
+        hard_negatives,
+    )
+
+    anchors = embeddings.filter(F.col("vec_id") < 8)
+    out = hard_negatives(embeddings, anchors, k=5).collect()
+    labels = {r.vec_id: r.label for r in embeddings.collect()}
+    assert out, "expected hard negatives"
+    for r in out:
+        # the defining property: every mined negative crosses the label
+        assert labels[r.negative_id] != labels[r.query_id]
+        assert r.negative_label == labels[r.negative_id]
+        assert 1 <= r.rank <= 5
+    # per anchor: ranks are 1..n, cosines non-increasing
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        cos = [r.cosine for r in rows]
+        assert cos == sorted(cos, reverse=True)
+    # cross-check vs brute-force: the top same-vs-different-label split —
+    # hard negatives are exactly the brute-force ranking restricted to
+    # label-crossing rows
+    exact = brute_force_topk(embeddings, anchors, k=10**6)
+    want = {}
+    for r in exact.collect():
+        if labels[r.neighbor_id] != labels[r.query_id]:
+            want.setdefault(r.query_id, []).append(
+                (r.rank, r.neighbor_id)
+            )
+    for q, rows in by_q.items():
+        expect = [n for _, n in sorted(want[q])[:5]]
+        assert [r.negative_id for r in rows] == expect
+
+
+def test_rrf_fuse_math_and_membership(spark):
+    from daily_top_songs_etl_spark.extensions.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(2, 1), (4, 2)], "doc_id long, rank int"
+    )
+    out = {r.doc_id: r for r in rrf_fuse([a, b], k_rrf=60, k=10).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # doc 2 appears in both lists and must win
+    assert out[2].rank == 1 and out[2].n_lists == 2
+    assert abs(out[2].rrf_score - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert out[1].n_lists == 1
+    assert abs(out[1].rrf_score - round(1 / 61, 6)) < 1e-9
+    # rank ordering follows the fused score with doc_id tiebreak
+    ranked = sorted(out.values(), key=lambda r: r.rank)
+    keys = [(-r.rrf_score, r.doc_id) for r in ranked]
+    assert keys == sorted(keys)
+
+
+def test_rrf_fuse_k_limit_and_empty_input(spark):
+    from daily_top_songs_etl_spark.extensions.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(i, i) for i in range(1, 8)], "doc_id long, rank int"
+    )
+    assert rrf_fuse([a], k=3).count() == 3
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_containment_catches_subsumed_doc(spark):
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    long_text = " ".join(f"w{i}" for i in range(40))
+    short_text = " ".join(f"w{i}" for i in range(10))  # prefix of long
+    docs = spark.createDataFrame(
+        [
+            (1, long_text, "en"),
+            (2, short_text, "en"),
+            (3, "zz yy xx ww vv uu", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    pairs = ngram_containment_pairs(docs, min_containment=0.5).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.doc_id_a, p.doc_id_b) == (1, 2)
+    # short doc (8 shingles) fully inside long doc (38 shingles)
+    assert p.containment_b == 1.0
+    assert abs(p.containment_a - round(8 / 38, 6)) < 1e-9
+    # jaccard at the same cutoff misses it: 8/38 ≈ 0.21 union overlap
+    jac = ngram_jaccard_pairs(docs, min_jaccard=0.5).collect()
+    assert jac == []
