@@ -6703,6 +6703,171 @@ WHERE greatest(round(CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE), 6),
 """
 
 
+# --------------------------------------------------------------------------
+# Triangle counting (degree-ordered orientation) over part co-occurrence
+# --------------------------------------------------------------------------
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the part co-purchase graph (parts
+    sharing an order): Chiba–Nishizeki degree-ordered orientation, so
+    wedge enumeration is bounded by O(√m) per node instead of hub-degree
+    squared. Exact integers throughout."""
+    from daily_top_songs_etl_spark.extensions.graph import triangle_count
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+ORACLE_TRIANGLE_COUNT = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), und AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+), deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY 1
+), ori AS (
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS dt
+  FROM und e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+), wedge AS (
+  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+  FROM ori e1 JOIN ori e2
+    ON e1.s = e2.s AND (e1.dt, e1.t) < (e2.dt, e2.t)
+), tri AS (
+  SELECT w.a, w.b, w.c
+  FROM wedge w JOIN ori o ON o.s = w.b AND o.t = w.c
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b AS node FROM tri
+  UNION ALL SELECT c AS node FROM tri
+)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: build + point estimates vs exact heavy keys
+# --------------------------------------------------------------------------
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over lineitem part keys (4×8192 counters,
+    portable Mersenne-mod hashes), point-estimating the exact top-10
+    parts — estimate ≥ exact always; the overestimate column is the
+    sketch's collision noise, deterministic by construction."""
+    from daily_top_songs_etl_spark.operators.heavyhitters import (
+        cms_build,
+        cms_estimate,
+    )
+
+    items = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    sketch = cms_build(items, "l_partkey", width=8192, depth=4)
+    top = (
+        items.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("l_partkey"))
+        .limit(10)
+    )
+    est = cms_estimate(sketch, top, "l_partkey", width=8192, depth=4)
+    return top.join(est, "l_partkey").select(
+        "l_partkey",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+    )
+
+
+ORACLE_CMS_TOPK = """
+WITH params AS (
+  SELECT unnest([0, 1, 2, 3]) AS i,
+         unnest([1000003, 1000033, 1000037, 1000039]) AS a,
+         unnest([12345, 67891, 13579, 24683]) AS b
+), hashed AS (
+  SELECT p.i,
+         ((((l.l_partkey % 2147483647) * p.a + p.b) % 2147483647) % 8192)
+             AS bucket
+  FROM lineitem l CROSS JOIN params p
+), sketch AS (
+  SELECT i, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM hashed GROUP BY 1, 2
+), top AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_count
+  FROM lineitem GROUP BY 1
+  ORDER BY exact_count DESC, l_partkey
+  LIMIT 10
+), est AS (
+  SELECT t.l_partkey,
+         min(coalesce(s.cnt, 0)) AS cms_estimate
+  FROM top t
+  CROSS JOIN params p
+  LEFT JOIN sketch s
+    ON s.i = p.i
+   AND s.bucket = ((((t.l_partkey % 2147483647) * p.a + p.b) % 2147483647)
+                   % 8192)
+  GROUP BY 1
+)
+SELECT t.l_partkey, t.exact_count,
+       CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(e.cms_estimate - t.exact_count AS BIGINT) AS overestimate
+FROM top t JOIN est e USING (l_partkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# Priority sampling (Duffield–Lund–Thorup) over document lengths
+# --------------------------------------------------------------------------
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional without-replacement sample of 50 documents
+    (weight = n_chars) with the DLT unbiased estimator ŵ = max(w, τ);
+    priorities are exact BIGINT (w·P div (h+1)) so the sample is
+    deterministic and cross-engine reproducible."""
+    from daily_top_songs_etl_spark.extensions.mixture import priority_sample
+
+    return priority_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", "n_chars", n=50
+    )
+
+
+ORACLE_PRIORITY_SAMPLE = """
+WITH pr AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         (CAST(n_chars AS BIGINT) * 2147483647)
+           // ((((doc_id % 2147483647) * 1000003 + 12345) % 2147483647) + 1)
+             AS priority
+  FROM documents
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rank
+  FROM pr
+  QUALIFY rank <= 51
+), tau AS (
+  SELECT CAST(coalesce(max(CASE WHEN rank = 51 THEN priority END), 0)
+              AS BIGINT) AS tau
+  FROM ranked
+)
+SELECT doc_id, weight, priority, CAST(rank AS INTEGER) AS rank,
+       greatest(weight, tau) AS w_est
+FROM ranked CROSS JOIN tau
+WHERE rank <= 50
+"""
+
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth: per ingestion-order corpus slice,
     token volume, never-before-seen distinct tokens, cumulative
@@ -7303,6 +7468,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives": q_hard_negatives,
     "rrf_fusion": q_rrf_fusion,
     "dedup_containment": q_dedup_containment,
+    "triangle_count": q_triangle_count,
+    "cms_topk": q_cms_topk,
+    "priority_sample": q_priority_sample,
     "shipping_priority": q_shipping_priority,
     "regional_volume": q_regional_volume,
     "nation_trade_volume": q_nation_trade_volume,
@@ -7541,6 +7709,9 @@ _ORACLES: dict[str, str] = {
     "hard_negatives": ORACLE_HARD_NEGATIVES,
     "rrf_fusion": ORACLE_RRF_FUSION,
     "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
+    "triangle_count": ORACLE_TRIANGLE_COUNT,
+    "cms_topk": ORACLE_CMS_TOPK,
+    "priority_sample": ORACLE_PRIORITY_SAMPLE,
     "vocab_encode": ORACLE_VOCAB_ENCODE,
     "value_deciles": ORACLE_VALUE_DECILES,
     "incremental_agg": ORACLE_INCREMENTAL_AGG,

@@ -112,3 +112,75 @@ def bipartite_edges(
         ),
     ).distinct()
     return pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact per-node triangle counts over an undirected graph, by
+    degree-ordered orientation (Chiba–Nishizeki / the MapReduce
+    node-iterator++): orient every edge from its (degree, id)-smaller
+    endpoint to the larger, enumerate wedges only at each edge's
+    minimum-order vertex, and close them against the oriented edge set.
+
+    Why this shape at 100 TB: the naive wedge join explodes at hub
+    nodes (Σ deg² — a single 10⁶-degree node yields 10¹² wedges);
+    orientation bounds every node's out-degree by O(√m) on any graph
+    (and by arboricity on sparse ones), so the wedge relation is
+    O(m^1.5) worst-case and near-linear on real graphs. Each triangle
+    is produced exactly once, at its minimum vertex.
+
+    All joins are key-equi (wedges share the low vertex; closure is an
+    (v, w) equi-join against oriented edges) — no cartesian anywhere,
+    everything integer, no floats. Input direction/duplication is
+    normalized away first, so any edge list works.
+
+    Returns (node, n_triangles) for nodes in ≥ 1 triangle.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower_first = F.struct(F.col("du"), F.col("u")) < F.struct(
+        F.col("dv"), F.col("v")
+    )
+    ori = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias(
+                "dt"
+            ),
+        )
+    )
+    e1 = ori.select("s", F.col("t").alias("v"), F.col("dt").alias("dv_"))
+    e2 = ori.select("s", F.col("t").alias("w"), F.col("dt").alias("dw_"))
+    wedges = e1.join(e2, "s").filter(
+        F.struct(F.col("dv_"), F.col("v")) < F.struct(F.col("dw_"), F.col("w"))
+    )
+    closing = ori.select(F.col("s").alias("v"), F.col("t").alias("w"))
+    tri = wedges.join(closing, ["v", "w"]).select(
+        F.col("s").alias("a"), F.col("v").alias("b"), F.col("w").alias("c")
+    )
+    members = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return members.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )

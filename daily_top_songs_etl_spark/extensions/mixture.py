@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .text import _let_tokens, tokens
 
@@ -322,4 +323,70 @@ def mixture_upsample(
             "copy_idx", F.explode(F.sequence(F.lit(1), F.col("n_copies")))
         )
         .drop("__base", "__extra_below")
+    )
+
+
+#: Portable integer-hash parameters shared with the CMS sketch family:
+#: everything stays inside BIGINT and reproduces identically in any
+#: engine with 64-bit integer arithmetic.
+_PS_PRIME = 2147483647
+_PS_A = 1000003
+_PS_B = 12345
+
+
+def priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int = 50,
+) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup, JACM'07): draw a
+    weight-proportional without-replacement sample of size n with an
+    unbiased per-item total estimator — the principled way to keep a
+    small sample whose Σŵ still estimates the corpus total (subset-sum
+    queries over sampled training data, cost attribution, debugging
+    slices).
+
+    q_i = w_i/u_i with u_i ~ U(0,1]; keep the n largest priorities;
+    τ = the (n+1)-th priority; each kept item's estimator is
+    ŵ_i = max(w_i, τ). Here u_i = (h(key)+1)/P from the portable
+    integer hash, so q_i = (w_i·P) div (h+1) is EXACT BIGINT — the
+    sample is deterministic, reproducible cross-engine, and re-drawable
+    byte-identically at any later audit.
+
+    Scale shape: one per-row integer expression, a TakeOrderedAndProject
+    top-(n+1) (each partition keeps n+1 rows — no global sort), τ rides
+    a one-row broadcast. Keys must be non-negative integers; weights
+    positive integers (scale fixed-point weights upstream).
+    """
+    pr = df.select(
+        F.col(key_col),
+        F.col(weight_col).cast("bigint").alias("weight"),
+        F.expr(
+            f"(CAST({weight_col} AS BIGINT) * {_PS_PRIME}) div "
+            f"((((CAST({key_col} AS BIGINT) % {_PS_PRIME}) * {_PS_A} "
+            f"+ {_PS_B}) % {_PS_PRIME}) + 1)"
+        ).alias("priority"),
+    )
+    topn1 = pr.orderBy(F.desc("priority"), F.asc(key_col)).limit(n + 1)
+    w = Window.orderBy(F.desc("priority"), F.asc(key_col))
+    ranked = topn1.withColumn("rank", F.row_number().over(w))
+    tau = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rank") == n + 1, F.col("priority"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("tau")
+    )
+    return (
+        ranked.filter(F.col("rank") <= n)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            key_col,
+            "weight",
+            "priority",
+            "rank",
+            F.greatest(F.col("weight"), F.col("tau")).alias("w_est"),
+        )
     )

@@ -66,3 +66,94 @@ def heavy_hitters(
             F.col("n_total").cast("bigint").alias("n_total"),
         )
     )
+
+
+# Count-min sketch hash family: h_i(k) = (((k mod P)·A_i + B_i) mod P)
+# mod width, P = 2³¹−1 (Mersenne). (k mod P)·A_i ≤ 2³¹·2²⁰ keeps every
+# intermediate inside BIGINT, and the identical expression is one line
+# of portable SQL in any engine — the whole point: a sketch is only
+# mergeable/checkable across systems if the hashes are too. Keys must
+# be non-negative integers (ids, foreign keys).
+CMS_PRIME = 2147483647
+CMS_A = (1000003, 1000033, 1000037, 1000039)
+CMS_B = (12345, 67891, 13579, 24683)
+
+
+def _cms_bucket(key, i: int, width: int):
+    return (
+        ((key % CMS_PRIME) * CMS_A[i] + CMS_B[i]) % CMS_PRIME
+    ) % width
+
+
+def cms_build(
+    items: DataFrame, col: str, width: int = 8192, depth: int = 4
+) -> DataFrame:
+    """Count-min sketch (Cormode–Muthukrishnan) over an integer key
+    column: a depth×width counter matrix where row i counts collisions
+    under hash h_i. Point estimate = min over rows — always ≥ the true
+    count, over by ≈ N/width per row before the min.
+
+    Why a sketch when :func:`heavy_hitters` is exact: the sketch is a
+    fixed-size MERGEABLE monoid (add counters cell-wise) — the shape
+    you keep per hour/per shard and union later, stream into, or ship
+    to another engine; the exact two-pass needs the data twice, the
+    sketch sees each row once. Build cost: one map-side-combinable
+    aggregate over depth·N expanded rows to depth·width cells — no
+    corpus shuffle (the exchange carries per-partition cell partials).
+    """
+    if not 1 <= depth <= len(CMS_A):
+        raise ValueError(f"depth must be 1..{len(CMS_A)}")
+    key = F.col(col).cast("bigint")
+    rows = items.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cms_bucket(key, i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb")
+    )
+    return rows.groupBy(
+        F.col("rb.i").alias("i"), F.col("rb.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    col: str,
+    width: int = 8192,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-estimate counts for ``keys`` from a :func:`cms_build`
+    sketch: min over the depth probed cells. The sketch (depth·width
+    rows) broadcasts; estimation is a per-key O(depth) lookup —
+    never touches the original corpus."""
+    key = F.col(col).cast("bigint")
+    probes = keys.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cms_bucket(key, i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(F.col(col), F.col("rb.i").alias("i"), F.col("rb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["i", "bucket"], "left")
+        .groupBy(col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("cms_estimate")
+        )
+    )

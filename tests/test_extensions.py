@@ -2462,3 +2462,113 @@ def test_containment_catches_subsumed_doc(spark):
     # jaccard at the same cutoff misses it: 8/38 ≈ 0.21 union overlap
     jac = ngram_jaccard_pairs(docs, min_jaccard=0.5).collect()
     assert jac == []
+
+
+def test_triangle_count_hand_graph(spark):
+    from daily_top_songs_etl_spark.extensions.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant edge
+    # 4-5 and an isolated edge 6-7 (no triangles).
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+            (4, 5), (6, 7),
+            # duplicates / reversed / self-loop must normalize away
+            (2, 1), (1, 1),
+        ],
+        "src long, dst long",
+    )
+    got = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_count_matches_naive(spark, documents):
+    from daily_top_songs_etl_spark.extensions.graph import triangle_count
+    from itertools import combinations
+
+    # small co-occurrence graph from sf0.001 lineitem
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    rows = li.collect()
+    by_order = {}
+    for r in rows:
+        by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    adj = set()
+    for parts in by_order.values():
+        for a, b in combinations(sorted(parts), 2):
+            adj.add((a, b))
+    naive = {}
+    nodes = sorted({x for e in adj for x in e})
+    neigh = {v: set() for v in nodes}
+    for a, b in adj:
+        neigh[a].add(b)
+        neigh[b].add(a)
+    # the edge loop visits each triangle once per edge = 3x per node hit
+    for a, b in adj:
+        for c in neigh[a] & neigh[b]:
+            for x in (a, b, c):
+                naive[x] = naive.get(x, 0) + 1
+    a_join = spark.createDataFrame(
+        [(a, b) for a, b in adj], "src long, dst long"
+    )
+    got = {r.node: r.n_triangles for r in triangle_count(a_join).collect()}
+    assert got == {k: v // 3 for k, v in naive.items() if v // 3 > 0}
+
+
+def test_cms_estimate_upper_bounds_and_merges(spark):
+    from daily_top_songs_etl_spark.operators.heavyhitters import (
+        cms_build,
+        cms_estimate,
+    )
+
+    items = spark.createDataFrame(
+        [(i % 7,) for i in range(1000)] + [(99,)] * 50, "k long"
+    )
+    sketch = cms_build(items, "k", width=64, depth=4)
+    keys = spark.createDataFrame([(k,) for k in range(7)] + [(99,)], "k long")
+    est = {r.k: r.cms_estimate for r in
+           cms_estimate(sketch, keys, "k", width=64, depth=4).collect()}
+    exact = {k: (143 if k < 6 else 142) for k in range(7)}
+    exact[99] = 50
+    for k, e in exact.items():
+        assert est[k] >= e, f"CMS must never underestimate ({k})"
+    # mergeability: sketch(A) + sketch(B) cell-wise == sketch(A ∪ B)
+    a = items.filter(F.col("k") < 4)
+    b = items.filter(F.col("k") >= 4)
+    merged = (
+        cms_build(a, "k", width=64, depth=4)
+        .unionByName(cms_build(b, "k", width=64, depth=4))
+        .groupBy("i", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r.i, r.bucket): r.cnt for r in sketch.collect()}
+    got = {(r.i, r.bucket): r.cnt for r in merged.collect()}
+    assert got == whole
+
+
+def test_priority_sample_dlt_properties(spark):
+    from daily_top_songs_etl_spark.extensions.mixture import priority_sample
+
+    df = spark.createDataFrame(
+        [(i, 10 + (i * 37) % 500) for i in range(200)],
+        "doc_id long, n_chars long",
+    )
+    out = priority_sample(df, "doc_id", "n_chars", n=20).collect()
+    assert len(out) == 20
+    # estimator dominates the weight; priorities dominate tau
+    pr_all = {
+        r.doc_id: (r.n_chars * 2147483647)
+        // (((r.doc_id % 2147483647) * 1000003 + 12345) % 2147483647 + 1)
+        for r in df.collect()
+    }
+    want = sorted(pr_all, key=lambda d: (-pr_all[d], d))[:20]
+    tau = sorted(pr_all.values(), reverse=True)[20]
+    got_ids = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    assert got_ids == want
+    for r in out:
+        assert r.priority == pr_all[r.doc_id]
+        assert r.w_est == max(r.weight, tau)
+        assert r.w_est >= r.weight
