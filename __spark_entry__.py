@@ -6868,6 +6868,216 @@ WHERE rank <= 50
 """
 
 
+# --------------------------------------------------------------------------
+# MMR diverse top-k (greedy iterative — oracle-verified by unrolling)
+# --------------------------------------------------------------------------
+def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance: greedy diverse top-5 from the
+    brute-force top-20 candidates of query vec_id 0, λ=1/2 as a
+    RATIONAL so the score arithmetic is bit-identical cross-engine; the
+    5 fixed greedy rounds unroll into chained CTEs in the oracle."""
+    from daily_top_songs_etl_spark.extensions.similarity import mmr_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mmr_topk(
+        emb,
+        emb.filter(F.col("vec_id") == 0),
+        k=5,
+        n_candidates=20,
+        lam=(1, 2),
+    )
+
+
+def _oracle_mmr_unrolled(
+    k: int = 5, n_cand: int = 20, num: int = 1, den: int = 2
+) -> str:
+    """DuckDB mirror of mmr_topk by unrolling the k greedy rounds:
+    round 1 is the relevance argmax; round r joins the pair-cosine
+    relation to the cumulative selection, takes per-candidate max
+    similarity, scores (num·rel − (den−num)·ms)/den rounded to 6, and
+    picks the argmax among unselected candidates (ties on vec_id)."""
+
+    def cos(l: str, r: str) -> str:
+        return (
+            f"round(CAST(list_sum(list_transform(list_zip({l}, {r}),"
+            f" s -> s[1]*s[2])) AS DOUBLE)"
+            f" / (sqrt(CAST(list_sum(list_transform({l}, x -> x*x))"
+            f" AS DOUBLE))"
+            f" * sqrt(CAST(list_sum(list_transform({r}, x -> x*x))"
+            f" AS DOUBLE))), 6)"
+        )
+
+    parts = [
+        f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE)*1000)::BIGINT)
+             AS v
+  FROM embeddings
+), scored AS MATERIALIZED (
+  SELECT c.vec_id, {cos('qq.v', 'c.v')} AS rel
+  FROM q c JOIN q qq ON qq.vec_id = 0
+  WHERE c.vec_id != 0
+), cand AS MATERIALIZED (
+  SELECT vec_id, rel FROM scored
+  QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id) <= {n_cand}
+), pairs AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, {cos('qa.v', 'qb.v')} AS pc
+  FROM cand a JOIN cand b ON a.vec_id != b.vec_id
+  JOIN q qa ON qa.vec_id = a.vec_id
+  JOIN q qb ON qb.vec_id = b.vec_id
+), sel1 AS MATERIALIZED (
+  SELECT 1 AS pick, vec_id, rel AS score FROM cand
+  ORDER BY rel DESC, vec_id LIMIT 1
+)"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(f"""
+, m{r} AS (
+  SELECT p.ia AS vec_id, max(p.pc) AS ms
+  FROM pairs p JOIN sel{r - 1} s ON p.ib = s.vec_id
+  GROUP BY 1
+), pick{r} AS MATERIALIZED (
+  SELECT {r} AS pick, c.vec_id,
+         round(({num}*c.rel - {den - num}*m.ms)/{den}, 6) AS score
+  FROM cand c JOIN m{r} m ON m.vec_id = c.vec_id
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+  ORDER BY score DESC, c.vec_id LIMIT 1
+), sel{r} AS MATERIALIZED (
+  SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM pick{r}
+)""")
+    parts.append(f"""
+SELECT CAST(0 AS BIGINT) AS query_id, CAST(pick AS INTEGER) AS pick,
+       vec_id, score
+FROM sel{k}
+""")
+    return "".join(parts)
+
+
+ORACLE_MMR_TOPK = _oracle_mmr_unrolled(5, 20, 1, 2)
+
+
+# --------------------------------------------------------------------------
+# Embedding cluster drift (baseline vs current snapshot occupancy)
+# --------------------------------------------------------------------------
+def q_cluster_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift monitor: k=8 centroids fit on the 80%
+    baseline slice (vec_id % 5 != 0), both slices assigned to those
+    SHARED centroids, per-cluster occupancy shares compared — the
+    rebuild-trigger signal of an ANN deployment. Counts exact; shares
+    are single double divisions."""
+    from daily_top_songs_etl_spark.extensions.ann_index import cluster_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster_drift(
+        emb.filter(F.col("vec_id") % 5 != 0),
+        emb.filter(F.col("vec_id") % 5 == 0),
+        n_centroids=8,
+        iters=2,
+    )
+
+
+_DRIFT_COS = (
+    "round(CAST(list_sum(list_transform(list_zip(q.qv, c.cv),"
+    " s -> s[1] * s[2])) AS DOUBLE)"
+    " / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x))"
+    " AS DOUBLE)) * c.cn), 6)"
+)
+
+ORACLE_CLUSTER_DRIFT = (
+    _Q_QUANT_CTE
+    + """
+, q_base AS MATERIALIZED (SELECT * FROM q WHERE vec_id % 5 <> 0)
+, q_batch AS MATERIALIZED (SELECT * FROM q WHERE vec_id % 5 = 0)"""
+    + _kmeans_rounds("q_base", "", 8, 2)
+    + f"""
+, cent AS MATERIALIZED (
+  SELECT cluster AS cent_id, cv,
+         sqrt(CAST(list_sum(list_transform(cv, x -> x * x)) AS DOUBLE)) AS cn
+  FROM c2
+), ab AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_base FROM (
+    SELECT q.vec_id, c.cent_id AS cluster,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_DRIFT_COS} DESC, c.cent_id) AS rn
+    FROM q_base q CROSS JOIN cent c
+  ) WHERE rn = 1 GROUP BY 1
+), ac AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_cur FROM (
+    SELECT q.vec_id, c.cent_id AS cluster,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_DRIFT_COS} DESC, c.cent_id) AS rn
+    FROM q_batch q CROSS JOIN cent c
+  ) WHERE rn = 1 GROUP BY 1
+), per AS (
+  SELECT c.cent_id AS cluster,
+         CAST(coalesce(ab.n_base, 0) AS BIGINT) AS n_base,
+         CAST(coalesce(ac.n_cur, 0) AS BIGINT) AS n_cur
+  FROM cent c
+  LEFT JOIN ab ON ab.cluster = c.cent_id
+  LEFT JOIN ac ON ac.cluster = c.cent_id
+), tot AS (
+  SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+         CAST(sum(n_cur) AS BIGINT) AS tc
+  FROM per
+)
+SELECT cluster, n_base, n_cur,
+       CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE) AS share_base,
+       CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE) AS share_cur,
+       CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE)
+         - CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE) AS drift
+FROM per CROSS JOIN tot
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# Signed-random-projection dimensionality reduction
+# --------------------------------------------------------------------------
+def q_srp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-dim embeddings projected onto 16 deterministic ±1 hyperplanes
+    (Charikar SRP) — exact BIGINT coordinates, one stack expression per
+    row, zero shuffles; long format (vec_id, plane, value)."""
+    from daily_top_songs_etl_spark.extensions.similarity import srp_project
+
+    return srp_project(_t(spark, sf_dir, "embeddings"), n_planes=16)
+
+
+def _oracle_srp_project(n_planes: int = 16, dim: int = 64) -> str:
+    from daily_top_songs_etl_spark.extensions.similarity import sign_matrix
+
+    signs = sign_matrix(n_planes, dim)
+    lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(str(x) for x in row) + "]" for row in signs
+        )
+        + "]"
+    )
+    # The sign matrix is bound ONCE as an unnest-zipped (plane, srow)
+    # relation — a literal referenced inside a lambda would be
+    # re-constructed per element (16·64·N parses of a 1024-int nested
+    # list; measured as a hang at sf0.1).
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE)*1000)::BIGINT)
+             AS qv
+  FROM embeddings
+), signs AS MATERIALIZED (
+  SELECT unnest(generate_series(0, {n_planes - 1})) AS plane,
+         unnest({lit}) AS srow
+)
+SELECT vec_id, CAST(s.plane AS INTEGER) AS plane,
+       CAST(list_sum(list_transform(list_zip(qv, s.srow),
+                                    t -> t[1] * t[2])) AS BIGINT) AS value
+FROM q CROSS JOIN signs s
+"""
+
+
+ORACLE_SRP_PROJECT = _oracle_srp_project(16, 64)
+
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth: per ingestion-order corpus slice,
     token volume, never-before-seen distinct tokens, cumulative
@@ -7471,6 +7681,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_count": q_triangle_count,
     "cms_topk": q_cms_topk,
     "priority_sample": q_priority_sample,
+    "mmr_topk": q_mmr_topk,
+    "cluster_drift": q_cluster_drift,
+    "srp_project": q_srp_project,
     "shipping_priority": q_shipping_priority,
     "regional_volume": q_regional_volume,
     "nation_trade_volume": q_nation_trade_volume,
@@ -7712,6 +7925,9 @@ _ORACLES: dict[str, str] = {
     "triangle_count": ORACLE_TRIANGLE_COUNT,
     "cms_topk": ORACLE_CMS_TOPK,
     "priority_sample": ORACLE_PRIORITY_SAMPLE,
+    "mmr_topk": ORACLE_MMR_TOPK,
+    "cluster_drift": ORACLE_CLUSTER_DRIFT,
+    "srp_project": ORACLE_SRP_PROJECT,
     "vocab_encode": ORACLE_VOCAB_ENCODE,
     "value_deciles": ORACLE_VALUE_DECILES,
     "incremental_agg": ORACLE_INCREMENTAL_AGG,

@@ -368,3 +368,75 @@ def query_ivfpq_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def cluster_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-distribution drift monitor: fit the coarse quantizer on
+    the BASELINE snapshot, assign both snapshots to those shared
+    centroids, and compare per-cluster occupancy shares — the signal
+    that tells an ANN/index deployment when the data has moved enough
+    to warrant a rebuild (the FAISS "retrain on drift cadence" trigger),
+    and a training pipeline when a new crawl slice shifts topic mix.
+
+    Scale shape: one k-means fit on the baseline (broadcast-centroid
+    Lloyd), then each snapshot is ONE scan with a broadcast k-row
+    nested loop — no corpus shuffle; the comparison itself runs on 2·k
+    rows. Shares are single double divisions from exact BIGINT counts
+    and the drift is their difference — both engine-portable (identical
+    operand bits → identical result bits); no float aggregation.
+
+    Returns one row per centroid: counts, shares, and share drift
+    (current − baseline; positive = cluster growing).
+    """
+    centroids = kmeans_fit(
+        baseline, k=n_centroids, iters=iters, id_col=id_col
+    )
+    cent = _centroid_rel(centroids)
+
+    def _prep(df: DataFrame) -> DataFrame:
+        return quantize_embeddings(df).select(
+            F.col(id_col).alias("vec_id"),
+            F.col("qvec").alias("v"),
+            _norm(F.col("qvec")).alias("nv"),
+        )
+
+    n_base = (
+        _assign_clusters(_prep(baseline), cent)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_base"))
+    )
+    n_cur = (
+        _assign_clusters(_prep(current), cent)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cur"))
+    )
+    per_cluster = (
+        cent.select(F.col("cent_id").alias("cluster"))
+        .join(n_base, "cluster", "left")
+        .join(n_cur, "cluster", "left")
+        .select(
+            "cluster",
+            F.coalesce("n_base", F.lit(0)).cast("bigint").alias("n_base"),
+            F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
+        )
+    )
+    totals = per_cluster.agg(
+        F.sum("n_base").cast("bigint").alias("tb"),
+        F.sum("n_cur").cast("bigint").alias("tc"),
+    )
+    share_b = F.col("n_base").cast("double") / F.col("tb").cast("double")
+    share_c = F.col("n_cur").cast("double") / F.col("tc").cast("double")
+    return per_cluster.crossJoin(F.broadcast(totals)).select(
+        "cluster",
+        "n_base",
+        "n_cur",
+        share_b.alias("share_base"),
+        share_c.alias("share_cur"),
+        (share_c - share_b).alias("drift"),
+    )

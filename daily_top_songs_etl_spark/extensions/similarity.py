@@ -914,3 +914,163 @@ def rrf_fuse(
     return top.withColumn(
         "rank", F.row_number().over(w)
     ).select(id_col, "n_lists", "rrf_score", "rank")
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_candidates: int = 20,
+    lam: tuple[int, int] = (1, 2),
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell–Goldstein, SIGIR'98)
+    diverse top-k: greedily pick the candidate maximizing
+    λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s) — the de-dup-at-retrieval
+    step RAG stacks run so the k passages aren't five copies of the
+    same paragraph.
+
+    λ is a RATIONAL (num, den) and the score is computed as
+    (num·rel − (den−num)·maxsim)/den from already-rounded cosines —
+    every operand is bit-identical cross-engine, so the greedy argmax
+    (ties on id) is deterministic and the whole selection replays
+    byte-for-byte in any engine: the iterative loop is oracle-checkable
+    by unrolling its k fixed rounds.
+
+    Scale shape: relevance candidates come from :func:`brute_force_topk`
+    (swap in the IVF/LSH retriever at scale — downstream unchanged);
+    everything after operates on the |Q|×n_candidates relation and its
+    within-query pair cosines (|Q|·n² bounded rows, never the corpus).
+    Each greedy round materializes the ≤ |Q|·k selection (eager
+    checkpoint) so plan lineage stays LINEAR in k instead of
+    exponential — the bounded-relation analogue of the kmeans round
+    structure.
+    """
+    num, den = lam
+    if not (0 < num < den):
+        raise ValueError("lam must be a proper fraction (num, den)")
+    cands = brute_force_topk(
+        embeddings, queries, k=n_candidates, id_col=id_col
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("cosine").alias("rel"),
+    )
+    qv = quantize_embeddings(embeddings).select(
+        F.col(id_col).alias("vec_id"),
+        F.col("qvec").alias("v"),
+        _norm(F.col("qvec")).alias("nv"),
+    )
+    cv = cands.join(qv, "vec_id").localCheckpoint(eager=True)
+    a = cv.select(
+        "query_id",
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+    )
+    b = cv.select(
+        "query_id",
+        F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
+    pc = F.round(
+        _dot(F.col("va"), F.col("vb")).cast("double")
+        / (F.col("na") * F.col("nb")),
+        6,
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("ia") != F.col("ib"))
+        .select("query_id", "ia", "ib", pc.alias("pc"))
+        .localCheckpoint(eager=True)
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("vec_id")
+    )
+    sel = (
+        cv.select("query_id", "vec_id", "rel")
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).alias("pick"),
+            "vec_id",
+            F.col("rel").alias("score"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for r in range(2, k + 1):
+        ms = (
+            pairs.join(
+                sel.select("query_id", F.col("vec_id").alias("ib")),
+                ["query_id", "ib"],
+            )
+            .groupBy("query_id", F.col("ia").alias("vec_id"))
+            .agg(F.max("pc").alias("ms"))
+        )
+        rem = cv.select("query_id", "vec_id", "rel").join(
+            sel.select("query_id", "vec_id"),
+            ["query_id", "vec_id"],
+            "left_anti",
+        )
+        score = F.round(
+            (
+                F.lit(num) * F.col("rel")
+                - F.lit(den - num) * F.col("ms")
+            )
+            / F.lit(den),
+            6,
+        )
+        wr = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("vec_id")
+        )
+        pick = (
+            rem.join(ms, ["query_id", "vec_id"])
+            .withColumn("score", score)
+            .withColumn("__rn", F.row_number().over(wr))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "query_id", F.lit(r).alias("pick"), "vec_id", "score"
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel
+
+
+def srp_project(
+    embeddings: DataFrame,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Signed-random-projection dimensionality reduction: project each
+    quantized vector onto ``n_planes`` deterministic ±1 hyperplanes
+    (the :func:`sign_matrix` family — reproducible in any engine from
+    md5, no RNG state). The 64-dim float embedding becomes n exact
+    BIGINT coordinates preserving cosine structure in expectation
+    (Charikar'02) — the cheap pre-projection before sketch-based dedup,
+    banding, or shipping vectors to a system that only speaks integers.
+
+    The sign rows ride a broadcast n_planes-row relation and the
+    projection is one ``zip_with`` dot product per (vector, plane) —
+    inlining all n·dim terms into a single stack expression instead
+    blows the JVM method-size limit (observed
+    InternalCompilerException → interpreted fallback at 16×64). Zero
+    shuffles; output long format (vec_id, plane, value) so downstream
+    pivots choose their own shape.
+    """
+    signs = sign_matrix(n_planes, dim)
+    spark = embeddings.sparkSession
+    sign_rows = spark.createDataFrame(
+        [(p, signs[p]) for p in range(n_planes)],
+        "plane int, srow array<bigint>",
+    )
+    q = quantize_embeddings(embeddings).select(
+        F.col(id_col).alias("vec_id"), "qvec"
+    )
+    return q.crossJoin(F.broadcast(sign_rows)).select(
+        "vec_id",
+        "plane",
+        _dot(F.col("qvec"), F.col("srow")).alias("value"),
+    )

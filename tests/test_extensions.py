@@ -2572,3 +2572,95 @@ def test_priority_sample_dlt_properties(spark):
         assert r.priority == pr_all[r.doc_id]
         assert r.w_est == max(r.weight, tau)
         assert r.w_est >= r.weight
+
+
+def test_mmr_diversifies_away_from_near_duplicate(spark):
+    from daily_top_songs_etl_spark.extensions.similarity import mmr_topk
+
+    # query [1,0,0,0]; candidates: two near-identical high-relevance
+    # vectors (1, 2), one moderately relevant diverse vector (3), one
+    # weak (4). Pure relevance would pick 1 then 2; MMR must pick 1
+    # then 3 (2 is punished by its similarity to the selected 1).
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0, 0.0], 0),
+        (2, [0.98, 0.11, 0.0, 0.0], 0),
+        (3, [0.7, 0.0, 0.7, 0.0], 0),
+        (4, [0.1, 0.0, 0.0, 1.0], 0),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = sorted(
+        mmr_topk(
+            emb, emb.filter(F.col("vec_id") == 0), k=3, n_candidates=4
+        ).collect(),
+        key=lambda r: r.pick,
+    )
+    assert [r.pick for r in out] == [1, 2, 3]
+    assert out[0].vec_id == 1  # highest relevance first
+    assert out[1].vec_id == 3  # diverse pick beats the near-dup 2
+    # scores are non-increasing is NOT guaranteed by MMR, but pick-1
+    # score is the raw relevance
+    assert out[0].score == max(r.score for r in out)
+
+
+def test_mmr_first_pick_is_relevance_argmax(spark, embeddings):
+    from daily_top_songs_etl_spark.extensions.similarity import (
+        brute_force_topk,
+        mmr_topk,
+    )
+
+    q = embeddings.filter(F.col("vec_id") == 0)
+    out = mmr_topk(embeddings, q, k=4, n_candidates=10).collect()
+    assert len(out) == 4
+    assert sorted(r.pick for r in out) == [1, 2, 3, 4]
+    top1 = brute_force_topk(embeddings, q, k=1).collect()[0]
+    first = next(r for r in out if r.pick == 1)
+    assert first.vec_id == top1.neighbor_id
+    # selections are distinct candidates of the query
+    assert len({r.vec_id for r in out}) == 4
+
+
+def test_cluster_drift_shares_and_totals(spark, embeddings):
+    from daily_top_songs_etl_spark.extensions.ann_index import cluster_drift
+
+    base = embeddings.filter(F.col("vec_id") % 5 != 0)
+    cur = embeddings.filter(F.col("vec_id") % 5 == 0)
+    out = cluster_drift(base, cur, n_centroids=4, iters=2).collect()
+    assert len(out) == 4
+    assert sum(r.n_base for r in out) == base.count()
+    assert sum(r.n_cur for r in out) == cur.count()
+    assert abs(sum(r.share_base for r in out) - 1.0) < 1e-9
+    assert abs(sum(r.share_cur for r in out) - 1.0) < 1e-9
+    assert abs(sum(r.drift for r in out)) < 1e-9
+    for r in out:
+        assert abs(r.drift - (r.share_cur - r.share_base)) < 1e-12
+
+
+def test_srp_project_matches_python(spark, embeddings):
+    from daily_top_songs_etl_spark.extensions.similarity import (
+        sign_matrix,
+        srp_project,
+    )
+
+    out = {(r.vec_id, r.plane): r.value
+           for r in srp_project(embeddings, n_planes=8).collect()}
+    signs = sign_matrix(8, 64)
+    import decimal
+
+    def q1000(x):
+        # mirror round-half-up of F.round(x*1000, 0)
+        return int(
+            decimal.Decimal(x * 1000).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    rows = embeddings.collect()
+    assert len(out) == len(rows) * 8
+    for r in rows[:20]:
+        qv = [q1000(float(x)) for x in r.embedding]
+        for p in range(8):
+            want = sum(a * s for a, s in zip(qv, signs[p]))
+            assert out[(r.vec_id, p)] == want
