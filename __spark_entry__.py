@@ -6710,11 +6710,17 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the part co-purchase graph (parts
     sharing an order): Chiba–Nishizeki degree-ordered orientation, so
     wedge enumeration is bounded by O(√m) per node instead of hub-degree
-    squared. Exact integers throughout."""
+    squared. Exact integers throughout. Built over the deterministic
+    l_partkey % 4 = 0 slice: co-occurrence graphs densify with corpus
+    size and the single-node ORACLE must re-derive every wedge at the
+    10× verification scale; the slice keeps that tractable while
+    exercising the identical operator (which itself has no such
+    bound)."""
     from daily_top_songs_etl_spark.extensions.graph import triangle_count
 
     li = (
         _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 4 == 0)
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
@@ -6732,6 +6738,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TRIANGLE_COUNT = """
 WITH li AS (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE l_partkey % 4 = 0
 ), und AS (
   SELECT DISTINCT a.p AS u, b.p AS v
   FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
