@@ -7085,6 +7085,109 @@ FROM q CROSS JOIN signs s
 ORACLE_SRP_PROJECT = _oracle_srp_project(16, 64)
 
 
+# --------------------------------------------------------------------------
+# Exact distributed order statistics (two-pass pigeonhole, no global sort)
+# --------------------------------------------------------------------------
+def q_exact_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-return-flag price quartiles (lower convention, integer
+    cents) by two-pass pigeonhole selection: a (group, bucket) count
+    histogram, a bounded driver walk to locate each rank's bucket, and
+    a rank-within-bucket pick — no task ever sorts more than
+    ~n/1024 rows; the oracle's global per-group sort must agree."""
+    from daily_top_songs_etl_spark.operators.quantiles import (
+        grouped_exact_quantiles,
+    )
+
+    # price is a DOUBLE: explicit floor() on BOTH engines before the
+    # BIGINT cast (Spark's cast truncates toward zero, DuckDB's rounds
+    # half-away — the important_parts lesson).
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    return grouped_exact_quantiles(
+        li, "l_returnflag", "price_cents",
+        quantiles=((1, 4), (1, 2), (3, 4)),
+    )
+
+
+ORACLE_EXACT_QUARTILES = """
+WITH v AS (
+  SELECT l_returnflag AS g,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS val
+  FROM lineitem
+), n AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1
+), r AS (
+  SELECT g, val, row_number() OVER (PARTITION BY g ORDER BY val) AS rn
+  FROM v
+), qs AS (
+  SELECT * FROM (VALUES (1, 4), (1, 2), (3, 4)) t(q_num, q_den)
+)
+SELECT n.g AS l_returnflag,
+       CAST(q.q_num AS INTEGER) AS q_num,
+       CAST(q.q_den AS INTEGER) AS q_den,
+       n.n,
+       CAST((n.n - 1) * q.q_num // q.q_den + 1 AS BIGINT) AS pos,
+       r.val AS value
+FROM n
+CROSS JOIN qs q
+JOIN r ON r.g = n.g AND r.rn = (n.n - 1) * q.q_num // q.q_den + 1
+"""
+
+
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust outlier counts on document length: exact lower
+    median, exact MAD (median of |x − med|), outliers = |x − med| >
+    3·MAD — all BIGINT selections via the pigeonhole quantile operator,
+    so the flagged set reproduces bit-identically cross-engine."""
+    from daily_top_songs_etl_spark.operators.quantiles import (
+        robust_outliers,
+    )
+
+    return robust_outliers(
+        _t(spark, sf_dir, "documents"), "source", "n_chars", k_mad=3
+    )
+
+
+ORACLE_ROBUST_OUTLIERS = """
+WITH v AS (
+  SELECT source AS g, CAST(n_chars AS BIGINT) AS val FROM documents
+), n AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1
+), med AS (
+  SELECT r.g, r.val AS med
+  FROM (
+    SELECT g, val, row_number() OVER (PARTITION BY g ORDER BY val) AS rn
+    FROM v
+  ) r JOIN n USING (g)
+  WHERE r.rn = (n.n - 1) // 2 + 1
+), dev AS (
+  SELECT v.g, abs(v.val - m.med) AS adev
+  FROM v JOIN med m USING (g)
+), mad AS (
+  SELECT r.g, r.adev AS mad
+  FROM (
+    SELECT g, adev, row_number() OVER (PARTITION BY g ORDER BY adev) AS rn
+    FROM dev
+  ) r JOIN n USING (g)
+  WHERE r.rn = (n.n - 1) // 2 + 1
+), fl AS (
+  SELECT d.g,
+         CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_outliers
+  FROM dev d JOIN mad m USING (g) GROUP BY 1
+)
+SELECT n.g AS source, n.n, med.med, mad.mad, fl.n_outliers
+FROM n
+JOIN med USING (g)
+JOIN mad USING (g)
+JOIN fl USING (g)
+"""
+
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth: per ingestion-order corpus slice,
     token volume, never-before-seen distinct tokens, cumulative
@@ -7691,6 +7794,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_topk": q_mmr_topk,
     "cluster_drift": q_cluster_drift,
     "srp_project": q_srp_project,
+    "exact_quartiles": q_exact_quartiles,
+    "robust_outliers": q_robust_outliers,
     "shipping_priority": q_shipping_priority,
     "regional_volume": q_regional_volume,
     "nation_trade_volume": q_nation_trade_volume,
@@ -7935,6 +8040,8 @@ _ORACLES: dict[str, str] = {
     "mmr_topk": ORACLE_MMR_TOPK,
     "cluster_drift": ORACLE_CLUSTER_DRIFT,
     "srp_project": ORACLE_SRP_PROJECT,
+    "exact_quartiles": ORACLE_EXACT_QUARTILES,
+    "robust_outliers": ORACLE_ROBUST_OUTLIERS,
     "vocab_encode": ORACLE_VOCAB_ENCODE,
     "value_deciles": ORACLE_VALUE_DECILES,
     "incremental_agg": ORACLE_INCREMENTAL_AGG,

@@ -709,3 +709,66 @@ def test_heavy_hitters_exact_recall_and_false_positive_drop(spark):
     assert out.get("hot") == 200          # exact count, found
     assert "spike" not in out             # false positive dropped exactly
     assert all(not k.startswith("tail_") for k in out)
+
+
+def test_grouped_exact_quantiles_matches_sorted_positions(spark):
+    from daily_top_songs_etl_spark.operators.quantiles import (
+        grouped_exact_quantiles,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [("a", rng.randrange(-500, 10_000)) for _ in range(501)] + [
+        ("b", rng.randrange(0, 50)) for _ in range(40)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        (r.g, r.q_num, r.q_den): (r.n, r.pos, r.value)
+        for r in grouped_exact_quantiles(
+            df, "g", "v", quantiles=((1, 4), (1, 2), (3, 4)), n_buckets=16
+        ).collect()
+    }
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        vs.sort()
+        n = len(vs)
+        for num, den in ((1, 4), (1, 2), (3, 4)):
+            pos = (n - 1) * num // den + 1
+            assert got[(g, num, den)] == (n, pos, vs[pos - 1])
+    # duplicate-heavy values: the rank-k element is still exact
+    dup = spark.createDataFrame(
+        [("x", v) for v in [5, 5, 5, 1, 9]], "g string, v long"
+    )
+    r = grouped_exact_quantiles(dup, "g", "v", quantiles=((1, 2),)).collect()
+    assert r[0].value == 5 and r[0].pos == 3
+
+
+def test_robust_outliers_flags_planted_anomalies(spark):
+    from daily_top_songs_etl_spark.operators.quantiles import (
+        robust_outliers,
+    )
+
+    base = [("s1", 100 + (i % 11)) for i in range(200)]
+    planted = [("s1", 10_000), ("s1", 9_500), ("s1", -4_000)]
+    clean = [("s2", 50 + (i % 3)) for i in range(100)]
+    df = spark.createDataFrame(
+        base + planted + clean, "source string, n_chars long"
+    )
+    got = {r.source: r for r in
+           robust_outliers(df, "source", "n_chars", k_mad=3).collect()}
+    import statistics
+
+    vals = sorted(v for _, v in base + planted)
+    med = vals[(len(vals) - 1) // 2]
+    assert got["s1"].med == med
+    devs = sorted(abs(v - med) for _, v in base + planted)
+    mad = devs[(len(devs) - 1) // 2]
+    assert got["s1"].mad == mad
+    want = sum(1 for _, v in base + planted if abs(v - med) > 3 * mad)
+    assert got["s1"].n_outliers == want == 3
+    # a tight clean group flags nothing
+    assert got["s2"].n_outliers <= 1
+    assert got["s1"].n == 203 and got["s2"].n == 100
