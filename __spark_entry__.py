@@ -7188,6 +7188,126 @@ JOIN fl USING (g)
 """
 
 
+# --------------------------------------------------------------------------
+# Shard assignment by exact running token budget (no single-task sort)
+# --------------------------------------------------------------------------
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus sharding: exact inclusive running token total in
+    ingestion order (two-phase range-exchange prefix sum — a bare
+    SUM() OVER (ORDER BY) would funnel the corpus through one task),
+    then shard = (cum−1) div 4096 so every shard holds ~4096 tokens.
+    The cut-points are exact, deterministic, and reproducible — what a
+    training-data packer needs to name its output files."""
+    from daily_top_songs_etl_spark.extensions.text import tokens
+    from daily_top_songs_etl_spark.operators.rownumber import (
+        global_running_sum,
+    )
+
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens()).cast("bigint").alias("n_tokens")
+    )
+    run = global_running_sum(
+        t, [F.col("doc_id")], "n_tokens", out_col="cum_tokens"
+    )
+    return run.select(
+        "doc_id",
+        "n_tokens",
+        "cum_tokens",
+        F.expr("(cum_tokens - 1) div 4096").alias("shard"),
+    )
+
+
+ORACLE_SHARD_ASSIGN = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+              AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+       CAST((sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - 1) // 4096
+            AS BIGINT) AS shard
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# CMS join-size estimation (the sketch as an optimizer statistic)
+# --------------------------------------------------------------------------
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate |returned-items ⋈ open-status lines on part key| from two
+    count-min sketches (min over rows of the cell-wise product sum —
+    the AGMS statistic an optimizer costs joins with, no second scan of
+    either input), side by side with the exact join size. Estimate ≥
+    exact always; all integers."""
+    from daily_top_songs_etl_spark.operators.heavyhitters import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    a_keys = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    b_keys = li.filter(F.col("l_linestatus") == "O").select("l_partkey")
+    est = cms_inner_product(
+        cms_build(a_keys, "l_partkey", width=8192, depth=4),
+        cms_build(b_keys, "l_partkey", width=8192, depth=4),
+    )
+    ca = a_keys.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("na"))
+    cb = b_keys.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("nb"))
+    exact = ca.join(cb, "l_partkey").agg(
+        F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("exact_size")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_size",
+        "estimate",
+        (F.col("estimate") - F.col("exact_size")).alias("overestimate"),
+    )
+
+
+ORACLE_CMS_JOIN_SIZE = """
+WITH params AS (
+  SELECT unnest([0, 1, 2, 3]) AS i,
+         unnest([1000003, 1000033, 1000037, 1000039]) AS a,
+         unnest([12345, 67891, 13579, 24683]) AS b
+), ka AS (
+  SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R'
+), kb AS (
+  SELECT l_partkey AS k FROM lineitem WHERE l_linestatus = 'O'
+), sa AS (
+  SELECT p.i,
+         ((((ka.k % 2147483647) * p.a + p.b) % 2147483647) % 8192)
+             AS bucket,
+         CAST(count(*) AS BIGINT) AS ca
+  FROM ka CROSS JOIN params p GROUP BY 1, 2
+), sb AS (
+  SELECT p.i,
+         ((((kb.k % 2147483647) * p.a + p.b) % 2147483647) % 8192)
+             AS bucket,
+         CAST(count(*) AS BIGINT) AS cb
+  FROM kb CROSS JOIN params p GROUP BY 1, 2
+), est AS (
+  SELECT CAST(min(pr) AS BIGINT) AS estimate FROM (
+    SELECT i, sum(ca * cb) AS pr
+    FROM sa JOIN sb USING (i, bucket) GROUP BY 1
+  )
+), exact AS (
+  SELECT CAST(sum(na * nb) AS BIGINT) AS exact_size FROM (
+    SELECT k, count(*) AS na FROM ka GROUP BY 1
+  ) a JOIN (
+    SELECT k, count(*) AS nb FROM kb GROUP BY 1
+  ) b USING (k)
+)
+SELECT exact_size, estimate,
+       CAST(estimate - exact_size AS BIGINT) AS overestimate
+FROM exact CROSS JOIN est
+"""
+
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth: per ingestion-order corpus slice,
     token volume, never-before-seen distinct tokens, cumulative
@@ -7796,6 +7916,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "srp_project": q_srp_project,
     "exact_quartiles": q_exact_quartiles,
     "robust_outliers": q_robust_outliers,
+    "shard_assign": q_shard_assign,
+    "cms_join_size": q_cms_join_size,
     "shipping_priority": q_shipping_priority,
     "regional_volume": q_regional_volume,
     "nation_trade_volume": q_nation_trade_volume,
@@ -8042,6 +8164,8 @@ _ORACLES: dict[str, str] = {
     "srp_project": ORACLE_SRP_PROJECT,
     "exact_quartiles": ORACLE_EXACT_QUARTILES,
     "robust_outliers": ORACLE_ROBUST_OUTLIERS,
+    "shard_assign": ORACLE_SHARD_ASSIGN,
+    "cms_join_size": ORACLE_CMS_JOIN_SIZE,
     "vocab_encode": ORACLE_VOCAB_ENCODE,
     "value_deciles": ORACLE_VALUE_DECILES,
     "incremental_agg": ORACLE_INCREMENTAL_AGG,

@@ -157,3 +157,28 @@ def cms_estimate(
             .alias("cms_estimate")
         )
     )
+
+
+def cms_inner_product(
+    sketch_a: DataFrame, sketch_b: DataFrame
+) -> DataFrame:
+    """Equi-join SIZE estimation from two count-min sketches (the
+    AGMS/CMS optimizer statistic): |A ⋈ B on k| = Σ_k f_A(k)·f_B(k),
+    estimated as min over hash rows of the cell-wise product sum —
+    always ≥ the truth, collisions only add. This is how an engine
+    costs a join WITHOUT scanning either input again: two fixed-size
+    summaries, one tiny product join.
+
+    Inputs are :func:`cms_build` outputs with identical (width, depth)
+    parameters. Returns one row: (estimate). All integer arithmetic.
+    """
+    a = sketch_a.select("i", "bucket", F.col("cnt").alias("ca"))
+    b = sketch_b.select("i", "bucket", F.col("cnt").alias("cb"))
+    per_row = (
+        a.join(b, ["i", "bucket"])
+        .groupBy("i")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("__p"))
+    )
+    return per_row.agg(
+        F.min("__p").cast("bigint").alias("estimate")
+    )

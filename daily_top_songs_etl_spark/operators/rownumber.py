@@ -77,3 +77,62 @@ def global_row_number(
         )
         .drop("__pid", "__offset")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order: list[Column],
+    value_col: str,
+    out_col: str = "running",
+    num_partitions: int | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """Exact inclusive running total of ``value_col`` under a total
+    order, by the same two-phase scheme as :func:`global_row_number`:
+    range exchange, per-partition value sums prefix-summed on the
+    driver (one row per partition), windowed partial sum within each
+    partition + broadcast offset. A bare ``SUM() OVER (ORDER BY ...)``
+    would funnel the corpus through one task; this costs one range
+    exchange and sums exact BIGINTs, so the totals are identical to the
+    single-partition answer.
+
+    The running total is the primitive behind corpus planning: token
+    budgets, shard cut-points, quota lines — anywhere "the first N
+    units under this order" must be answered exactly at scale.
+    """
+    if not order:
+        raise ValueError("order must contain at least one column")
+    ranged = (
+        df.repartitionByRange(num_partitions, *order)
+        if num_partitions
+        else df.repartitionByRange(*order)
+    )
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    if persist:
+        with_pid = with_pid.persist(StorageLevel.MEMORY_AND_DISK)
+    sums = with_pid.groupBy("__pid").agg(
+        F.sum(F.col(value_col).cast("bigint")).alias("__s")
+    )
+    rows = sorted((r["__pid"], r["__s"]) for r in sums.collect())
+    offsets, acc = [], 0
+    for pid, s in rows:
+        offsets.append((pid, acc))
+        acc += s
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "__pid int, __voff bigint")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_pid.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            out_col,
+            (
+                F.sum(F.col(value_col).cast("bigint")).over(w)
+                + F.col("__voff")
+            ).cast("bigint"),
+        )
+        .drop("__pid", "__voff")
+    )

@@ -772,3 +772,55 @@ def test_robust_outliers_flags_planted_anomalies(spark):
     # a tight clean group flags nothing
     assert got["s2"].n_outliers <= 1
     assert got["s1"].n == 203 and got["s2"].n == 100
+
+
+def test_global_running_sum_matches_single_partition_window(spark):
+    from daily_top_songs_etl_spark.operators.rownumber import (
+        global_running_sum,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(1, 1000)) for i in range(5000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, v long").repartition(16)
+    got = {
+        r.k: r.running
+        for r in global_running_sum(
+            df, [F.col("k")], "v", num_partitions=8
+        ).collect()
+    }
+    acc = 0
+    for k, v in sorted(rows):
+        acc += v
+        assert got[k] == acc
+    # the physical plan must not contain a single-partition global window
+    plan = global_running_sum(
+        df, [F.col("k")], "v", num_partitions=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_cms_inner_product_upper_bounds_exact_join_size(spark):
+    from daily_top_songs_etl_spark.operators.heavyhitters import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    a = spark.createDataFrame([(i % 50,) for i in range(2000)], "k long")
+    b = spark.createDataFrame([(i % 80,) for i in range(1600)], "k long")
+    est = cms_inner_product(
+        cms_build(a, "k", width=256, depth=4),
+        cms_build(b, "k", width=256, depth=4),
+    ).collect()[0].estimate
+    ca = {}
+    for i in range(2000):
+        ca[i % 50] = ca.get(i % 50, 0) + 1
+    cb = {}
+    for i in range(1600):
+        cb[i % 80] = cb.get(i % 80, 0) + 1
+    exact = sum(ca[k] * cb.get(k, 0) for k in ca)
+    assert est >= exact
+    # with width >> keys, collisions are rare: the estimate is tight
+    assert est <= exact * 1.5
