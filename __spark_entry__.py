@@ -7308,6 +7308,98 @@ FROM exact CROSS JOIN est
 """
 
 
+# --------------------------------------------------------------------------
+# KMV distinct sketch (estimate vs exact, all-integer arithmetic)
+# --------------------------------------------------------------------------
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct estimate of order-placing customers
+    (k=256) beside the exact count — the mergeable distinct sketch
+    whose estimate, unlike HLL's, is bit-identical cross-engine
+    because it is pure Mersenne-mod + integer-div arithmetic."""
+    from daily_top_songs_etl_spark.operators.heavyhitters import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    est = kmv_estimate(kmv_sketch(orders, "o_custkey", k=256), k=256)
+    exact = orders.agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_sketch",
+        "exact_distinct",
+        "kmv_estimate",
+        (F.col("kmv_estimate") - F.col("exact_distinct")).alias("err"),
+    )
+
+
+ORACLE_KMV_DISTINCT = """
+WITH h AS (
+  SELECT DISTINCT (((o_custkey % 2147483647) * 1327217885 + 12345)
+                   % 2147483647) AS hv
+  FROM orders
+), sk AS (
+  SELECT hv FROM h
+  QUALIFY row_number() OVER (ORDER BY hv) <= 256
+), kth AS (
+  SELECT max(hv) AS hk, CAST(count(*) AS BIGINT) AS n_sketch FROM sk
+), ex AS (
+  SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+  FROM orders
+)
+SELECT kth.n_sketch, ex.exact_distinct,
+       CAST(CASE WHEN kth.n_sketch < 256 THEN kth.n_sketch
+            ELSE (255 * CAST(2147483647 AS BIGINT)) // kth.hk END AS BIGINT)
+           AS kmv_estimate,
+       CAST(CASE WHEN kth.n_sketch < 256 THEN kth.n_sketch
+            ELSE (255 * CAST(2147483647 AS BIGINT)) // kth.hk END
+            - ex.exact_distinct AS BIGINT) AS err
+FROM ex CROSS JOIN kth
+"""
+
+
+# --------------------------------------------------------------------------
+# Language-ID confusion matrix (classifier-gate evaluation)
+# --------------------------------------------------------------------------
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-ratio language identifier vs
+    the labeled lang column: per (true, predicted) pair, count and
+    within-true-lang share — the eval a classifier-gated filter stage
+    owes before its output becomes a gate."""
+    from daily_top_songs_etl_spark.extensions.text import langid_confusion
+
+    return langid_confusion(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_LANGID_CONFUSION = rf"""
+WITH tok AS (
+  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(t, w -> list_contains({_STOPLIST_SQL}, w)))
+              AS INTEGER) AS n_stopwords,
+         CAST(len(t) AS INTEGER) AS n_tokens
+  FROM tok
+), pred AS (
+  SELECT lang,
+         CASE WHEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                   >= 0.05
+              THEN 'en' ELSE 'other' END AS lang_pred
+  FROM s
+), per AS (
+  SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+), tot AS (
+  SELECT lang, CAST(sum(n) AS BIGINT) AS t FROM per GROUP BY 1
+)
+SELECT per.lang, per.lang_pred, per.n,
+       CAST(per.n AS DOUBLE) / CAST(tot.t AS DOUBLE) AS share
+FROM per JOIN tot USING (lang)
+"""
+
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth: per ingestion-order corpus slice,
     token volume, never-before-seen distinct tokens, cumulative
@@ -7918,6 +8010,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robust_outliers": q_robust_outliers,
     "shard_assign": q_shard_assign,
     "cms_join_size": q_cms_join_size,
+    "kmv_distinct": q_kmv_distinct,
+    "langid_confusion": q_langid_confusion,
     "shipping_priority": q_shipping_priority,
     "regional_volume": q_regional_volume,
     "nation_trade_volume": q_nation_trade_volume,
@@ -8166,6 +8260,8 @@ _ORACLES: dict[str, str] = {
     "robust_outliers": ORACLE_ROBUST_OUTLIERS,
     "shard_assign": ORACLE_SHARD_ASSIGN,
     "cms_join_size": ORACLE_CMS_JOIN_SIZE,
+    "kmv_distinct": ORACLE_KMV_DISTINCT,
+    "langid_confusion": ORACLE_LANGID_CONFUSION,
     "vocab_encode": ORACLE_VOCAB_ENCODE,
     "value_deciles": ORACLE_VALUE_DECILES,
     "incremental_agg": ORACLE_INCREMENTAL_AGG,

@@ -1211,3 +1211,30 @@ def bloom_decontaminate(
             (F.coalesce("n_candidate_grams", F.lit(0)) > 0).alias("flagged"),
         )
     )
+
+
+def langid_confusion(documents: DataFrame) -> DataFrame:
+    """Confusion matrix of the heuristic language identifier against
+    the labeled ``lang`` column: per (true lang, predicted lang) pair,
+    row count and within-true-lang share — the evaluation every
+    classifier-gated pipeline stage owes its operator before its output
+    becomes a filter.
+
+    One aggregate over :func:`language_id` output (map-side combinable,
+    |langs|² result rows); shares are single double divisions from
+    exact counts."""
+    li = language_id(documents).select("lang", "lang_pred")
+    per = li.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    totals = per.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("__t")
+    )
+    return per.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "lang_pred",
+        "n",
+        (F.col("n").cast("double") / F.col("__t").cast("double")).alias(
+            "share"
+        ),
+    )

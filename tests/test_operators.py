@@ -824,3 +824,48 @@ def test_cms_inner_product_upper_bounds_exact_join_size(spark):
     assert est >= exact
     # with width >> keys, collisions are rare: the estimate is tight
     assert est <= exact * 1.5
+
+
+def test_kmv_sketch_merge_and_estimate(spark):
+    from daily_top_songs_etl_spark.operators.heavyhitters import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    # below k: estimate is EXACT
+    small = spark.createDataFrame([(i % 40,) for i in range(500)], "k long")
+    est = kmv_estimate(kmv_sketch(small, "k", k=256), k=256).collect()[0]
+    assert est.n_sketch == 40 and est.kmv_estimate == 40
+    # above k: estimate within 25% of truth for 5000 distinct
+    big = spark.createDataFrame([(i,) for i in range(5000)], "k long")
+    est = kmv_estimate(kmv_sketch(big, "k", k=256), k=256).collect()[0]
+    assert est.n_sketch == 256
+    assert abs(est.kmv_estimate - 5000) / 5000 < 0.25
+    # mergeability: min-k of the union of two sketches == sketch of union
+    a = spark.createDataFrame([(i,) for i in range(0, 3000)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(2000, 5000)], "k long")
+    merged = (
+        kmv_sketch(a, "k", k=256)
+        .unionByName(kmv_sketch(b, "k", k=256))
+        .distinct()
+        .orderBy("hv")
+        .limit(256)
+    )
+    whole = kmv_sketch(big, "k", k=256)
+    assert sorted(r.hv for r in merged.collect()) == sorted(
+        r.hv for r in whole.collect()
+    )
+
+
+def test_langid_confusion_totals(spark):
+    from daily_top_songs_etl_spark.extensions.text import langid_confusion
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = langid_confusion(docs).collect()
+    n_docs = docs.count()
+    assert sum(r.n for r in out) == n_docs
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
