@@ -7400,6 +7400,101 @@ FROM per JOIN tot USING (lang)
 """
 
 
+# --------------------------------------------------------------------------
+# SRP neighborhood-preservation eval (projected vs exact top-k recall)
+# --------------------------------------------------------------------------
+def q_srp_neighbor_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the 16-plane SRP-projected cosine ranking against
+    the exact 64-dim ranking for 5 queries — the measured JL check that
+    says whether retrieval can route through the cheap projection."""
+    from daily_top_songs_etl_spark.extensions.similarity import (
+        srp_neighbor_recall,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return srp_neighbor_recall(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=16
+    )
+
+
+def _oracle_srp_neighbor_recall(
+    n_planes: int = 16, dim: int = 64, k: int = 10, n_q: int = 5
+) -> str:
+    from daily_top_songs_etl_spark.extensions.similarity import sign_matrix
+
+    signs = sign_matrix(n_planes, dim)
+    lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(str(x) for x in row) + "]" for row in signs
+        )
+        + "]"
+    )
+
+    def cos(l: str, r: str) -> str:
+        return (
+            f"round(CAST(list_sum(list_transform(list_zip({l}, {r}),"
+            f" s -> s[1]*s[2])) AS DOUBLE)"
+            f" / (sqrt(CAST(list_sum(list_transform({l}, x -> x*x))"
+            f" AS DOUBLE))"
+            f" * sqrt(CAST(list_sum(list_transform({r}, x -> x*x))"
+            f" AS DOUBLE))), 6)"
+        )
+
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE)*1000)::BIGINT)
+             AS qv
+  FROM embeddings
+), signs AS MATERIALIZED (
+  SELECT unnest(generate_series(0, {n_planes - 1})) AS plane,
+         unnest({lit}) AS srow
+), pv AS MATERIALIZED (
+  SELECT vec_id, list(value ORDER BY plane) AS pv FROM (
+    SELECT vec_id, s.plane,
+           CAST(list_sum(list_transform(list_zip(qv, s.srow),
+                                        t -> t[1] * t[2])) AS BIGINT)
+               AS value
+    FROM q CROSS JOIN signs s
+  ) GROUP BY 1
+), appr_scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {cos('qs.pv', 'c.pv')} AS cosine
+  FROM pv qs JOIN pv c ON c.vec_id != qs.vec_id
+  WHERE qs.vec_id < {n_q}
+), appr AS (
+  SELECT query_id, neighbor_id FROM appr_scored
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, neighbor_id) <= {k}
+), bf_scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {cos('qs.qv', 'c.qv')} AS cosine
+  FROM q qs JOIN q c ON c.vec_id != qs.vec_id
+  WHERE qs.vec_id < {n_q}
+), bf AS (
+  SELECT query_id, neighbor_id FROM bf_scored
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, neighbor_id) <= {k}
+), n_true AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_true FROM bf GROUP BY 1
+), n_hit AS (
+  SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM bf b JOIN appr a ON a.query_id = b.query_id
+                       AND a.neighbor_id = b.neighbor_id
+  GROUP BY 1
+)
+SELECT t.query_id, t.n_true,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(t.n_true AS DOUBLE)
+           AS recall
+FROM n_true t LEFT JOIN n_hit h USING (query_id)
+"""
+
+
+ORACLE_SRP_NEIGHBOR_RECALL = _oracle_srp_neighbor_recall(16, 64, 10, 5)
+
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth: per ingestion-order corpus slice,
     token volume, never-before-seen distinct tokens, cumulative
@@ -8012,6 +8107,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_join_size": q_cms_join_size,
     "kmv_distinct": q_kmv_distinct,
     "langid_confusion": q_langid_confusion,
+    "srp_neighbor_recall": q_srp_neighbor_recall,
     "shipping_priority": q_shipping_priority,
     "regional_volume": q_regional_volume,
     "nation_trade_volume": q_nation_trade_volume,
@@ -8262,6 +8358,7 @@ _ORACLES: dict[str, str] = {
     "cms_join_size": ORACLE_CMS_JOIN_SIZE,
     "kmv_distinct": ORACLE_KMV_DISTINCT,
     "langid_confusion": ORACLE_LANGID_CONFUSION,
+    "srp_neighbor_recall": ORACLE_SRP_NEIGHBOR_RECALL,
     "vocab_encode": ORACLE_VOCAB_ENCODE,
     "value_deciles": ORACLE_VALUE_DECILES,
     "incremental_agg": ORACLE_INCREMENTAL_AGG,

@@ -1074,3 +1074,66 @@ def srp_project(
         "plane",
         _dot(F.col("qvec"), F.col("srow")).alias("value"),
     )
+
+
+def srp_neighbor_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Neighborhood-preservation evaluation of the SRP projection: for
+    each query, recall@k of the top-k computed in the n_planes-dim
+    projected space against the exact top-k in the original space —
+    the number that tells you whether a cheap projected index is safe
+    to route retrieval through (the JL-lemma check, measured in-engine
+    instead of assumed).
+
+    Both rankings are integer-quantized cosines rounded to 6 before
+    ranking; the metric join operates on |Q|×k bounded relations
+    (:func:`recall_at_k`), so the eval costs two retrieval passes and
+    nothing more."""
+    proj = (
+        srp_project(embeddings, n_planes=n_planes, id_col=id_col)
+        .groupBy("vec_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("plane", "value"))
+            ).alias("s")
+        )
+        .select(
+            "vec_id", F.expr("transform(s, x -> x.value)").alias("pv")
+        )
+    )
+    qids = queries.select(F.col(id_col).alias("vec_id"))
+    qp = proj.join(F.broadcast(qids), "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("pv").alias("q"),
+        _norm(F.col("pv")).alias("nq"),
+    )
+    cp = proj.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("pv").alias("v"),
+        _norm(F.col("pv")).alias("nv"),
+    )
+    cosine = _dot(F.col("q"), F.col("v")).cast("double") / (
+        F.col("nq") * F.col("nv")
+    )
+    scored = (
+        cp.crossJoin(F.broadcast(qp))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", F.round(cosine, 6).alias("cosine")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    approx = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+    truth = brute_force_topk(embeddings, queries, k=k, id_col=id_col)
+    return recall_at_k(approx, truth)

@@ -2664,3 +2664,22 @@ def test_srp_project_matches_python(spark, embeddings):
         for p in range(8):
             want = sum(a * s for a, s in zip(qv, signs[p]))
             assert out[(r.vec_id, p)] == want
+
+
+def test_srp_neighbor_recall_bounds_and_more_planes_help(spark, embeddings):
+    from daily_top_songs_etl_spark.extensions.similarity import (
+        srp_neighbor_recall,
+    )
+
+    q = embeddings.filter(F.col("vec_id") < 4)
+    r16 = {r.query_id: r.recall
+           for r in srp_neighbor_recall(embeddings, q, k=10,
+                                        n_planes=16).collect()}
+    assert set(r16) == {0, 1, 2, 3}
+    assert all(0.0 <= v <= 1.0 for v in r16.values())
+    # projecting to MORE planes preserves neighborhoods at least as well
+    # on average (JL: distortion shrinks with projection dim)
+    r48 = {r.query_id: r.recall
+           for r in srp_neighbor_recall(embeddings, q, k=10,
+                                        n_planes=48).collect()}
+    assert sum(r48.values()) >= sum(r16.values()) - 0.11
