@@ -7495,6 +7495,139 @@ FROM n_true t LEFT JOIN n_hit h USING (query_id)
 ORACLE_SRP_NEIGHBOR_RECALL = _oracle_srp_neighbor_recall(16, 64, 10, 5)
 
 
+# --------------------------------------------------------------------------
+# Warm-start index refinement (the drift response between append/rebuild)
+# --------------------------------------------------------------------------
+def q_ann_index_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index lifecycle middle rung: build the coarse quantizer on the
+    80% slice (k=8, 2 Lloyd rounds), then ONE warm-start round over the
+    full corpus from the STORED centroids — the re-center a deployment
+    runs when cluster_drift trips, versioned-write semantics included.
+    Oracle unrolls the base training and replays the refine round."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.ann_index import (
+        build_ann_index,
+        refine_ann_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = tempfile.mkdtemp(prefix="spark_graft_annref_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    cat = Catalog(spark, d)
+    build_ann_index(
+        cat, "idx", emb.filter(F.col("vec_id") % 5 != 0),
+        n_centroids=8, iters=2,
+    )
+    refine_ann_index(cat, "idx", emb, iters=1)
+    return cat.read("idx__centroids").select(
+        "cluster",
+        _vec_str("centroid").alias("centroid_str"),
+        F.col("n_vectors").cast("bigint").alias("n_vectors"),
+    )
+
+
+def _oracle_ann_index_refine() -> str:
+    """Base unroll on the 80% slice (c2) ⊕ ONE kmeans round over the
+    FULL corpus initialized from c2 — the exact replay of
+    refine_ann_index's warm start (L2 argmin, away-from-zero mean
+    rounding), sizes from a final assignment against the refined
+    centroids."""
+    d2 = (
+        "CAST(list_sum(list_transform(generate_series(1, len(q.qv)),"
+        " i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT)"
+    )
+    return (
+        _Q_QUANT_CTE
+        + """
+, q_base AS MATERIALIZED (SELECT * FROM q WHERE vec_id % 5 <> 0)"""
+        + _kmeans_rounds("q_base", "", 8, 2)
+        + f"""
+, a_r AS MATERIALIZED (
+  SELECT vec_id, qv, cluster FROM (
+    SELECT q.vec_id, q.qv, c.cluster,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {d2}, c.cluster) AS rn
+    FROM q CROSS JOIN c2 c
+  ) WHERE rn = 1
+), u_r AS (
+  SELECT cluster, g.i AS pos,
+         sum(qv[g.i]) AS s, count(*) AS n
+  FROM a_r, LATERAL unnest(generate_series(1, len(qv))) AS g(i)
+  GROUP BY cluster, g.i
+), c_r AS MATERIALIZED (
+  SELECT cluster,
+         list(CAST(CASE WHEN s >= 0
+                  THEN floor(CAST(s AS DOUBLE) / n + 0.5)
+                  ELSE -floor(-(CAST(s AS DOUBLE) / n) + 0.5) END AS BIGINT)
+              ORDER BY pos) AS cv
+  FROM u_r GROUP BY cluster
+), sizes AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors FROM (
+    SELECT vec_id, cluster FROM (
+      SELECT q.vec_id, c.cluster,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {d2}, c.cluster) AS rn
+      FROM q CROSS JOIN c_r c
+    ) WHERE rn = 1
+  ) GROUP BY cluster
+)
+SELECT c.cluster,
+       array_to_string(list_transform(c.cv,
+           v -> CAST(CAST(v AS BIGINT) * 1000 AS VARCHAR)), ',')
+           AS centroid_str,
+       CAST(coalesce(s.n_vectors, 0) AS BIGINT) AS n_vectors
+FROM c_r c LEFT JOIN sizes s USING (cluster)
+"""
+    )
+
+
+ORACLE_ANN_INDEX_REFINE = _oracle_ann_index_refine()
+
+
+# --------------------------------------------------------------------------
+# Incremental CMS (per-batch sketches merged as a monoid)
+# --------------------------------------------------------------------------
+def q_cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cms_topk estimates computed the INCREMENTAL way: five
+    per-batch sketches (l_orderkey % 5 slices) merged cell-wise — the
+    hourly-pipeline path. The oracle is the whole-corpus sketch SQL:
+    merge-invariance is the claim being hash-verified."""
+    from daily_top_songs_etl_spark.operators.heavyhitters import (
+        cms_build,
+        cms_estimate,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    merged = None
+    for i in range(5):
+        s = cms_build(
+            li.filter(F.col("l_orderkey") % 5 == i).select("l_partkey"),
+            "l_partkey", width=8192, depth=4,
+        )
+        merged = s if merged is None else merged.unionByName(s)
+    merged = merged.groupBy("i", "bucket").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+    items = li.select("l_partkey")
+    top = (
+        items.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("l_partkey"))
+        .limit(10)
+    )
+    est = cms_estimate(merged, top, "l_partkey", width=8192, depth=4)
+    return top.join(est, "l_partkey").select(
+        "l_partkey",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+    )
+
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth: per ingestion-order corpus slice,
     token volume, never-before-seen distinct tokens, cumulative
@@ -8108,6 +8241,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_distinct": q_kmv_distinct,
     "langid_confusion": q_langid_confusion,
     "srp_neighbor_recall": q_srp_neighbor_recall,
+    "ann_index_refine": q_ann_index_refine,
+    "cms_incremental": q_cms_incremental,
     "shipping_priority": q_shipping_priority,
     "regional_volume": q_regional_volume,
     "nation_trade_volume": q_nation_trade_volume,
@@ -8359,6 +8494,8 @@ _ORACLES: dict[str, str] = {
     "kmv_distinct": ORACLE_KMV_DISTINCT,
     "langid_confusion": ORACLE_LANGID_CONFUSION,
     "srp_neighbor_recall": ORACLE_SRP_NEIGHBOR_RECALL,
+    "ann_index_refine": ORACLE_ANN_INDEX_REFINE,
+    "cms_incremental": ORACLE_CMS_TOPK,
     "vocab_encode": ORACLE_VOCAB_ENCODE,
     "value_deciles": ORACLE_VALUE_DECILES,
     "incremental_agg": ORACLE_INCREMENTAL_AGG,

@@ -440,3 +440,45 @@ def cluster_drift(
         share_c.alias("share_cur"),
         (share_c - share_b).alias("drift"),
     )
+
+
+def refine_ann_index(
+    catalog: Catalog,
+    name: str,
+    embeddings: DataFrame,
+    iters: int = 1,
+    id_col: str = "vec_id",
+) -> None:
+    """Warm-start Lloyd refinement of the stored coarse quantizer: run
+    ``iters`` k-means rounds over the CURRENT corpus starting from the
+    stored centroids, then rewrite centroids + inverted lists as new
+    catalog versions. This is the middle rung of the index lifecycle —
+    :func:`append_to_ann_index` folds new vectors in for free,
+    ``refine`` re-centers the quantizer when :func:`cluster_drift` says
+    occupancy has moved, and only structural change (k itself wrong)
+    needs the full :func:`build_ann_index` retrain.
+
+    Cost: ``iters`` broadcast-centroid Lloyd rounds + the same
+    partitioned lists write as a build — but convergence from a
+    near-correct start needs 1-2 rounds where a cold build needs its
+    full schedule. Versioned writes keep racing queries on a consistent
+    older index.
+    """
+    stored = catalog.read(f"{name}__centroids").select("cluster", "centroid")
+    refined = kmeans_fit(
+        embeddings, iters=iters, id_col=id_col, init_centroids=stored
+    )
+    catalog.write(
+        refined.select("cluster", "centroid", "n_vectors"),
+        f"{name}__centroids",
+    )
+    cent = _centroid_rel(catalog.read(f"{name}__centroids"))
+    base = quantize_embeddings(embeddings).select(
+        F.col(id_col).alias("vec_id"),
+        F.col("qvec").alias("v"),
+        _norm(F.col("qvec")).alias("nv"),
+    )
+    catalog.write(
+        _assign_clusters(base, cent), f"{name}__lists",
+        partition_by=["cluster"],
+    )

@@ -404,6 +404,7 @@ def kmeans_fit(
     iters: int = 3,
     id_col: str = "vec_id",
     centroid_state: str = "recompute",
+    init_centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column — the iterative class the
     DuckDB oracle can't express (driver records the rows-only check; the
@@ -433,9 +434,17 @@ def kmeans_fit(
     BIGINT sums of squares on quantized components; centroid updates
     re-quantize means to BIGINT; argmin ties break on cluster id via the
     struct ordering.
+
+    ``init_centroids`` (a (cluster, centroid float array) relation, e.g.
+    a stored index's centroid table) WARM-STARTS Lloyd from those
+    centroids instead of the lowest-id init — the refine-on-drift path:
+    one or two rounds re-center an existing quantizer on the current
+    corpus without the full rebuild. ``k`` is ignored when given.
     """
     if centroid_state not in ("recompute", "driver"):
         raise ValueError(f"unknown centroid_state {centroid_state!r}")
+    if init_centroids is not None and centroid_state != "recompute":
+        raise ValueError("init_centroids requires centroid_state='recompute'")
     spark = embeddings.sparkSession
     q = quantize_embeddings(embeddings).select(id_col, "qvec").cache()
     dist = F.aggregate(
@@ -499,14 +508,28 @@ def kmeans_fit(
                 F.coalesce("n_vectors", F.lit(0)).alias("n_vectors"),
             )
         )
-    centroids = (
-        q.orderBy(id_col)
-        .limit(k)
-        .select(
-            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cluster"),
-            F.col("qvec").alias("cvec"),
+    if init_centroids is not None:
+        # Re-quantize stored float centroids exactly as _centroid_rel
+        # does — bit-identical to the quantized components they were
+        # derived from.
+        centroids = init_centroids.select(
+            F.col("cluster").cast("int").alias("cluster"),
+            F.transform(
+                "centroid",
+                lambda x: F.round(x * QUANT_SCALE, 0).cast("bigint"),
+            ).alias("cvec"),
         )
-    )
+    else:
+        centroids = (
+            q.orderBy(id_col)
+            .limit(k)
+            .select(
+                (F.row_number().over(Window.orderBy(id_col)) - 1).alias(
+                    "cluster"
+                ),
+                F.col("qvec").alias("cvec"),
+            )
+        )
     for _ in range(iters):
         assigned = (
             q.crossJoin(F.broadcast(centroids))

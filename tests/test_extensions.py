@@ -2683,3 +2683,44 @@ def test_srp_neighbor_recall_bounds_and_more_planes_help(spark, embeddings):
            for r in srp_neighbor_recall(embeddings, q, k=10,
                                         n_planes=48).collect()}
     assert sum(r48.values()) >= sum(r16.values()) - 0.11
+
+
+def test_refine_ann_index_warm_start(spark, tmp_path):
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.ann_index import (
+        build_ann_index,
+        refine_ann_index,
+    )
+    from daily_top_songs_etl_spark.extensions.similarity import kmeans_fit
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cat = Catalog(spark, str(tmp_path))
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    build_ann_index(cat, "idx", base, n_centroids=4, iters=2)
+    stored_before = {
+        r.cluster: list(r.centroid)
+        for r in cat.read("idx__centroids").collect()
+    }
+    refine_ann_index(cat, "idx", emb, iters=1)
+    refined = cat.read("idx__centroids")
+    # the refined table must equal a direct warm-start fit on the full
+    # corpus from the stored centroids
+    want = kmeans_fit(
+        emb,
+        iters=1,
+        init_centroids=spark.createDataFrame(
+            [(c, v) for c, v in sorted(stored_before.items())],
+            "cluster int, centroid array<double>",
+        ),
+    )
+    got = {r.cluster: (list(r.centroid), r.n_vectors)
+           for r in refined.collect()}
+    exp = {r.cluster: (list(r.centroid), r.n_vectors)
+           for r in want.collect()}
+    assert got == exp
+    # lists were rewritten over the FULL corpus
+    assert cat.read("idx__lists").count() == emb.count()
+    # guard: warm start is a recompute-path feature
+    with pytest.raises(ValueError):
+        kmeans_fit(emb, iters=1, centroid_state="driver",
+                   init_centroids=want.select("cluster", "centroid"))
