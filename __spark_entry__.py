@@ -7628,6 +7628,130 @@ def q_cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Interval-union coverage (dwell time), vocab overlap, exact correlation
+# --------------------------------------------------------------------------
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user total covered time of the UNION of 5-minute event
+    intervals (island merge: per-key running-max-end sweep, exact
+    BIGINT microseconds) — the dwell-time metric concurrency counts
+    can't provide; overlapping sessions cover a minute once."""
+    from daily_top_songs_etl_spark.extensions.events import (
+        interval_coverage,
+    )
+
+    return interval_coverage(
+        _events(spark, sf_dir), "user_id", "ts", interval_seconds=300
+    )
+
+
+ORACLE_INTERVAL_COVERAGE = """
+WITH iv AS (
+  SELECT user_id AS k, epoch_us(ts) AS s,
+         epoch_us(ts) + 300 * 1000000 AS e
+  FROM events
+), flagged AS (
+  SELECT k, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY k ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) IS NULL
+                   OR s > max(e) OVER (PARTITION BY k ORDER BY s, e
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+), isl AS (
+  SELECT k, s, e,
+         sum(new_island) OVER (PARTITION BY k ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+  FROM flagged
+), spans AS (
+  SELECT k, island, max(e) - min(s) AS span, count(*) AS n_ev
+  FROM isl GROUP BY 1, 2
+)
+SELECT k AS user_id,
+       CAST(sum(n_ev) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(span) AS BIGINT) AS covered_us
+FROM spans GROUP BY 1
+"""
+
+
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-vocabulary overlap between sources (counts +
+    Jaccard) — which corpus slices share a lexicon and which bring new
+    tokens to the mixture. Joins carry vocabulary rows only."""
+    from daily_top_songs_etl_spark.extensions.text import vocab_overlap
+
+    return vocab_overlap(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_VOCAB_OVERLAP = r"""
+WITH v AS (
+  SELECT DISTINCT s, tok FROM (
+    SELECT source AS s,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+    FROM documents
+  )
+), sizes AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1
+), inter AS (
+  SELECT a.s AS source_a, b.s AS source_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM v a JOIN v b ON a.tok = b.tok AND a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, i.n_common,
+       na.n AS size_a, nb.n AS size_b,
+       round(CAST(i.n_common AS DOUBLE)
+             / CAST(na.n + nb.n - i.n_common AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.s = i.source_a
+JOIN sizes nb ON nb.s = i.source_b
+"""
+
+
+def q_length_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Pearson corr(token count, char count) from exact
+    integer power sums — no float accumulation, so the statistic is
+    partition-order independent and engine-reproducible; the closed
+    form runs on doubles cast from the exact BIGINTs."""
+    from daily_top_songs_etl_spark.extensions.text import (
+        length_correlation,
+    )
+
+    return length_correlation(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_LENGTH_CORRELATION = r"""
+WITH t AS (
+  SELECT source,
+         CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+              AS BIGINT) AS x,
+         CAST(n_chars AS BIGINT) AS y
+  FROM documents
+), agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM t GROUP BY 1
+)
+SELECT source, n, sx AS sum_tokens, sy AS sum_chars,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS pearson
+FROM agg
+"""
+
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth: per ingestion-order corpus slice,
     token volume, never-before-seen distinct tokens, cumulative
@@ -8243,6 +8367,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "srp_neighbor_recall": q_srp_neighbor_recall,
     "ann_index_refine": q_ann_index_refine,
     "cms_incremental": q_cms_incremental,
+    "interval_coverage": q_interval_coverage,
+    "vocab_overlap": q_vocab_overlap,
+    "length_correlation": q_length_correlation,
     "shipping_priority": q_shipping_priority,
     "regional_volume": q_regional_volume,
     "nation_trade_volume": q_nation_trade_volume,
@@ -8496,6 +8623,9 @@ _ORACLES: dict[str, str] = {
     "srp_neighbor_recall": ORACLE_SRP_NEIGHBOR_RECALL,
     "ann_index_refine": ORACLE_ANN_INDEX_REFINE,
     "cms_incremental": ORACLE_CMS_TOPK,
+    "interval_coverage": ORACLE_INTERVAL_COVERAGE,
+    "vocab_overlap": ORACLE_VOCAB_OVERLAP,
+    "length_correlation": ORACLE_LENGTH_CORRELATION,
     "vocab_encode": ORACLE_VOCAB_ENCODE,
     "value_deciles": ORACLE_VALUE_DECILES,
     "incremental_agg": ORACLE_INCREMENTAL_AGG,

@@ -1238,3 +1238,93 @@ def langid_confusion(documents: DataFrame) -> DataFrame:
             "share"
         ),
     )
+
+
+def vocab_overlap(documents: DataFrame) -> DataFrame:
+    """Pairwise vocabulary overlap between sources: |V_i ∩ V_j| and its
+    Jaccard over distinct token sets — the corpus-composition diagnostic
+    that says which slices share a lexicon (near-duplicate feeds,
+    translation pairs) and which bring genuinely new tokens to a
+    mixture.
+
+    One (source, token) distinct, sizes per source (broadcast), and a
+    token-keyed self-join restricted to ordered source pairs — the join
+    carries only vocabulary rows, never corpus rows. Exact integer
+    counts, one rounded division."""
+    v = (
+        documents.select(
+            F.col("source").alias("s"), F.explode(tokens()).alias("tok")
+        )
+        .distinct()
+    )
+    sizes = v.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+    a = v.alias("a")
+    b = v.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(
+            F.col("a.s").alias("source_a"), F.col("b.s").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("s").alias("source_a"), F.col("n").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("s").alias("source_b"), F.col("n").alias("size_b")
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    ).cast("double")
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.col("size_a").cast("bigint").alias("size_a"),
+            F.col("size_b").cast("bigint").alias("size_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+def length_correlation(documents: DataFrame) -> DataFrame:
+    """Per-source Pearson correlation of token count vs character count
+    computed EXACTLY from integer power sums (n, Σx, Σy, Σxy, Σx², Σy²)
+    — one map-side-combinable aggregate, then the closed form
+    (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)) evaluated
+    in doubles cast from those exact BIGINTs, the same operation
+    sequence in any engine. No float accumulation anywhere — the
+    portable way to ship correlation, where a naive corr() aggregate
+    is partition-order dependent."""
+    t = documents.select(
+        "source",
+        F.size(tokens()).cast("bigint").alias("x"),
+        F.col("n_chars").cast("bigint").alias("y"),
+    )
+    agg = t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov = nd * F.col("sxy").cast("double") - sxd * syd
+    vx = nd * F.col("sxx").cast("double") - sxd * sxd
+    vy = nd * F.col("syy").cast("double") - syd * syd
+    return agg.select(
+        "source",
+        "n",
+        F.col("sx").alias("sum_tokens"),
+        F.col("sy").alias("sum_chars"),
+        (cov / (F.sqrt(vx) * F.sqrt(vy))).alias("pearson"),
+    )

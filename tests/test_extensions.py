@@ -2724,3 +2724,52 @@ def test_refine_ann_index_warm_start(spark, tmp_path):
     with pytest.raises(ValueError):
         kmeans_fit(emb, iters=1, centroid_state="driver",
                    init_centroids=want.select("cluster", "centroid"))
+
+
+def test_interval_coverage_island_merge(spark):
+    from daily_top_songs_etl_spark.extensions.events import (
+        interval_coverage,
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # user 1: events at 0s and 100s overlap (300s window) -> one
+        # island covering 0..400s; event at 1000s -> second island
+        (1, ts(0)), (1, ts(100)), (1, ts(1000)),
+        # user 2: duplicate timestamps merge into one island
+        (2, ts(50)), (2, ts(50)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r.user_id: r for r in
+           interval_coverage(ev, "user_id", "ts", 300).collect()}
+    assert got[1].n_islands == 2
+    assert got[1].covered_us == (400 + 300) * 1_000_000
+    assert got[1].n_events == 3
+    assert got[2].n_islands == 1
+    assert got[2].covered_us == 300 * 1_000_000
+
+
+def test_vocab_overlap_and_correlation_sanity(spark, documents):
+    from daily_top_songs_etl_spark.extensions.text import (
+        length_correlation,
+        vocab_overlap,
+    )
+
+    ov = vocab_overlap(documents).collect()
+    assert ov, "sources share vocabulary"
+    srcs = {r["source"] for r in documents.select("source").collect()}
+    for r in ov:
+        assert r.source_a < r.source_b
+        assert 0 < r.n_common <= min(r.size_a, r.size_b)
+        assert 0.0 <= r.jaccard <= 1.0
+    corr = {r.source: r.pearson for r in
+            length_correlation(documents).collect()}
+    assert set(corr) <= srcs
+    # token count and char count are strongly positively correlated
+    for s, p in corr.items():
+        assert 0.5 < p <= 1.0, (s, p)
