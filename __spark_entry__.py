@@ -7752,6 +7752,118 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# OOV drift, Hamilton budget allocation, event transition matrix
+# --------------------------------------------------------------------------
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer drift: OOV rate of the 20% incoming slice against the
+    1024-token vocabulary frequency-ranked on the 80% training slice,
+    per source — the retrain trigger for vocab-dependent stages."""
+    from daily_top_songs_etl_spark.extensions.text import oov_rate
+
+    docs = _t(spark, sf_dir, "documents")
+    return oov_rate(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        vocab_size=1024,
+    )
+
+
+ORACLE_OOV_RATE = r"""
+WITH train_toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE doc_id % 5 <> 0
+), counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM train_toks GROUP BY 1
+), vocab AS (
+  SELECT tok FROM counts
+  QUALIFY row_number() OVER (ORDER BY c DESC, tok) <= 1024
+), new_toks AS (
+  SELECT source,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE doc_id % 5 = 0
+), flagged AS (
+  SELECT n.source, v.tok AS hit
+  FROM new_toks n LEFT JOIN vocab v USING (tok)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+       CAST(sum(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS oov_rate
+FROM flagged GROUP BY 1
+"""
+
+
+def q_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocate a 1000-document sampling budget across sources
+    proportionally to exact character mass, Hamilton largest-remainder
+    rounding — Σalloc == budget exactly, ties on the smaller source;
+    all integer arithmetic, group-bounded window only."""
+    from daily_top_songs_etl_spark.extensions.mixture import (
+        budget_allocation,
+    )
+
+    return budget_allocation(
+        _t(spark, sf_dir, "documents"), "source", "n_chars", budget=1000
+    )
+
+
+ORACLE_BUDGET_ALLOCATION = """
+WITH w AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS weight_sum
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(weight_sum) AS BIGINT) AS wtot FROM w
+), shares AS (
+  SELECT source, weight_sum,
+         (1000 * weight_sum) // wtot AS base,
+         (1000 * weight_sum) % wtot AS remainder
+  FROM w CROSS JOIN tot
+), used AS (
+  SELECT CAST(sum(base) AS BIGINT) AS u FROM shares
+)
+SELECT source, weight_sum,
+       CAST(base AS BIGINT) AS base,
+       CAST(remainder AS BIGINT) AS remainder,
+       CAST(base + CASE WHEN row_number() OVER (ORDER BY remainder DESC,
+                                                source) <= 1000 - u
+                        THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM shares CROSS JOIN used
+"""
+
+
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (counts + row share)
+    over per-user timelines totally ordered by (ts, event_id) — the
+    empirical Markov chain funnels are designed from."""
+    from daily_top_songs_etl_spark.extensions.events import (
+        transition_matrix,
+    )
+
+    return transition_matrix(_events(spark, sf_dir))
+
+
+ORACLE_TRANSITION_MATRIX = """
+WITH seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), pairs AS (
+  SELECT prev AS from_type, event_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+), tot AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS t FROM pairs GROUP BY 1
+)
+SELECT p.from_type, p.to_type, p.n,
+       CAST(p.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS share
+FROM pairs p JOIN tot t USING (from_type)
+"""
+
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth: per ingestion-order corpus slice,
     token volume, never-before-seen distinct tokens, cumulative
@@ -8370,6 +8482,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_coverage": q_interval_coverage,
     "vocab_overlap": q_vocab_overlap,
     "length_correlation": q_length_correlation,
+    "oov_rate": q_oov_rate,
+    "budget_allocation": q_budget_allocation,
+    "transition_matrix": q_transition_matrix,
     "shipping_priority": q_shipping_priority,
     "regional_volume": q_regional_volume,
     "nation_trade_volume": q_nation_trade_volume,
@@ -8626,6 +8741,9 @@ _ORACLES: dict[str, str] = {
     "interval_coverage": ORACLE_INTERVAL_COVERAGE,
     "vocab_overlap": ORACLE_VOCAB_OVERLAP,
     "length_correlation": ORACLE_LENGTH_CORRELATION,
+    "oov_rate": ORACLE_OOV_RATE,
+    "budget_allocation": ORACLE_BUDGET_ALLOCATION,
+    "transition_matrix": ORACLE_TRANSITION_MATRIX,
     "vocab_encode": ORACLE_VOCAB_ENCODE,
     "value_deciles": ORACLE_VALUE_DECILES,
     "incremental_agg": ORACLE_INCREMENTAL_AGG,

@@ -230,3 +230,44 @@ def interval_coverage(
     ).select(
         F.col("k").alias(key_col), "n_events", "n_islands", "covered_us"
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """First-order event-transition matrix: counts of consecutive
+    (from → to) event-type pairs within each key's timeline, plus the
+    row-normalized share — the empirical Markov chain behind funnel
+    design and next-event prediction baselines.
+
+    One per-key lag window (total order via the tie-break columns —
+    equal timestamps would otherwise make the chain nondeterministic),
+    one |types|² aggregate. Shares are single divisions from exact
+    counts. Returns (from_type, to_type, n, share).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    pairs = (
+        events.withColumn("__prev", F.lag(type_col).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("__t")
+    )
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("__t").cast("double")).alias(
+            "share"
+        ),
+    )

@@ -390,3 +390,54 @@ def priority_sample(
             F.greatest(F.col("weight"), F.col("tau")).alias("w_est"),
         )
     )
+
+
+def budget_allocation(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Allocate an integer budget across groups proportionally to their
+    exact weight mass, largest-remainder (Hamilton) rounding — the
+    sampling-quota assignment a mixture plan turns into concrete
+    per-source document counts, with Σalloc == budget EXACTLY (floor
+    shares, then one extra unit to the largest remainders, ties on the
+    smaller group id).
+
+    All integer arithmetic (budget·w div W, budget·w mod W), so the
+    allocation is engine-reproducible; the remainder-rank window runs
+    over the GROUPS relation only (dimension-bounded, like every
+    broadcast dim). Returns (group, weight_sum, base, remainder,
+    alloc).
+    """
+    w = df.groupBy(group_col).agg(
+        F.sum(F.col(weight_col).cast("bigint")).alias("weight_sum")
+    )
+    tot = w.agg(F.sum("weight_sum").cast("bigint").alias("__w"))
+    shares = w.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "weight_sum",
+        F.expr(f"({budget} * weight_sum) div __w").alias("base"),
+        F.expr(f"({budget} * weight_sum) % __w").alias("remainder"),
+    )
+    used = shares.agg(F.sum("base").cast("bigint").alias("__used"))
+    win = Window.orderBy(F.desc("remainder"), F.asc(group_col))
+    return (
+        shares.crossJoin(F.broadcast(used))
+        .withColumn("__rk", F.row_number().over(win))
+        .select(
+            group_col,
+            "weight_sum",
+            F.col("base").cast("bigint").alias("base"),
+            F.col("remainder").cast("bigint").alias("remainder"),
+            (
+                F.col("base")
+                + F.when(
+                    F.col("__rk") <= F.lit(budget) - F.col("__used"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc"),
+        )
+    )

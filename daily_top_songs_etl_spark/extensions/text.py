@@ -1328,3 +1328,38 @@ def length_correlation(documents: DataFrame) -> DataFrame:
         F.col("sy").alias("sum_chars"),
         (cov / (F.sqrt(vx) * F.sqrt(vy))).alias("pearson"),
     )
+
+
+def oov_rate(
+    train_docs: DataFrame,
+    new_docs: DataFrame,
+    vocab_size: int = 1024,
+) -> DataFrame:
+    """Out-of-vocabulary rate of a NEW corpus slice against a
+    vocabulary frequency-ranked on the TRAINING slice — the tokenizer
+    drift diagnostic that says when the vocab (and the model reading
+    it) needs retraining, per source so the offending feed is named.
+
+    The vocabulary is bounded (≤ vocab_size rows) and broadcasts into
+    one scan of the new slice; counts are exact; the rate is a single
+    double division. Returns (source, n_tokens, n_oov, oov_rate).
+    """
+    vocab = build_vocab(train_docs, vocab_size).select("tok")
+    toks = new_docs.select(
+        "source", F.explode(tokens()).alias("tok")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), "tok", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+    ).select(
+        "source",
+        "n_tokens",
+        "n_oov",
+        (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("oov_rate"),
+    )

@@ -2773,3 +2773,67 @@ def test_vocab_overlap_and_correlation_sanity(spark, documents):
     # token count and char count are strongly positively correlated
     for s, p in corr.items():
         assert 0.5 < p <= 1.0, (s, p)
+
+
+def test_budget_allocation_hamilton_exact(spark):
+    from daily_top_songs_etl_spark.extensions.mixture import (
+        budget_allocation,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 23), ("b", 47), ("c", 11), ("d", 9)],
+        "source string, w long",
+    )
+    out = {r.source: r for r in
+           budget_allocation(df, "source", "w", budget=10).collect()}
+    # weights: a=33, b=47, c=11, d=9, W=100; quotas: 3.3, 4.7, 1.1, 0.9
+    assert sum(r.alloc for r in out.values()) == 10
+    assert out["a"].base == 3 and out["b"].base == 4
+    # largest remainders: b (.7), a (.3) ... leftover = 2 -> b and d? no:
+    # remainders scaled by W: a=30, b=70, c=10, d=90 -> d, b get +1
+    assert out["d"].alloc == 1 and out["b"].alloc == 5
+    assert out["a"].alloc == 3 and out["c"].alloc == 1
+
+
+def test_oov_rate_bounds_and_known_tokens(spark):
+    from daily_top_songs_etl_spark.extensions.text import oov_rate
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha", "en", "s1", 22)] * 1,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    new = spark.createDataFrame(
+        [(5, "alpha beta zzz qqq", "en", "s1", 18)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = oov_rate(train, new, vocab_size=10).collect()[0]
+    assert r.n_tokens == 4 and r.n_oov == 2
+    assert abs(r.oov_rate - 0.5) < 1e-12
+
+
+def test_transition_matrix_hand_sequence(spark):
+    from daily_top_songs_etl_spark.extensions.events import (
+        transition_matrix,
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(seconds=i), u, e)
+        for i, (u, e) in enumerate(
+            [(1, "a"), (1, "b"), (1, "a"), (2, "a"), (2, "a")]
+        )
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, e) for i, (_, ts, u, e) in
+         enumerate((r[0], r[1], r[2], r[3]) for r in rows)],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {(r.from_type, r.to_type): r for r in
+           transition_matrix(ev).collect()}
+    # user1: a->b, b->a; user2: a->a
+    assert out[("a", "b")].n == 1 and out[("b", "a")].n == 1
+    assert out[("a", "a")].n == 1
+    assert abs(out[("a", "b")].share - 0.5) < 1e-12
+    assert abs(out[("a", "a")].share - 0.5) < 1e-12
+    assert abs(out[("b", "a")].share - 1.0) < 1e-12
