@@ -7864,6 +7864,141 @@ FROM pairs p JOIN tot t USING (from_type)
 """
 
 
+# --------------------------------------------------------------------------
+# Leakage-safe split, contrastive pair generation, session paths
+# --------------------------------------------------------------------------
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/test split: every MinHash-LSH duplicate
+    cluster is hashed by its REPRESENTATIVE, so near-copies never
+    straddle the holdout boundary (the self-decontamination split a
+    doc-level hash split cannot give). Oracle composes the recursive-CTE
+    component labels with the md5-bucket split."""
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        leakage_safe_split,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return leakage_safe_split(
+        docs, minhash_lsh_pairs(docs), test_pct=20
+    )
+
+
+ORACLE_LEAKAGE_SAFE_SPLIT = f"""{_SQL_SHINGLES}
+, sig AS (
+  SELECT doc_id,
+         {_SIG_COLS}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  {_BAND_SELECTS}
+), cpairs AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT da AS a, db AS b FROM cpairs
+  UNION
+  SELECT db AS a, da AS b FROM cpairs
+), reach AS (
+  WITH RECURSIVE r(node, lbl) AS (
+    SELECT DISTINCT a, a FROM edges
+    UNION
+    SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.node
+  )
+  SELECT * FROM r
+), comp AS (
+  SELECT node AS doc_id, min(lbl) AS rep FROM reach GROUP BY node
+), with_rep AS (
+  SELECT d.doc_id, CAST(coalesce(c.rep, d.doc_id) AS BIGINT) AS rep
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+), h AS (
+  SELECT doc_id, rep,
+         (instr('0123456789abcdef',
+                substring(md5(CAST(rep AS VARCHAR)), 1, 1)) - 1) * 16
+         + (instr('0123456789abcdef',
+                  substring(md5(CAST(rep AS VARCHAR)), 2, 1)) - 1)
+             AS bucket
+  FROM with_rep
+)
+SELECT doc_id, rep, CAST(bucket AS INTEGER) AS hash_bucket,
+       CASE WHEN bucket < 51 THEN 'test' ELSE 'train' END AS split
+FROM h
+"""
+
+
+def q_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-supervised contrastive pair generation: consecutive
+    non-overlapping 64-token chunk pairs (anchor, positive) per
+    document — one per-doc lead window over the chunk fan-out."""
+    from daily_top_songs_etl_spark.extensions.text import adjacent_pairs
+
+    return adjacent_pairs(_t(spark, sf_dir, "documents"), chunk_tokens=64)
+
+
+ORACLE_ADJACENT_PAIRS = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE text IS NOT NULL
+), s AS (
+  SELECT doc_id, t,
+         unnest(range(0, greatest(len(t) - 1, 0) + 1, 64)) AS start,
+         unnest(range(0, len(range(0, greatest(len(t) - 1, 0) + 1, 64))))
+             AS chunk_id
+  FROM tok
+), chunks AS (
+  SELECT doc_id, chunk_id,
+         array_to_string(t[start + 1 : start + 64], ' ') AS chunk_text
+  FROM s
+)
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_idx,
+       chunk_text AS anchor,
+       lead(chunk_text) OVER (PARTITION BY doc_id ORDER BY chunk_id)
+           AS positive
+FROM chunks
+QUALIFY positive IS NOT NULL
+"""
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session event-type paths (30-minute gap sessions, paths
+    sorted on (ts, event_id) structs before joining — a bare
+    collect_list would be partition-order nondeterministic)."""
+    from daily_top_songs_etl_spark.extensions.events import session_paths
+
+    return session_paths(_events(spark, sf_dir), gap_minutes=30, k=20)
+
+
+ORACLE_SESSION_PATHS = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+                   OR ts > lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                        + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sess AS (
+  SELECT *,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS sid
+  FROM seq
+), paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY 1, 2
+), counts AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n FROM paths GROUP BY 1
+)
+SELECT path, n,
+       CAST(row_number() OVER (ORDER BY n DESC, path) AS INTEGER) AS rank
+FROM counts
+QUALIFY rank <= 20
+"""
+
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth: per ingestion-order corpus slice,
     token volume, never-before-seen distinct tokens, cumulative
@@ -8485,6 +8620,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "oov_rate": q_oov_rate,
     "budget_allocation": q_budget_allocation,
     "transition_matrix": q_transition_matrix,
+    "leakage_safe_split": q_leakage_safe_split,
+    "adjacent_pairs": q_adjacent_pairs,
+    "session_paths": q_session_paths,
     "shipping_priority": q_shipping_priority,
     "regional_volume": q_regional_volume,
     "nation_trade_volume": q_nation_trade_volume,
@@ -8744,6 +8882,9 @@ _ORACLES: dict[str, str] = {
     "oov_rate": ORACLE_OOV_RATE,
     "budget_allocation": ORACLE_BUDGET_ALLOCATION,
     "transition_matrix": ORACLE_TRANSITION_MATRIX,
+    "leakage_safe_split": ORACLE_LEAKAGE_SAFE_SPLIT,
+    "adjacent_pairs": ORACLE_ADJACENT_PAIRS,
+    "session_paths": ORACLE_SESSION_PATHS,
     "vocab_encode": ORACLE_VOCAB_ENCODE,
     "value_deciles": ORACLE_VALUE_DECILES,
     "incremental_agg": ORACLE_INCREMENTAL_AGG,

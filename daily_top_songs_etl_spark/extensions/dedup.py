@@ -1161,3 +1161,50 @@ def compact_dedup_index(
             bands_table,
             partition_by=["bucket_mod"],
         )
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    test_pct: int = 20,
+) -> DataFrame:
+    """Near-duplicate-aware train/test split: documents are split by the
+    hash of their duplicate-CLUSTER representative, so a whole near-dup
+    cluster always lands on one side. A doc-level hash split leaks —
+    two near-copies straddle the boundary and the eval set scores the
+    training set; splitting on the component representative is the
+    standard fix (the decontamination argument applied to your own
+    holdout).
+
+    ``pairs`` is any candidate pair relation (MinHash-LSH bands, SimHash
+    buckets, embedding-cosine…). Components come from min-label
+    propagation; singleton documents are their own representative via a
+    left join + coalesce — no extra pass. The split itself is the same
+    md5-bucket contract as :func:`..text.hash_split` (content-
+    independent, engine-portable, nested across pct values).
+
+    Returns (doc_id, rep, hash_bucket, split).
+    """
+    comps = connected_components(pairs).select(
+        F.col("doc_id").alias(id_col), F.col("cluster_id").alias("rep")
+    )
+    with_rep = documents.select(id_col).join(
+        comps, id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce("rep", F.col(id_col)).cast("bigint").alias("rep"),
+    )
+    nib = lambda i: F.expr(  # noqa: E731
+        f"instr('0123456789abcdef', substring(md5(cast(rep as string)), {i}, 1)) - 1"
+    )
+    bucket = nib(1) * 16 + nib(2)
+    threshold = 256 * test_pct // 100
+    return with_rep.select(
+        id_col,
+        "rep",
+        bucket.cast("int").alias("hash_bucket"),
+        F.when(bucket < threshold, "test").otherwise("train").alias(
+            "split"
+        ),
+    )

@@ -271,3 +271,51 @@ def transition_matrix(
             "share"
         ),
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Top-k session paths: gap-based sessions (same boundary rule as
+    ``operators.sessionize``), each session's ordered event-type
+    sequence joined into a path string, ranked by frequency — the
+    "what do users actually do" artifact funnel hypotheses come from.
+
+    Determinism: the per-session collect is sorted on (ts, tiebreak)
+    structs BEFORE joining (a bare collect_list is partition-order
+    nondeterministic); top-k is TakeOrderedAndProject with path
+    tie-break. Per-user windows and a path-keyed aggregate — no global
+    sort of the corpus."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.expr(f"INTERVAL {int(gap_minutes)} MINUTE")
+    prev = F.lag(ts_col).over(w)
+    is_new = (prev.isNull() | (F.col(ts_col) > prev + gap)).cast("bigint")
+    sess = events.withColumn("__sid", F.sum(is_new).over(run))
+    paths = sess.groupBy(user_col, "__sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(ts_col, tiebreak_col, type_col)
+                    )
+                ),
+                lambda x: x[type_col],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("path")).limit(k)
+    wr = Window.orderBy(F.desc("n"), F.asc("path"))
+    return top.withColumn(
+        "rank", F.row_number().over(wr).cast("int")
+    )

@@ -1363,3 +1363,32 @@ def oov_rate(
         (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"))
         .alias("oov_rate"),
     )
+
+
+def adjacent_pairs(
+    documents: DataFrame, chunk_tokens: int = 64
+) -> DataFrame:
+    """Self-supervised training-pair generation: consecutive chunk pairs
+    (anchor, positive) from each document — the data a contrastive
+    retriever trains on (adjacent passages share topic; the in-batch
+    rest are negatives; pair with :func:`..similarity.hard_negatives`
+    for the mined kind).
+
+    Chunks come from the same fixed-token slicing as
+    :func:`chunk_documents`; pairing is one per-doc lag window over
+    chunk index (per-key, no global sort). Returns (doc_id, chunk_idx,
+    anchor, positive) for every consecutive pair."""
+    chunks = chunk_documents(
+        documents, chunk_tokens=chunk_tokens, stride=chunk_tokens
+    )
+    w = Window.partitionBy("doc_id").orderBy("chunk_id")
+    return (
+        chunks.withColumn("positive", F.lead("chunk_text").over(w))
+        .filter(F.col("positive").isNotNull())
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_idx"),
+            F.col("chunk_text").alias("anchor"),
+            "positive",
+        )
+    )

@@ -2837,3 +2837,65 @@ def test_transition_matrix_hand_sequence(spark):
     assert abs(out[("a", "b")].share - 0.5) < 1e-12
     assert abs(out[("a", "a")].share - 0.5) < 1e-12
     assert abs(out[("b", "a")].share - 1.0) < 1e-12
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        leakage_safe_split,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en"),
+            (2, base + " extra", "en"),          # near-dup of 1
+            (3, "completely different words here now", "en"),
+            (4, base + " other tail", "en"),     # near-dup of 1
+        ],
+        "doc_id long, text string, lang string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 4)], "doc_id_a long, doc_id_b long"
+    )
+    out = {r.doc_id: r for r in
+           leakage_safe_split(docs, pairs, test_pct=50).collect()}
+    assert len(out) == 4
+    # whole cluster {1,2,4} shares the representative and the side
+    assert out[1].rep == out[2].rep == out[4].rep == 1
+    assert out[1].split == out[2].split == out[4].split
+    assert out[3].rep == 3
+
+
+def test_adjacent_pairs_are_consecutive_chunks(spark):
+    from daily_top_songs_etl_spark.extensions.text import adjacent_pairs
+
+    text = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, text, "en")], "doc_id long, text string, lang string"
+    )
+    out = sorted(adjacent_pairs(docs, chunk_tokens=4).collect(),
+                 key=lambda r: r.chunk_idx)
+    # 10 tokens / 4 per chunk -> chunks [0..3],[4..7],[8..9] -> 2 pairs
+    assert len(out) == 2
+    assert out[0].anchor == "w0 w1 w2 w3" and out[0].positive == "w4 w5 w6 w7"
+    assert out[1].anchor == "w4 w5 w6 w7" and out[1].positive == "w8 w9"
+
+
+def test_session_paths_hand_sessions(spark):
+    from daily_top_songs_etl_spark.extensions.events import session_paths
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a>b then (gap) c
+        (0, t0, 1, "a"), (1, t0 + dt.timedelta(minutes=5), 1, "b"),
+        (2, t0 + dt.timedelta(hours=3), 1, "c"),
+        # user 2: a>b again
+        (3, t0, 2, "a"), (4, t0 + dt.timedelta(minutes=1), 2, "b"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r.path: r for r in session_paths(ev, gap_minutes=30, k=10).collect()}
+    assert out["a>b"].n == 2 and out["a>b"].rank == 1
+    assert out["c"].n == 1
