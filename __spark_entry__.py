@@ -7999,6 +7999,136 @@ QUALIFY rank <= 20
 """
 
 
+# --------------------------------------------------------------------------
+# Streaming sketch state (exactly-once CMS+KMV maintenance, batch face)
+# --------------------------------------------------------------------------
+def q_sketch_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted sketch state after a seed build (l_orderkey%5==1)
+    and four exactly-once micro-batch merges covering the rest of
+    lineitem: KMV distinct estimate of part keys + CMS point estimate
+    of the single heaviest part, read back from the STORED state. The
+    oracle is the whole-corpus sketch SQL — what's being hash-verified
+    is that incremental maintenance equals the one-shot build."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.streaming.sketch_stream import (
+        build_sketch_state,
+        merge_sketch_batch,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = tempfile.mkdtemp(prefix="spark_graft_sketch_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    cat = Catalog(spark, d)
+    build_sketch_state(
+        cat, "st",
+        li.filter(F.col("l_orderkey") % 5 == 1).select("l_partkey"),
+        "l_partkey", width=8192, depth=4, kmv_k=256,
+    )
+    for i in (2, 3, 4, 0):
+        merge_sketch_batch(
+            cat, "st",
+            li.filter(F.col("l_orderkey") % 5 == i).select("l_partkey"),
+            batch_id=i,
+        )
+    kmv = cat.read("st__kmv")
+    kmv_row = kmv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sketch"),
+        F.max("hv").alias("__hk"),
+    ).select(
+        "n_sketch",
+        F.when(F.col("n_sketch") < 256, F.col("n_sketch"))
+        .otherwise(F.expr("(255 * 2147483647L) div __hk"))
+        .cast("bigint")
+        .alias("kmv_estimate"),
+    )
+    exact_d = li.agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("exact_distinct")
+    )
+    top1 = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("top_exact"))
+        .orderBy(F.desc("top_exact"), F.asc("l_partkey"))
+        .limit(1)
+        .select(F.col("l_partkey").alias("top_partkey"), "top_exact")
+    )
+    from daily_top_songs_etl_spark.operators.heavyhitters import (
+        cms_estimate,
+    )
+
+    est1 = cms_estimate(
+        cat.read("st__cms"),
+        top1.select(F.col("top_partkey").alias("l_partkey")),
+        "l_partkey", width=8192, depth=4,
+    ).select(
+        F.col("l_partkey").alias("top_partkey"),
+        F.col("cms_estimate").alias("top_estimate"),
+    )
+    return (
+        exact_d.crossJoin(F.broadcast(kmv_row))
+        .crossJoin(F.broadcast(top1))
+        .join(F.broadcast(est1), "top_partkey")
+        .select(
+            "n_sketch", "kmv_estimate", "exact_distinct",
+            "top_partkey", "top_exact", "top_estimate",
+        )
+    )
+
+
+ORACLE_SKETCH_STREAM_STATE = """
+WITH params AS (
+  SELECT unnest([0, 1, 2, 3]) AS i,
+         unnest([1000003, 1000033, 1000037, 1000039]) AS a,
+         unnest([12345, 67891, 13579, 24683]) AS b
+), hashed AS (
+  SELECT p.i,
+         ((((l.l_partkey % 2147483647) * p.a + p.b) % 2147483647) % 8192)
+             AS bucket
+  FROM lineitem l CROSS JOIN params p
+), sketch AS (
+  SELECT i, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM hashed GROUP BY 1, 2
+), top1 AS (
+  SELECT l_partkey AS top_partkey, CAST(count(*) AS BIGINT) AS top_exact
+  FROM lineitem GROUP BY 1
+  ORDER BY top_exact DESC, top_partkey
+  LIMIT 1
+), est1 AS (
+  SELECT t.top_partkey, CAST(min(coalesce(s.cnt, 0)) AS BIGINT)
+             AS top_estimate
+  FROM top1 t
+  CROSS JOIN params p
+  LEFT JOIN sketch s
+    ON s.i = p.i
+   AND s.bucket = ((((t.top_partkey % 2147483647) * p.a + p.b)
+                    % 2147483647) % 8192)
+  GROUP BY 1
+), kmvh AS (
+  SELECT DISTINCT (((l_partkey % 2147483647) * 1327217885 + 12345)
+                   % 2147483647) AS hv
+  FROM lineitem
+), sk AS (
+  SELECT hv FROM kmvh
+  QUALIFY row_number() OVER (ORDER BY hv) <= 256
+), kth AS (
+  SELECT max(hv) AS hk, CAST(count(*) AS BIGINT) AS n_sketch FROM sk
+), ex AS (
+  SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+  FROM lineitem
+)
+SELECT kth.n_sketch,
+       CAST(CASE WHEN kth.n_sketch < 256 THEN kth.n_sketch
+            ELSE (255 * CAST(2147483647 AS BIGINT)) // kth.hk END
+            AS BIGINT) AS kmv_estimate,
+       ex.exact_distinct,
+       t.top_partkey, t.top_exact, e.top_estimate
+FROM kth CROSS JOIN ex CROSS JOIN top1 t JOIN est1 e USING (top_partkey)
+"""
+
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth: per ingestion-order corpus slice,
     token volume, never-before-seen distinct tokens, cumulative
@@ -8623,6 +8753,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "leakage_safe_split": q_leakage_safe_split,
     "adjacent_pairs": q_adjacent_pairs,
     "session_paths": q_session_paths,
+    "sketch_stream_state": q_sketch_stream_state,
     "shipping_priority": q_shipping_priority,
     "regional_volume": q_regional_volume,
     "nation_trade_volume": q_nation_trade_volume,
@@ -8885,6 +9016,7 @@ _ORACLES: dict[str, str] = {
     "leakage_safe_split": ORACLE_LEAKAGE_SAFE_SPLIT,
     "adjacent_pairs": ORACLE_ADJACENT_PAIRS,
     "session_paths": ORACLE_SESSION_PATHS,
+    "sketch_stream_state": ORACLE_SKETCH_STREAM_STATE,
     "vocab_encode": ORACLE_VOCAB_ENCODE,
     "value_deciles": ORACLE_VALUE_DECILES,
     "incremental_agg": ORACLE_INCREMENTAL_AGG,

@@ -862,3 +862,74 @@ def test_vector_ingest_stream_grows_index_exactly_once(spark, tmp_path):
             spark, landing, b1.schema, Catalog(spark, str(tmp_path / "x")),
             "nope", str(tmp_path / "ckpt2"),
         )
+
+
+def test_sketch_stream_exactly_once_and_merge_identity(spark, tmp_path):
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.operators.heavyhitters import (
+        cms_build,
+        kmv_sketch,
+    )
+    from daily_top_songs_etl_spark.streaming.sketch_stream import (
+        _merge_kmv,
+        build_sketch_state,
+        merge_sketch_batch,
+    )
+
+    whole = spark.createDataFrame(
+        [(i % 700,) for i in range(4000)], "k long"
+    )
+    seed = whole.filter(F.col("k") % 3 == 0)
+    b1 = whole.filter(F.col("k") % 3 == 1)
+    b2 = whole.filter(F.col("k") % 3 == 2)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    build_sketch_state(cat, "st", seed, "k", width=512, depth=4, kmv_k=128)
+    merge_sketch_batch(cat, "st", b1, batch_id=1)
+    # replay of batch 1 must be a no-op (marker in the CMS meta)
+    v_cms = cat.current_version("st__cms")
+    merge_sketch_batch(cat, "st", b1, batch_id=1)
+    assert cat.current_version("st__cms") == v_cms
+    # crash window: KMV merged but CMS flip never happened — replay
+    # converges to exactly one fold of batch 2 into both tables
+    _merge_kmv(cat, "st", b2, "k", 128)
+    merge_sketch_batch(cat, "st", b2, batch_id=2)
+    got_cms = {(r.i, r.bucket): r.cnt for r in cat.read("st__cms").collect()}
+    want_cms = {
+        (r.i, r.bucket): r.cnt
+        for r in cms_build(whole, "k", width=512, depth=4).collect()
+    }
+    assert got_cms == want_cms
+    got_kmv = sorted(r.hv for r in cat.read("st__kmv").collect())
+    want_kmv = sorted(
+        r.hv for r in kmv_sketch(whole, "k", k=128).collect()
+    )
+    assert got_kmv == want_kmv
+
+
+def test_sketch_stream_end_to_end(spark, tmp_path):
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.operators.heavyhitters import cms_build
+    from daily_top_songs_etl_spark.streaming.sketch_stream import (
+        build_sketch_state,
+        run_sketch_stream,
+    )
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    whole = spark.createDataFrame(
+        [(i % 97,) for i in range(3000)], "k long"
+    )
+    seed = whole.filter(F.col("k") < 30)
+    rest = whole.filter(F.col("k") >= 30)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    build_sketch_state(cat, "st", seed, "k", width=256, depth=4, kmv_k=64)
+    rest.repartition(3).write.mode("append").parquet(landing)
+    run_sketch_stream(
+        spark, landing, "k long", cat, "st", str(tmp_path / "ckpt")
+    )
+    got = {(r.i, r.bucket): r.cnt for r in cat.read("st__cms").collect()}
+    want = {
+        (r.i, r.bucket): r.cnt
+        for r in cms_build(whole, "k", width=256, depth=4).collect()
+    }
+    assert got == want
