@@ -5590,6 +5590,63 @@ GROUP BY event_type
 """
 
 
+def q_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-backed incrementally-maintained aggregate view
+    (operators/matview.IncrementalView): four micro-batches fold into a
+    PERSISTED monoid state table under the exactly-once applied-batch
+    ledger, INCLUDING a deliberate replay of an already-applied batch
+    (which must be refused before any state mutation — the at-least-once
+    delivery guard). The oracle recomputes the aggregation over the whole
+    corpus in one statement, so the hash-match proves (a) ledger-guarded
+    incremental maintenance ≡ full recompute and (b) the replayed batch
+    was NOT double-counted — if the ledger failed, every cnt/sum in
+    batch-2's keys would be off and the value hash would diverge.
+    Reference analogue: the Postgres views that recompute on read
+    (create_schema_structure.sql); this is the 100 TB shape where history
+    is never re-aggregated."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.operators.matview import IncrementalView
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        (F.col("user_id") % 8).cast("bigint").alias("user_bucket"),
+        "value",
+        "event_id",
+    )
+    d = tempfile.mkdtemp(prefix="spark_graft_matview_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    view = IncrementalView(
+        Catalog(spark, d), "mv", ["event_type", "user_bucket"], "value"
+    )
+    for i in range(4):
+        batch = ev.filter(F.col("event_id") % 4 == i).drop("event_id")
+        applied = view.refresh(batch, f"b{i}")
+        assert applied, f"batch b{i} unexpectedly marked already-applied"
+    # exactly-once guard under replay: an applied batch id must be refused
+    # before any state mutation (the delivered-twice crash-replay shape).
+    replay = ev.filter(F.col("event_id") % 4 == 2).drop("event_id")
+    assert view.refresh(replay, "b2") is False, "replayed batch re-applied"
+    return view.read()
+
+
+ORACLE_MATVIEW_REFRESH = """
+SELECT event_type,
+       CAST(user_id % 8 AS BIGINT) AS user_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         AS avg_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+GROUP BY event_type, user_id % 8
+"""
+
+
 # --------------------------------------------------------------------------
 # Distributed exact global row numbering
 # --------------------------------------------------------------------------
@@ -8655,21 +8712,74 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- registry head: the first 50 entries are the driver's correctness
     # window (CORRECTNESS_r{N}.json samples exactly these slots in order).
     # Invariant: every entry here MUST be oracle-paired (_ORACLES key
-    # exists). Round-5 rotation: slots are the LAST 40 oracle-paired
-    # queries with no prior driver-verified row (closing cumulative
-    # driver verification at 150/150 oracle-paired), plus flagship_delta
-    # (the cross-round anchor), important_parts (its cents compare
-    # changed this round - explicit floor on both engines), and 8
-    # re-verifies of the heavy iterative family (funnel, kmeans, BPE,
-    # ANN, PQ, semantic dedup). Build entries precede their steady-state
+    # exists). Round-6 rotation (VERDICT r5 #1): slots are the 38
+    # oracle-paired round-5-continuation queries that have never produced
+    # a driver-verified row (closing FULL-registry driver verification —
+    # after this window lands green, every oracle-paired query in the
+    # registry has a driver row), plus flagship_delta (the cross-round
+    # anchor), matview_refresh (new this round — exactly-once IVM ledger,
+    # VERDICT r5 #5), and 10 re-verifies of the heavy iterative family
+    # (funnel, kmeans, BPE, IVF-PQ, pagerank, dedup index, semantic
+    # dedup) including bpe_encode_vocab whose r5 bench regression is
+    # chased this round. Build entries precede their steady-state
     # consumers (dedup_index_build<dedup_index_query,
-    # ivfpq_index_build<ivfpq_query, ann_index_build<ann_index_query,
-    # pq_index_build<pq_encode_apply) so session caches warm in order.
+    # ivfpq_index_build<ivfpq_query) so session caches warm in order.
     "flagship_delta": q_flagship_delta,
-    "important_parts": q_important_parts,
-    "bpe_encode_vocab": q_bpe_encode_vocab,
+    "ann_index_append": q_ann_index_append,
+    "temperature_mixture": q_temperature_mixture,
+    "dedup_apply_best": q_dedup_apply_best,
+    "vocab_growth": q_vocab_growth,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "bigram_lm_score": q_bigram_lm_score,
+    "bloom_decontaminate": q_bloom_decontaminate,
+    "sim_topk_rerank": q_sim_topk_rerank,
+    "knn_classify": q_knn_classify,
+    "ann_recall_at_k": q_ann_recall_at_k,
+    "hard_negatives": q_hard_negatives,
+    "rrf_fusion": q_rrf_fusion,
+    "dedup_containment": q_dedup_containment,
+    "triangle_count": q_triangle_count,
+    "cms_topk": q_cms_topk,
+    "cms_incremental": q_cms_incremental,
+    "cms_join_size": q_cms_join_size,
+    "kmv_distinct": q_kmv_distinct,
+    "priority_sample": q_priority_sample,
+    "mmr_topk": q_mmr_topk,
+    "cluster_drift": q_cluster_drift,
+    "srp_project": q_srp_project,
+    "srp_neighbor_recall": q_srp_neighbor_recall,
+    "ann_index_refine": q_ann_index_refine,
+    "exact_quartiles": q_exact_quartiles,
+    "robust_outliers": q_robust_outliers,
+    "shard_assign": q_shard_assign,
+    "langid_confusion": q_langid_confusion,
+    "interval_coverage": q_interval_coverage,
+    "vocab_overlap": q_vocab_overlap,
+    "length_correlation": q_length_correlation,
+    "oov_rate": q_oov_rate,
+    "budget_allocation": q_budget_allocation,
+    "transition_matrix": q_transition_matrix,
+    "leakage_safe_split": q_leakage_safe_split,
+    "adjacent_pairs": q_adjacent_pairs,
+    "session_paths": q_session_paths,
+    "sketch_stream_state": q_sketch_stream_state,
+    "matview_refresh": q_matview_refresh,
     "dedup_index_build": q_dedup_index_build,
     "dedup_index_query": q_dedup_index_query,
+    "bpe_encode_vocab": q_bpe_encode_vocab,
+    "ivfpq_index_build": q_ivfpq_index_build,
+    "ivfpq_query": q_ivfpq_query,
+    "pagerank": q_pagerank,
+    "kmeans": q_kmeans,
+    "bpe_train": q_bpe_train,
+    "pretrain_funnel": q_pretrain_funnel,
+    "dedup_semantic_apply": q_dedup_semantic_apply,
+    # --- end of driver correctness window (slot 50) ---
+    # Displaced round-5 head (every entry below already has a driver-
+    # verified row in CORRECTNESS_r01..r05); old relative order kept so
+    # build entries stay before their steady-state consumers
+    # (ann_index_build<ann_index_query, pq_index_build<pq_encode_apply).
+    "important_parts": q_important_parts,
     "dedup_apply_star": q_dedup_apply_star,
     "stream_sliding_window": q_stream_sliding_window,
     "pivot_agg": q_pivot_agg,
@@ -8700,60 +8810,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_supplier_counts": q_part_supplier_counts,
     "observed_write": q_observed_write,
     "bm25_topk": q_bm25_topk,
-    "ivfpq_index_build": q_ivfpq_index_build,
-    "ivfpq_query": q_ivfpq_query,
-    "pagerank": q_pagerank,
     "multimodal_resize_plan": q_multimodal_resize_plan,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "embedding_normalize": q_embedding_normalize,
     "embedding_int8": q_embedding_int8,
-    "pretrain_funnel": q_pretrain_funnel,
-    "kmeans": q_kmeans,
-    "bpe_train": q_bpe_train,
     "ann_index_build": q_ann_index_build,
     "ann_index_query": q_ann_index_query,
     "pq_index_build": q_pq_index_build,
     "pq_encode_apply": q_pq_encode_apply,
-    "dedup_semantic_apply": q_dedup_semantic_apply,
-    # --- end of driver correctness window (slot 50) ---
-    "ann_index_append": q_ann_index_append,
-    "temperature_mixture": q_temperature_mixture,
-    "dedup_apply_best": q_dedup_apply_best,
-    "vocab_growth": q_vocab_growth,
-    "tokenizer_fertility": q_tokenizer_fertility,
-    "bigram_lm_score": q_bigram_lm_score,
-    "bloom_decontaminate": q_bloom_decontaminate,
-    "sim_topk_rerank": q_sim_topk_rerank,
-    "knn_classify": q_knn_classify,
-    "ann_recall_at_k": q_ann_recall_at_k,
-    "hard_negatives": q_hard_negatives,
-    "rrf_fusion": q_rrf_fusion,
-    "dedup_containment": q_dedup_containment,
-    "triangle_count": q_triangle_count,
-    "cms_topk": q_cms_topk,
-    "priority_sample": q_priority_sample,
-    "mmr_topk": q_mmr_topk,
-    "cluster_drift": q_cluster_drift,
-    "srp_project": q_srp_project,
-    "exact_quartiles": q_exact_quartiles,
-    "robust_outliers": q_robust_outliers,
-    "shard_assign": q_shard_assign,
-    "cms_join_size": q_cms_join_size,
-    "kmv_distinct": q_kmv_distinct,
-    "langid_confusion": q_langid_confusion,
-    "srp_neighbor_recall": q_srp_neighbor_recall,
-    "ann_index_refine": q_ann_index_refine,
-    "cms_incremental": q_cms_incremental,
-    "interval_coverage": q_interval_coverage,
-    "vocab_overlap": q_vocab_overlap,
-    "length_correlation": q_length_correlation,
-    "oov_rate": q_oov_rate,
-    "budget_allocation": q_budget_allocation,
-    "transition_matrix": q_transition_matrix,
-    "leakage_safe_split": q_leakage_safe_split,
-    "adjacent_pairs": q_adjacent_pairs,
-    "session_paths": q_session_paths,
-    "sketch_stream_state": q_sketch_stream_state,
     "shipping_priority": q_shipping_priority,
     "regional_volume": q_regional_volume,
     "nation_trade_volume": q_nation_trade_volume,
@@ -9020,6 +9084,7 @@ _ORACLES: dict[str, str] = {
     "vocab_encode": ORACLE_VOCAB_ENCODE,
     "value_deciles": ORACLE_VALUE_DECILES,
     "incremental_agg": ORACLE_INCREMENTAL_AGG,
+    "matview_refresh": ORACLE_MATVIEW_REFRESH,
     "global_row_number": ORACLE_GLOBAL_ROW_NUMBER,
     "train_order": ORACLE_TRAIN_ORDER,
     "trend_slope": ORACLE_TREND_SLOPE,

@@ -57,6 +57,15 @@ def main() -> None:
     # first index construction the way alphabetical order charged them.
     names = [n for n in HEADLINE if n in registry]
     names += [n for n in registry if n not in names]
+    # A/B subset hook (VERDICT r5 #2): SPARK_GRAFT_BENCH_ONLY="a,b,c"
+    # restricts the sweep to the named queries while keeping the exact
+    # same warmup, ordering, and between-query hygiene — so a subset run
+    # in a fresh session is like-for-like comparable against the same
+    # subset inside a full sweep. Unset (the driver's path) = full sweep.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        names = [n for n in names if n in keep]
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
@@ -130,8 +139,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # Subset runs write a sidecar, never the committed full-sweep record.
+    full_name = "BENCH_FULL.json" if not only else "BENCH_SUBSET.json"
     full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        os.path.dirname(os.path.abspath(__file__)), full_name
     )
     with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
