@@ -872,6 +872,50 @@ JOIN c_sig sb ON sb.doc_id = cd.corpus_doc_id
 )
 
 
+def q_dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup index MAINTENANCE: build on the historical corpus, fold in
+    an exactly-once batch append (the small-file-producing path), then
+    COMPACT — rewrite both stored layouts as bin-packed snapshot
+    versions (tiny target_file_bytes so the rewrite genuinely
+    re-buckets). Returns the stored signature table AFTER compaction;
+    the oracle is the signature SQL over corpus ∪ batch, so the
+    hash-match proves compaction is content-preserving — it must change
+    the FILE layout and nothing else. Closes the index lifecycle
+    (build → query → append → compact) as driver-verified faces.
+    Fresh temp catalog — never the session cache, which
+    `dedup_index_query` readers still probe."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        append_to_dedup_index,
+        build_dedup_index,
+        compact_dedup_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="spark_graft_ddcompact_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    cat = Catalog(spark, d)
+    build_dedup_index(
+        cat, "dd", docs.filter(_DEDUP_CORPUS_PRED), probe_partitions=16
+    )
+    append_to_dedup_index(
+        cat, "dd", docs.filter(_DEDUP_BATCH_PRED), batch_id=1
+    )
+    compact_dedup_index(cat, "dd", target_file_bytes=1 << 20)
+    return cat.read("dd__signatures")
+
+
+ORACLE_DEDUP_INDEX_COMPACT = (
+    "WITH "
+    + _sig_cte_sql("a_", "TRUE")
+    + "\nSELECT * FROM a_sig\n"
+)
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daily_top_songs_etl_spark.extensions.dedup import ngram_jaccard_pairs
 
@@ -3513,10 +3557,65 @@ def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vector_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted ANN index after CONTINUOUS vector ingest: the index
+    trains on the 80% slice, then the held-out 20% arrives as THREE
+    micro-batches (vec_id % 3 slices) folded in exactly-once — including
+    a deliberate REPLAY of an already-applied batch, the at-least-once
+    delivery shape `streaming/vector_stream.run_vector_ingest_stream`
+    feeds this operator under foreachBatch. The oracle is the ONE-SHOT
+    assignment of the whole 20% against the stored centroids
+    (`_oracle_ann_index_append` reused verbatim): batch boundaries must
+    not change list contents, and a replayed batch must not double its
+    vectors — either failure diverges the row count or value hash.
+    (The readStream→foreachBatch wiring itself is unit-tested with
+    checkpoint/replay crash windows; this query hash-verifies the state
+    algebra the stream relies on.) Extension family (no reference
+    analogue)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.ann_index import (
+        append_to_ann_index,
+        build_ann_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = tempfile.mkdtemp(prefix="spark_graft_vecstream_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    cat = Catalog(spark, d)
+    build_ann_index(
+        cat, "idx", emb.filter(F.col("vec_id") % 5 != 0),
+        n_centroids=8, iters=2,
+    )
+    held = emb.filter(F.col("vec_id") % 5 == 0)
+    for i in range(3):
+        append_to_ann_index(
+            cat, "idx", held.filter(F.col("vec_id") % 3 == i), batch_id=i
+        )
+    # exactly-once under replay: re-delivering batch 1 must converge to
+    # ONE copy of its rows (append_once semantics), not a duplicate fold.
+    append_to_ann_index(
+        cat, "idx", held.filter(F.col("vec_id") % 3 == 1), batch_id=1
+    )
+    return (
+        cat.read("idx__lists")
+        .filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id", "cluster")
+    )
+
+
 def _oracle_ann_index_append() -> str:
     """kmeans unroll over the 80% slice ⊕ cosine assignment of the 20%
     batch against those centroids — DuckDB replay of
-    build_ann_index(subset) + append_to_ann_index(batch)."""
+    build_ann_index(subset) + append_to_ann_index(batch). Shared by
+    `ann_index_append` (one batch) and `vector_stream_state` (three
+    exactly-once batches + a replay): assignment is against the SAME
+    stored centroids either way, so batch boundaries must not change
+    the final lists — that invariance is what the shared oracle
+    hash-verifies."""
     cos = (
         "round(CAST(list_sum(list_transform(list_zip(q.qv, c.cv),"
         " s -> s[1] * s[2])) AS DOUBLE)"
@@ -8818,6 +8917,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_index_query": q_ann_index_query,
     "pq_index_build": q_pq_index_build,
     "pq_encode_apply": q_pq_encode_apply,
+    # --- new in round 6 (past slot 50 → r7 window candidates) ---
+    "vector_stream_state": q_vector_stream_state,
+    "dedup_index_compact": q_dedup_index_compact,
     "shipping_priority": q_shipping_priority,
     "regional_volume": q_regional_volume,
     "nation_trade_volume": q_nation_trade_volume,
@@ -9114,6 +9216,8 @@ _ORACLES: dict[str, str] = {
     "pq_topk_adc": ORACLE_PQ_TOPK,
     "ann_index_query": ORACLE_ANN_INDEX_QUERY,
     "ann_index_append": _oracle_ann_index_append(),
+    "vector_stream_state": _oracle_ann_index_append(),
+    "dedup_index_compact": ORACLE_DEDUP_INDEX_COMPACT,
     "quality_linear": ORACLE_QUALITY_LINEAR,
     "pmi_topk": ORACLE_PMI_TOPK,
     "bpe_encode": ORACLE_BPE_ENCODE,

@@ -15,6 +15,17 @@ a 100 TB corpus can take; a scale-safe engine must stay linear on both):
   accumulating history — it catches per-group quadratics (a window or
   join whose cost is quadratic in partition size) that ``wide``
   replication structurally hides.
+- ``zipf``: like ``grow`` (PKs offset, dims copied once) but replica i
+  FOLDS every foreign key into the first ``K >> i`` keys of its 0-based
+  contiguous domain (``k % max(K>>i, 1)``). Key 0 collects rows from
+  every replica at fold multiplicity 1,2,4,…,2^(N-1) — a heavy-tailed
+  group-size distribution where the hottest keys hold ~2^N/N× the
+  average — while grow/wide keep groups uniform. This is the organic
+  shape (users/parts/suppliers are never uniform at 100 TB) and the one
+  the salted-agg / salted-join / AQE-skew paths exist for; uniform
+  replication structurally hides the skew they handle. Deterministic
+  (no RNG) and referentially intact: folded keys always exist in the
+  once-copied dimension tables.
 
 Used for the sf1 spot-bench (BENCH_sf1.json). Document text is
 per-replica character-rotated (10 distinct rotations) in both modes so
@@ -52,6 +63,15 @@ KEY_OFFSETS_GROW = {
     "documents": ["doc_id"],
 }
 
+#: zipf mode: PK offsets identical to grow; these FK columns additionally
+#: fold per replica into a shrinking key prefix (k % max(K>>i, 1)). The
+#: fold domain K is each column's 0-based contiguous key-space size,
+#: measured from the base data at runtime.
+ZIPF_FOLD_FKS = {
+    "lineitem": ["l_partkey", "l_suppkey"],
+    "orders": ["o_custkey"],
+}
+
 # offset units: max key magnitude per keyed id space, from sf0.1 + headroom
 OFFSET_UNIT = 10_000_000
 
@@ -67,12 +87,20 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    if MODE not in ("wide", "grow"):
-        raise SystemExit(f"unknown mode {MODE!r}; use wide|grow")
+    if MODE not in ("wide", "grow", "zipf"):
+        raise SystemExit(f"unknown mode {MODE!r}; use wide|grow|zipf")
     key_offsets = KEY_OFFSETS_WIDE if MODE == "wide" else KEY_OFFSETS_GROW
     copied = ["nation", "region"] + (
-        ["customer", "part", "supplier"] if MODE == "grow" else []
+        ["customer", "part", "supplier"] if MODE in ("grow", "zipf") else []
     )
+    # zipf fold domains: 0-based contiguous key-space size per FK column.
+    fold_k: dict[str, int] = {}
+    if MODE == "zipf":
+        for tbl, fks in ZIPF_FOLD_FKS.items():
+            base = spark.read.parquet(f"{SRC}/{tbl}.parquet")
+            for k in fks:
+                fold_k[k] = base.agg(F.max(k)).first()[0] + 1
+        print(f"zipf fold domains: {fold_k}", flush=True)
     for tbl, keys in key_offsets.items():
         base = spark.read.parquet(f"{SRC}/{tbl}.parquet")
         parts = []
@@ -80,6 +108,10 @@ def main() -> None:
             df = base
             for k in keys:
                 df = df.withColumn(k, F.col(k) + F.lit(i * OFFSET_UNIT))
+            if MODE == "zipf":
+                for k in ZIPF_FOLD_FKS.get(tbl, ()):
+                    m = max(fold_k[k] >> i, 1)
+                    df = df.withColumn(k, F.col(k) % F.lit(m))
             if tbl == "documents":
                 rot = ALPHA[i:] + ALPHA[:i]
                 df = df.withColumn("text", F.translate("text", ALPHA, rot))
@@ -127,11 +159,19 @@ def main() -> None:
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     elif dict(ev.dtypes)["ts"] != "timestamp":
         ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    u_dom = ev.agg(F.max("user_id")).first()[0] + 1 if MODE == "zipf" else 0
     vparts = []
     for i in range(N):
         df = ev.withColumn("event_id", F.col("event_id") + F.lit(i * OFFSET_UNIT))
         if MODE == "wide":
             df = df.withColumn("user_id", F.col("user_id") + F.lit(i * OFFSET_UNIT))
+        elif MODE == "zipf":
+            # fold each replica's users into a shrinking prefix — the
+            # hottest users end up with ~2^N/N× the average event count
+            # (per-user windows/sessionization under organic skew).
+            df = df.withColumn(
+                "user_id", F.col("user_id") % F.lit(max(u_dom >> i, 1))
+            )
         if i > 0:
             df = df.withColumn(
                 "ts", F.col("ts") + F.expr(f"INTERVAL {i} SECOND")
