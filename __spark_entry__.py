@@ -7247,9 +7247,10 @@ ORACLE_SRP_PROJECT = _oracle_srp_project(16, 64)
 def q_exact_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-return-flag price quartiles (lower convention, integer
     cents) by two-pass pigeonhole selection: a (group, bucket) count
-    histogram, a bounded driver walk to locate each rank's bucket, and
-    a rank-within-bucket pick — no task ever sorts more than
-    ~n/1024 rows; the oracle's global per-group sort must agree."""
+    histogram, a DISTRIBUTED running-sum walk to locate each rank's
+    bucket (round 6 — no driver collects), and a rank-within-bucket
+    pick — no task ever sorts more than ~n/1024 rows; the oracle's
+    global per-group sort must agree."""
     from daily_top_songs_etl_spark.operators.quantiles import (
         grouped_exact_quantiles,
     )
@@ -7267,6 +7268,52 @@ def q_exact_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "l_returnflag", "price_cents",
         quantiles=((1, 4), (1, 2), (3, 4)),
     )
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization at exact p5/p95 (lower convention,
+    integer cents): clamp every price into [Q(1/20), Q(19/20)] and
+    report the clipping summary — the heavy-tail-robust preprocessing
+    for numeric quality signals, built on the same driver-collect-free
+    pigeonhole selection as `exact_quartiles`. All-BIGINT output, so
+    the oracle's global per-group sort must agree bit-for-bit."""
+    from daily_top_songs_etl_spark.operators.quantiles import winsorize
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    return winsorize(li, "l_returnflag", "price_cents")
+
+
+ORACLE_WINSORIZE = """
+WITH v AS (
+  SELECT l_returnflag AS g,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS val
+  FROM lineitem
+), r AS (
+  SELECT g, val,
+         row_number() OVER (PARTITION BY g ORDER BY val) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM v
+), b AS (
+  SELECT g, CAST(max(n) AS BIGINT) AS n,
+         max(CASE WHEN rn = (n - 1) * 1 // 20 + 1 THEN val END) AS lo,
+         max(CASE WHEN rn = (n - 1) * 19 // 20 + 1 THEN val END) AS hi
+  FROM r GROUP BY g
+)
+SELECT v.g AS l_returnflag, b.n, b.lo, b.hi,
+       CAST(SUM(CASE WHEN v.val < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(SUM(CASE WHEN v.val > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_high,
+       CAST(SUM(greatest(b.lo, least(b.hi, v.val))) AS BIGINT)
+         AS clipped_sum
+FROM v JOIN b ON v.g = b.g
+GROUP BY v.g, b.n, b.lo, b.hi
+"""
 
 
 ORACLE_EXACT_QUARTILES = """
@@ -8920,6 +8967,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 6 (past slot 50 → r7 window candidates) ---
     "vector_stream_state": q_vector_stream_state,
     "dedup_index_compact": q_dedup_index_compact,
+    "winsorize": q_winsorize,
     "shipping_priority": q_shipping_priority,
     "regional_volume": q_regional_volume,
     "nation_trade_volume": q_nation_trade_volume,
@@ -9165,6 +9213,7 @@ _ORACLES: dict[str, str] = {
     "cluster_drift": ORACLE_CLUSTER_DRIFT,
     "srp_project": ORACLE_SRP_PROJECT,
     "exact_quartiles": ORACLE_EXACT_QUARTILES,
+    "winsorize": ORACLE_WINSORIZE,
     "robust_outliers": ORACLE_ROBUST_OUTLIERS,
     "shard_assign": ORACLE_SHARD_ASSIGN,
     "cms_join_size": ORACLE_CMS_JOIN_SIZE,

@@ -777,6 +777,33 @@ def test_grouped_exact_quantiles_high_cardinality_groups(spark):
     assert not bad, f"wrong medians for {len(bad)} groups, e.g. {bad[:3]}"
 
 
+def test_winsorize_clips_at_exact_bounds(spark):
+    """Hand-computed clip: 20 values 0..19 in one group → p5 bound is
+    the element at pos (19*1)//20+1 = rank 1 (value 0), p95 at rank
+    (19*19)//20+1 = 19 (value 18). Only 19 exceeds, clipped to 18."""
+    from daily_top_songs_etl_spark.operators.quantiles import winsorize
+
+    df = spark.createDataFrame(
+        [("a", v) for v in range(20)], "g string, v long"
+    )
+    r = winsorize(df, "g", "v").collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row.n, row.lo, row.hi) == (20, 0, 18)
+    assert (row.n_clipped_low, row.n_clipped_high) == (0, 1)
+    # sum(0..18) + 18 (the clipped 19)
+    assert row.clipped_sum == sum(range(19)) + 18
+    # planted heavy tail: the bound is a data element, outliers can't
+    # drag it (unlike mean±k·σ). n=103 → p95 rank (102*19)//20+1 = 97,
+    # i.e. value 96; clipped-high = {97, 98, 99} + the 3 plants.
+    df2 = spark.createDataFrame(
+        [("b", v) for v in list(range(100)) + [10**9] * 3],
+        "g string, v long",
+    )
+    row2 = winsorize(df2, "g", "v").collect()[0]
+    assert row2.hi == 96 and row2.n_clipped_high == 6
+
+
 def test_robust_outliers_flags_planted_anomalies(spark):
     from daily_top_songs_etl_spark.operators.quantiles import (
         robust_outliers,
