@@ -1253,6 +1253,52 @@ WHERE round(CAST(n_common AS DOUBLE)
 """
 
 
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-quality eval: exact-Jaccard ground-truth pairs vs the
+    MinHash-LSH band-bucket candidates — ONE row (n_true, n_candidates,
+    n_hit), recall and precision derivable from the exact integers. The
+    measurement that justifies a (n_hashes, band_size) choice before a
+    production dedup run; by nature an eval operator — at 100 TB it
+    runs on a document sample, the chosen banding runs corpus-wide."""
+    from daily_top_songs_etl_spark.extensions.dedup import lsh_recall_stats
+
+    return lsh_recall_stats(_t(spark, sf_dir, "documents"), min_jaccard=0.2)
+
+
+ORACLE_DEDUP_LSH_RECALL = f"""{_SQL_SHINGLES}
+, sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+, inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+, true_pairs AS MATERIALIZED (
+  SELECT da, db FROM inter
+  JOIN sizes sa ON sa.doc_id = da
+  JOIN sizes sb ON sb.doc_id = db
+  WHERE round(CAST(n_common AS DOUBLE)
+              / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) >= 0.2
+)
+, sig AS (
+  SELECT doc_id,
+         {_SIG_COLS}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  {_BAND_SELECTS}
+), cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+)
+SELECT
+  CAST((SELECT count(*) FROM true_pairs) AS BIGINT) AS n_true,
+  CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+  CAST((SELECT count(*) FROM true_pairs t
+        JOIN cand c ON t.da = c.da AND t.db = c.db) AS BIGINT) AS n_hit
+"""
+
+
 # --------------------------------------------------------------------------
 # Embedding LSH: shared oracle plumbing (sign matrix generated from the
 # exact same deterministic md5 hyperplanes as extensions.similarity)
@@ -5746,6 +5792,55 @@ GROUP BY event_type, user_id % 8
 """
 
 
+def q_matview_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM under DELETES (operators/matview.RetractableView): three
+    insert micro-batches build the per-event-type count/sum state, then
+    the retention-expired slice (ts < 2024-01-15) arrives as a DELETE
+    batch merged as a NEGATED delta — the reference's
+    delete_old_ranking_records_fn purge maintained incrementally
+    instead of recomputing the surviving history. The replayed delete
+    must be refused by the applied-batch ledger (double-retraction
+    would corrupt counts). The oracle recomputes over the SURVIVING
+    rows only, so the hash-match proves insert⊕delete merge ≡
+    recompute-after-purge and replay exactly-once. count/sum only —
+    min/max have no inverse (the classic IVM retraction limitation),
+    documented in RETRACT_STATE_COLS."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.operators.matview import RetractableView
+
+    ev = _events(spark, sf_dir).select("event_type", "value", "event_id", "ts")
+    d = tempfile.mkdtemp(prefix="spark_graft_retract_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    view = RetractableView(Catalog(spark, d), "mv", ["event_type"], "value")
+    for i in range(3):
+        batch = ev.filter(F.col("event_id") % 3 == i).drop("event_id", "ts")
+        assert view.refresh(batch, f"ins{i}"), f"batch ins{i} refused"
+    cut = F.lit("2024-01-15").cast("timestamp")
+    expired = ev.filter(F.col("ts") < cut).drop("event_id", "ts")
+    assert view.refresh(expired, "purge0", delete=True), "purge refused"
+    # exactly-once: replaying the delete must not double-retract
+    assert (
+        view.refresh(expired, "purge0", delete=True) is False
+    ), "replayed delete re-applied"
+    return view.read()
+
+
+ORACLE_MATVIEW_RETRACT = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         AS avg_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-15'
+GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Distributed exact global row numbering
 # --------------------------------------------------------------------------
@@ -8968,6 +9063,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vector_stream_state": q_vector_stream_state,
     "dedup_index_compact": q_dedup_index_compact,
     "winsorize": q_winsorize,
+    "matview_retract": q_matview_retract,
+    "dedup_lsh_recall": q_dedup_lsh_recall,
     "shipping_priority": q_shipping_priority,
     "regional_volume": q_regional_volume,
     "nation_trade_volume": q_nation_trade_volume,
@@ -9236,6 +9333,8 @@ _ORACLES: dict[str, str] = {
     "value_deciles": ORACLE_VALUE_DECILES,
     "incremental_agg": ORACLE_INCREMENTAL_AGG,
     "matview_refresh": ORACLE_MATVIEW_REFRESH,
+    "matview_retract": ORACLE_MATVIEW_RETRACT,
+    "dedup_lsh_recall": ORACLE_DEDUP_LSH_RECALL,
     "global_row_number": ORACLE_GLOBAL_ROW_NUMBER,
     "train_order": ORACLE_TRAIN_ORDER,
     "trend_slope": ORACLE_TREND_SLOPE,

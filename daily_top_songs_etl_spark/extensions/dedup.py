@@ -282,6 +282,51 @@ def ngram_jaccard_pairs(
     )
 
 
+def lsh_recall_stats(
+    documents: DataFrame,
+    min_jaccard: float = 0.2,
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Banding-quality eval: how much of the exact-Jaccard ground truth
+    do the MinHash-LSH candidate pairs recover? Returns ONE row
+    (n_true, n_candidates, n_hit): true pairs at the threshold, distinct
+    band-bucket candidate pairs, and their intersection — recall =
+    n_hit/n_true, precision headroom = n_hit/n_candidates, both
+    derivable from the exact integers. This is the measurement that
+    justifies a (n_hashes, band_size) choice before a production dedup
+    run; the standard S-curve math says P(candidate) = 1−(1−j^r)^b, and
+    this query checks the REAL corpus against it.
+
+    Ground truth requires the exact all-pairs computation
+    (:func:`ngram_jaccard_pairs`), which is quadratic in popular-shingle
+    frequency — by nature this is an EVAL operator: at 100 TB you run it
+    on a uniform document SAMPLE (recall estimates concentrate fast) and
+    apply the chosen banding corpus-wide. Both pair relations are
+    pair-bounded and referenced twice (own count + intersection), so
+    each is eagerly checkpointed.
+    """
+    true_pairs = (
+        ngram_jaccard_pairs(documents, min_jaccard)
+        .select("doc_id_a", "doc_id_b")
+        .localCheckpoint(eager=True)
+    )
+    cand = (
+        minhash_lsh_pairs(documents, n_hashes, band_size)
+        .select("doc_id_a", "doc_id_b")
+        .localCheckpoint(eager=True)
+    )
+    hit = true_pairs.join(cand, ["doc_id_a", "doc_id_b"], "left_semi")
+    n_true = true_pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    n_cand = cand.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    n_hit = hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    return n_true.crossJoin(n_cand).crossJoin(n_hit)
+
+
 def ngram_containment_pairs(
     documents: DataFrame, min_containment: float = 0.5
 ) -> DataFrame:

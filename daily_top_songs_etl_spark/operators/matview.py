@@ -75,3 +75,97 @@ class IncrementalView:
     def read(self) -> DataFrame:
         """The user-facing finalized view (avg/sum/min/max projection)."""
         return finalize(self.catalog.read(self.name), self.keys)
+
+
+#: Retractable state carries only the GROUP-invertible measures: count
+#: and sum form a group (every element has an inverse), so deletes merge
+#: as negated deltas. min/max are deliberately absent — they are
+#: monoid-only (no inverse: retracting the current max requires the
+#: full history to find the runner-up), the classic IVM limitation.
+RETRACT_STATE_COLS = ("cnt", "sum_val")
+
+
+class RetractableView:
+    """Incrementally-maintained aggregate that also supports DELETE
+    batches — the reference's retention-purge semantics
+    (``delete_old_ranking_records_fn``) maintained incrementally: a
+    delete batch merges as a NEGATED delta instead of forcing a
+    recompute of the surviving history. Exactly-once via the same
+    in-snapshot applied-batch ledger as :class:`IncrementalView`;
+    insert and delete batches share one id namespace, so a replayed
+    delete is refused the same way a replayed insert is.
+
+    Keys whose count reaches zero are dropped at merge time, so a
+    fully-retracted group disappears from the view exactly as it would
+    from a recompute."""
+
+    def __init__(
+        self,
+        catalog: Catalog,
+        name: str,
+        keys: list[str],
+        value_col: str,
+    ) -> None:
+        self.catalog = catalog
+        self.name = name
+        self.keys = keys
+        self.value_col = value_col
+
+    def applied_batches(self) -> set[str]:
+        meta = self.catalog.read_meta(self.name) or {}
+        return set(meta.get("applied_batches", []))
+
+    def _delta(self, batch: DataFrame, sign: int) -> DataFrame:
+        v = F.col(self.value_col).cast("decimal(18,6)")
+        cnt = F.count(F.lit(1)).cast("bigint")
+        sm = F.sum(v)
+        if sign < 0:
+            cnt, sm = -cnt, -sm
+        return batch.groupBy(*self.keys).agg(
+            cnt.alias("cnt"), sm.alias("sum_val")
+        )
+
+    def refresh(
+        self, batch: DataFrame, batch_id: str, delete: bool = False
+    ) -> bool:
+        """Merge one insert (or, with ``delete=True``, retract) batch.
+        Returns False untouched if ``batch_id`` was already applied."""
+        applied = self.applied_batches()
+        if batch_id in applied:
+            return False
+        delta = self._delta(batch, -1 if delete else 1)
+        if self.catalog.exists(self.name):
+            merged = (
+                self.catalog.read(self.name)
+                .select(*self.keys, *RETRACT_STATE_COLS)
+                .unionByName(delta.select(*self.keys, *RETRACT_STATE_COLS))
+                .groupBy(*self.keys)
+                .agg(
+                    F.sum("cnt").cast("bigint").alias("cnt"),
+                    F.sum("sum_val").alias("sum_val"),
+                )
+                # fully-retracted keys leave the state, as in a recompute
+                .filter(F.col("cnt") != 0)
+            )
+        else:
+            merged = delta
+        self.catalog.write(
+            merged.select(*self.keys, *RETRACT_STATE_COLS),
+            self.name,
+            meta={"applied_batches": sorted(applied | {batch_id})},
+        )
+        return True
+
+    def read(self) -> DataFrame:
+        """Finalized view: n_rows / sum_value / avg_value (the
+        group-invertible measures only)."""
+        state = self.catalog.read(self.name)
+        return state.select(
+            *self.keys,
+            F.col("cnt").cast("bigint").alias("n_rows"),
+            F.col("sum_val").cast("double").alias("sum_value"),
+            F.round(
+                F.col("sum_val").cast("double") / F.col("cnt").cast("double"),
+                6,
+            ).alias("avg_value"),
+        )

@@ -690,6 +690,63 @@ def test_incremental_view_exactly_once_and_matches_recompute(spark, tmp_path):
     assert cat.read_at("daily_totals", 2).count() > 0
 
 
+def test_retractable_view_deletes_and_exactly_once(spark, tmp_path):
+    """IVM under deletes: insert ⊕ negated-delta delete ≡ recompute over
+    survivors; a replayed delete is refused (double-retraction would
+    corrupt counts); a fully-retracted key disappears from the view."""
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.operators.matview import RetractableView
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    view = RetractableView(cat, "totals", ["k"], "v")
+    ins = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0), ("c", 5.0), ("c", 7.0)],
+        "k string, v double",
+    )
+    assert view.refresh(ins, "ins0") is True
+    # delete one 'a' row and ALL of 'b'
+    dele = spark.createDataFrame(
+        [("a", 2.0), ("b", 10.0)], "k string, v double"
+    )
+    assert view.refresh(dele, "del0", delete=True) is True
+    v_before = cat.current_version("totals")
+    assert view.refresh(dele, "del0", delete=True) is False  # replay
+    assert cat.current_version("totals") == v_before
+    got = {r.k: r for r in view.read().collect()}
+    assert set(got) == {"a", "c"}  # 'b' fully retracted → gone
+    assert got["a"].n_rows == 1 and got["a"].sum_value == 1.0
+    assert got["c"].n_rows == 2 and got["c"].sum_value == 12.0
+    # re-insert after full retraction: the key returns cleanly
+    assert view.refresh(
+        spark.createDataFrame([("b", 3.0)], "k string, v double"), "ins1"
+    )
+    assert {
+        r.k: r.sum_value for r in view.read().collect()
+    }["b"] == 3.0
+
+
+def test_lsh_recall_stats_bounds_and_planted_dups(spark):
+    """Sanity bounds (n_hit ≤ min(n_true, n_candidates)) plus a planted
+    near-dup set the banding must recover: identical docs share every
+    shingle (jaccard 1.0), so every banding with ≥1 band finds them —
+    recall on the planted subset is structurally 1."""
+    from daily_top_songs_etl_spark.extensions.dedup import lsh_recall_stats
+
+    base = [
+        (i, f"unique document number {i} with some distinct tail {i*7}")
+        for i in range(30)
+    ]
+    clones = [
+        (100 + i, "the exact same cloned text repeated across documents")
+        for i in range(4)
+    ]
+    docs = spark.createDataFrame(base + clones, "doc_id long, text string")
+    r = lsh_recall_stats(docs, min_jaccard=0.5).collect()[0]
+    assert r.n_hit <= min(r.n_true, r.n_candidates)
+    # the 4 clones contribute C(4,2)=6 true pairs, all bandable
+    assert r.n_true >= 6 and r.n_hit >= 6
+
+
 def test_heavy_hitters_exact_recall_and_false_positive_drop(spark):
     from daily_top_songs_etl_spark.operators.heavyhitters import heavy_hitters
 
