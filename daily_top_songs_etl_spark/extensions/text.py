@@ -995,11 +995,30 @@ def bm25_topk(
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = documents.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens())).alias("sum_dl"),
     )
+    return _bm25_score_tail(tf, stats, terms, k1, b, k)
+
+
+def _bm25_score_tail(
+    tf: DataFrame,
+    stats: DataFrame,
+    terms: list[str],
+    k1: float,
+    b: float,
+    k: int,
+) -> DataFrame:
+    """Shared BM25 scoring tail over a (doc_id, term, tf, dl) relation
+    already restricted to the query terms, plus a one-row (n_docs,
+    sum_dl) stats relation. Used by :func:`bm25_topk` (tf from a fresh
+    corpus tokenization) and :func:`query_text_index` (tf from the
+    PERSISTED postings) — byte-identical expressions, so the two paths
+    must produce identical rankings; df is re-derived from the tf
+    relation, which carries every document containing each query term
+    in both paths."""
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     idf = F.log(
         F.lit(1.0)
@@ -1041,6 +1060,103 @@ def bm25_topk(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", "n_terms_matched", "score", "rank"
     )
+
+
+def build_text_index(catalog, name: str, documents: DataFrame,
+                     probe_partitions: int = 16) -> None:
+    """Persist the lexical inverted index: one postings table
+    (doc_id, term, tf, dl) over the FULL vocabulary, hash-partitioned on
+    the term (``term_mod = pmod(xxhash64(term), probe_partitions)``) so
+    a query's scan prunes to the |query terms| partitions it needs —
+    the same partition-pruned-probe layout as the dedup band index and
+    the ANN cluster lists. Exact corpus stats (n_docs, sum_dl) commit in
+    the table's meta under the same pointer flip, so a probe never pairs
+    fresh postings with stale normalization constants.
+
+    This is the train-once half of sparse retrieval at 100 TB: the
+    corpus is tokenized ONCE; every later query (decontamination
+    lookups, near-query mining, seed expansion) reads pruned stored
+    postings instead of re-tokenizing petabytes."""
+    from .fanout import fan_out_small_scan
+
+    t = tokens()
+    postings = (
+        fan_out_small_scan(documents)
+        .select(
+            "doc_id",
+            F.size(t).alias("dl"),
+            F.explode(t).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .withColumn(
+            "term_mod",
+            F.pmod(F.xxhash64("term"), F.lit(probe_partitions)),
+        )
+    )
+    srow = documents.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens())).alias("sum_dl"),
+    ).first()
+    catalog.write(
+        postings,
+        f"{name}__postings",
+        partition_by=["term_mod"],
+        meta={
+            "n_docs": int(srow["n_docs"]),
+            "sum_dl": int(srow["sum_dl"]),
+            "probe_partitions": int(probe_partitions),
+        },
+    )
+
+
+def query_text_index(
+    catalog,
+    name: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Steady-state BM25 against the PERSISTED postings: the corpus is
+    never re-tokenized — the scan reads only the query terms' hash
+    partitions (static IN partition filter, same pruning contract as
+    the dedup band probe), df re-derives from those pruned postings
+    (they carry every doc containing each term), and the normalization
+    constants come from the index meta. Must rank identically to
+    :func:`bm25_topk` on the same corpus — the shared scoring tail and
+    the registered oracle enforce it."""
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    table = f"{name}__postings"
+    meta = catalog.read_meta(table) or {}
+    post = catalog.read(table)
+    spark = post.sparkSession
+    nparts = int(meta["probe_partitions"])
+    # static collected-key partition filter (the DPP-independent pruning
+    # pattern): |terms| hash values computed JVM-side over a tiny local
+    # relation, then inlined as an IN list the scan prunes on.
+    mods = sorted(
+        {
+            r.m
+            for r in spark.createDataFrame(
+                [(t_,) for t_ in terms], "term string"
+            )
+            .select(F.pmod(F.xxhash64("term"), F.lit(nparts)).alias("m"))
+            .collect()
+        }
+    )
+    tf = (
+        post.filter(F.col("term_mod").isin(mods))
+        .filter(F.col("term").isin(terms))
+        .select("doc_id", "term", "tf", "dl")
+    )
+    stats = spark.createDataFrame(
+        [(int(meta["n_docs"]), int(meta["sum_dl"]))],
+        "n_docs long, sum_dl long",
+    )
+    return _bm25_score_tail(tf, stats, terms, k1, b, k)
 
 
 def bigram_lm_score(documents: DataFrame) -> DataFrame:

@@ -2899,3 +2899,41 @@ def test_session_paths_hand_sessions(spark):
     out = {r.path: r for r in session_paths(ev, gap_minutes=30, k=10).collect()}
     assert out["a>b"].n == 2 and out["a>b"].rank == 1
     assert out["c"].n == 1
+
+
+def test_text_index_query_matches_recompute_and_prunes(spark, tmp_path):
+    """The persisted-postings BM25 path must (a) rank identically to the
+    fresh-tokenization bm25_topk on the same corpus (shared scoring
+    tail — stored-path ≡ recompute is the lifecycle invariant), and
+    (b) prune the postings scan to the query terms' hash partitions
+    (the same static-IN PartitionFilters contract as the dedup band
+    probe and the ANN cluster lists)."""
+    import re
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.text import (
+        bm25_topk,
+        build_text_index,
+        query_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"spark joins the stream number {i} " + "filler word " * (i % 5))
+            for i in range(40)
+        ]
+        + [(100, "vector search beats grep"), (101, "spark spark spark")],
+        "doc_id long, text string",
+    )
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    build_text_index(cat, "tx", docs, probe_partitions=16)
+    terms = ["spark", "vector", "stream"]
+    fresh = [tuple(r) for r in bm25_topk(docs, terms, k=10).collect()]
+    stored_df = query_text_index(cat, "tx", terms, k=10)
+    stored = [tuple(r) for r in stored_df.collect()]
+    assert stored == fresh and len(stored) == 10
+
+    plan = stored_df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[term_mod#\d+ IN \(([^)]*)\)", plan)
+    assert m, plan[:2000]
+    assert 0 < len(m.group(1).split(",")) <= len(terms)
