@@ -1073,11 +1073,55 @@ FROM per GROUP BY term
 """
 
 
+def q_text_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental lexical-index INGEST: build on the 80% corpus slice,
+    fold the held-out 20% in as TWO exactly-once batches (postings via
+    append_once FIRST — idempotent — then the one-row stats rewrite
+    with the batch marker in its meta; the sketch-stream ordering),
+    INCLUDING a replay of an applied batch, then QUERY the stored
+    index. The oracle is the whole-corpus BM25 SQL (`bm25_topk`'s,
+    reused verbatim): incremental build ≡ one-shot build down to the
+    BM25 scores — a double-counted stats row or doubled postings would
+    shift idf/avgdl and diverge the hash. Fresh temp catalog, never the
+    session cache (`text_index_query` readers still probe it)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.text import (
+        append_to_text_index,
+        build_text_index,
+        query_text_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="spark_graft_textapp_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    cat = Catalog(spark, d)
+    build_text_index(
+        cat, "tx", docs.filter(F.col("doc_id") % 5 != 0),
+        probe_partitions=16,
+    )
+    held = docs.filter(F.col("doc_id") % 5 == 0)
+    for i in range(2):
+        append_to_text_index(
+            cat, "tx", held.filter(F.col("doc_id") % 2 == i), batch_id=i
+        )
+    # replay: postings converge via append_once, stats via the marker
+    append_to_text_index(
+        cat, "tx", held.filter(F.col("doc_id") % 2 == 1), batch_id=1
+    )
+    return query_text_index(
+        cat, "tx", ["spark", "vector", "join", "stream"], k=10
+    )
+
+
 def q_text_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 QUERY against the persisted postings (steady state): the
     scan reads only the query terms' hash partitions, the corpus is
-    never re-tokenized, normalization constants come from the index
-    meta. Same 4-term query as `bm25_topk` and the SAME oracle — the
+    never re-tokenized, normalization constants come from the stats
+    table. Same 4-term query as `bm25_topk` and the SAME oracle — the
     hash-match proves the stored-postings path ranks identically to
     the full recompute."""
     from daily_top_songs_etl_spark.extensions.text import query_text_index
@@ -9144,6 +9188,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_lsh_recall": q_dedup_lsh_recall,
     "text_index_build": q_text_index_build,
     "text_index_query": q_text_index_query,
+    "text_index_append": q_text_index_append,
     "shipping_priority": q_shipping_priority,
     "regional_volume": q_regional_volume,
     "nation_trade_volume": q_nation_trade_volume,
@@ -9416,6 +9461,7 @@ _ORACLES: dict[str, str] = {
     "dedup_lsh_recall": ORACLE_DEDUP_LSH_RECALL,
     "text_index_build": ORACLE_TEXT_INDEX_BUILD,
     "text_index_query": ORACLE_BM25_TOPK,
+    "text_index_append": ORACLE_BM25_TOPK,
     "global_row_number": ORACLE_GLOBAL_ROW_NUMBER,
     "train_order": ORACLE_TRAIN_ORDER,
     "trend_slope": ORACLE_TREND_SLOPE,

@@ -1102,11 +1102,19 @@ def build_text_index(catalog, name: str, documents: DataFrame,
         postings,
         f"{name}__postings",
         partition_by=["term_mod"],
-        meta={
-            "n_docs": int(srow["n_docs"]),
-            "sum_dl": int(srow["sum_dl"]),
-            "probe_partitions": int(probe_partitions),
-        },
+        meta={"probe_partitions": int(probe_partitions)},
+    )
+    # Corpus stats live in their OWN one-row versioned table (not the
+    # postings meta): incremental ingest must update them per batch, and
+    # a one-row versioned rewrite with a marker in ITS meta is the
+    # established exactly-once shape (the ANN occupancy pattern).
+    spark = documents.sparkSession
+    catalog.write(
+        spark.createDataFrame(
+            [(int(srow["n_docs"]), int(srow["sum_dl"]))],
+            "n_docs long, sum_dl long",
+        ),
+        f"{name}__stats",
     )
 
 
@@ -1123,7 +1131,7 @@ def query_text_index(
     partitions (static IN partition filter, same pruning contract as
     the dedup band probe), df re-derives from those pruned postings
     (they carry every doc containing each term), and the normalization
-    constants come from the index meta. Must rank identically to
+    constants come from the one-row stats table. Must rank identically to
     :func:`bm25_topk` on the same corpus — the shared scoring tail and
     the registered oracle enforce it."""
     terms = sorted(set(query_terms))
@@ -1134,6 +1142,7 @@ def query_text_index(
     post = catalog.read(table)
     spark = post.sparkSession
     nparts = int(meta["probe_partitions"])
+    srow = catalog.read(f"{name}__stats").first()
     # static collected-key partition filter (the DPP-independent pruning
     # pattern): |terms| hash values computed JVM-side over a tiny local
     # relation, then inlined as an IN list the scan prunes on.
@@ -1153,10 +1162,82 @@ def query_text_index(
         .select("doc_id", "term", "tf", "dl")
     )
     stats = spark.createDataFrame(
-        [(int(meta["n_docs"]), int(meta["sum_dl"]))],
+        [(int(srow["n_docs"]), int(srow["sum_dl"]))],
         "n_docs long, sum_dl long",
     )
     return _bm25_score_tail(tf, stats, terms, k1, b, k)
+
+
+def append_to_text_index(
+    catalog,
+    name: str,
+    batch: DataFrame,
+    batch_id: int | str | None = None,
+) -> None:
+    """Fold a batch of NEW documents into the persisted lexical index
+    WITHOUT re-tokenizing the corpus: batch-sized tokenize → postings
+    append → one-row stats update. Exactly-once under at-least-once
+    delivery when ``batch_id`` is passed, with the sketch-stream
+    ordering argument: the postings append goes FIRST through
+    ``catalog.append_once`` (replay converges to one copy of the
+    batch's rows — idempotent), then the non-idempotent stats update
+    rewrites the one-row ``__stats`` table with the batch marker
+    committed INSIDE its meta under the same pointer flip — a crash at
+    any point replays to exactly one fold of the batch into both
+    tables. At 100 TB this is the daily-crawl ingest path; rebuilds
+    happen on vocabulary-drift cadence (`oov_rate` is the trigger)."""
+    from .fanout import fan_out_small_scan
+
+    meta = catalog.read_meta(f"{name}__postings") or {}
+    nparts = int(meta["probe_partitions"])
+    t = tokens()
+    postings = (
+        fan_out_small_scan(batch)
+        .select(
+            "doc_id",
+            F.size(t).alias("dl"),
+            F.explode(t).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .withColumn(
+            "term_mod", F.pmod(F.xxhash64("term"), F.lit(nparts))
+        )
+        .localCheckpoint(eager=True)
+    )
+    if batch_id is None:
+        catalog.append(
+            postings, f"{name}__postings", partition_by=["term_mod"]
+        )
+    else:
+        catalog.append_once(
+            postings, f"{name}__postings", batch_id,
+            partition_by=["term_mod"],
+        )
+    stats_meta = catalog.read_meta(f"{name}__stats") or {}
+    applied = set(stats_meta.get("applied_batches", []))
+    if batch_id is not None and str(batch_id) in applied:
+        return  # replay arriving after the stats flip: already folded
+    srow = catalog.read(f"{name}__stats").first()
+    drow = batch.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens())).alias("sum_dl"),
+    ).first()
+    spark = batch.sparkSession
+    new_meta = dict(stats_meta)
+    if batch_id is not None:
+        new_meta["applied_batches"] = sorted(applied | {str(batch_id)})
+    catalog.write(
+        spark.createDataFrame(
+            [(
+                int(srow["n_docs"]) + int(drow["n_docs"]),
+                int(srow["sum_dl"]) + int(drow["sum_dl"] or 0),
+            )],
+            "n_docs long, sum_dl long",
+        ),
+        f"{name}__stats",
+        meta=new_meta,
+    )
 
 
 def bigram_lm_score(documents: DataFrame) -> DataFrame:

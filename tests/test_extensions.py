@@ -2937,3 +2937,40 @@ def test_text_index_query_matches_recompute_and_prunes(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[term_mod#\d+ IN \(([^)]*)\)", plan)
     assert m, plan[:2000]
     assert 0 < len(m.group(1).split(",")) <= len(terms)
+
+
+def test_text_index_append_exactly_once_matches_oneshot(spark, tmp_path):
+    """Incremental lexical ingest ≡ one-shot build, down to BM25 scores:
+    build on a subset, append the rest in two batches, REPLAY one batch
+    (postings must converge via append_once, stats via the marker), and
+    the stored-index query must equal bm25_topk over the whole corpus.
+    A doubled stats row or doubled postings shifts idf/avgdl and breaks
+    the equality."""
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.text import (
+        append_to_text_index,
+        bm25_topk,
+        build_text_index,
+        query_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"spark streams vector number {i} " + "pad token " * (i % 4))
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    )
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    build_text_index(cat, "tx", docs.filter(F.col("doc_id") < 20))
+    b1 = docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 25))
+    b2 = docs.filter(F.col("doc_id") >= 25)
+    append_to_text_index(cat, "tx", b1, batch_id="b1")
+    append_to_text_index(cat, "tx", b2, batch_id="b2")
+    append_to_text_index(cat, "tx", b2, batch_id="b2")  # replay
+    stats = cat.read("tx__stats").first()
+    assert stats["n_docs"] == 30  # not 35 — replay folded once
+    terms = ["spark", "vector"]
+    stored = [tuple(r) for r in query_text_index(cat, "tx", terms, k=10).collect()]
+    fresh = [tuple(r) for r in bm25_topk(docs, terms, k=10).collect()]
+    assert stored == fresh and len(stored) == 10
