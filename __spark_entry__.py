@@ -3839,22 +3839,30 @@ def _ann_cent_lists_ctes() -> str:
 
 
 def _pq_train_ctes(
-    m: int = 4, k: int = 8, iters: int = 2, with_prefix: bool = True
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    with_prefix: bool = True,
+    src: str = "q",
+    slice_pfx: str = "q",
 ) -> str:
     """pq_train mirrored: per subspace j, slice ``qv`` and run the
     unrolled kmeans rounds with suffix ``_s{j}`` — yielding codebooks
     ``c{iters}_s{j}`` (cluster = code, cv = quantized codeword).
     ``with_prefix=False`` omits the leading ``q`` CTE for composition
-    into a statement that already defines it (the IVF-PQ oracle)."""
+    into a statement that already defines it (the IVF-PQ oracle).
+    ``src``/``slice_pfx`` retarget the TRAINING corpus (the append
+    oracle trains codebooks on the base slice only, while encode runs
+    over differently-named full-corpus slices)."""
     parts = [_Q_QUANT_CTE] if with_prefix else []
     for j in range(m):
         parts.append(f"""
-, q_s{j} AS MATERIALIZED (
+, {slice_pfx}_s{j} AS MATERIALIZED (
   SELECT vec_id,
          qv[(len(qv) // {m}) * {j} + 1 : (len(qv) // {m}) * {j + 1}] AS qv
-  FROM q
+  FROM {src}
 )""")
-        parts.append(_kmeans_rounds(f"q_s{j}", f"_s{j}", k, iters))
+        parts.append(_kmeans_rounds(f"{slice_pfx}_s{j}", f"_s{j}", k, iters))
     return "".join(parts)
 
 
@@ -4203,6 +4211,85 @@ JOIN enc_s2 e2 USING (vec_id)
 JOIN enc_s3 e3 USING (vec_id)
 """
 )
+
+
+def q_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest on the PQ-CODED layout: the IVF-PQ index
+    trains on the 80% slice (coarse quantizer AND subspace codebooks),
+    then the held-out 20% folds in WITHOUT retraining — nearest STORED
+    centroid + encode with the STORED codebooks — exactly-once
+    (append_once) including a deliberate replay. Returns the appended
+    vectors' rows from the STORED pqlists; the oracle trains every
+    codebook on the base slice only and encodes the whole corpus
+    against them, so retraining-on-append, a replay-doubled batch, or
+    codebook drift all diverge the hash. The FAISS IVFADC
+    add_with_ids shape (Jégou et al. 2011). Fresh temp catalog —
+    `ivfpq_query` readers still probe the session cache."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.ann_index import (
+        append_to_ann_index,
+        build_ivfpq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = tempfile.mkdtemp(prefix="spark_graft_ivfpqapp_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    cat = Catalog(spark, d)
+    build_ivfpq_index(
+        cat, "ipq", emb.filter(F.col("vec_id") % 5 != 0),
+        n_centroids=8, iters=2, m=4, k_codes=8,
+    )
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    append_to_ann_index(cat, "ipq", batch, batch_id=1)
+    append_to_ann_index(cat, "ipq", batch, batch_id=1)  # replay → one copy
+    return (
+        cat.read("ipq__pqlists")
+        .filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id", "cluster", "code_0", "code_1", "code_2", "code_3")
+    )
+
+
+def _oracle_ivfpq_append() -> str:
+    """IVF-PQ append mirrored: coarse kmeans AND per-subspace codebooks
+    trained on the 80% slice (`q_base`), the WHOLE corpus assigned and
+    encoded against those stored artifacts, batch rows selected — the
+    replay of build_ivfpq_index(subset) + append_to_ann_index(batch).
+    Slice CTEs are split by role: `qb_s{j}` feed training, `q_s{j}`
+    feed encode (full corpus)."""
+    m = 4
+    encode_slices = "".join(
+        f"""
+, q_s{j} AS MATERIALIZED (
+  SELECT vec_id,
+         qv[(len(qv) // {m}) * {j} + 1 : (len(qv) // {m}) * {j + 1}] AS qv
+  FROM q
+)"""
+        for j in range(m)
+    )
+    return (
+        _Q_QUANT_CTE
+        + "\n, q_base AS MATERIALIZED (SELECT * FROM q WHERE vec_id % 5 <> 0)"
+        + _kmeans_rounds("q_base", "", 8, 2)
+        + _ann_cent_lists_ctes()
+        + _pq_train_ctes(with_prefix=False, src="q_base", slice_pfx="qb")
+        + encode_slices
+        + _pq_encode_ctes()
+        + """
+SELECT l.vec_id, l.cluster,
+       e0.code AS code_0, e1.code AS code_1,
+       e2.code AS code_2, e3.code AS code_3
+FROM lists l
+JOIN enc_s0 e0 USING (vec_id)
+JOIN enc_s1 e1 USING (vec_id)
+JOIN enc_s2 e2 USING (vec_id)
+JOIN enc_s3 e3 USING (vec_id)
+WHERE l.vec_id % 5 = 0
+"""
+    )
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-analysis centrality: damped PageRank (3 iterations, top-100)
@@ -9189,6 +9276,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_index_build": q_text_index_build,
     "text_index_query": q_text_index_query,
     "text_index_append": q_text_index_append,
+    "ivfpq_append": q_ivfpq_append,
     "shipping_priority": q_shipping_priority,
     "regional_volume": q_regional_volume,
     "nation_trade_volume": q_nation_trade_volume,
@@ -9462,6 +9550,7 @@ _ORACLES: dict[str, str] = {
     "text_index_build": ORACLE_TEXT_INDEX_BUILD,
     "text_index_query": ORACLE_BM25_TOPK,
     "text_index_append": ORACLE_BM25_TOPK,
+    "ivfpq_append": _oracle_ivfpq_append(),
     "global_row_number": ORACLE_GLOBAL_ROW_NUMBER,
     "train_order": ORACLE_TRAIN_ORDER,
     "trend_slope": ORACLE_TREND_SLOPE,
