@@ -111,14 +111,28 @@ def append_to_ann_index(
 
     Pass ``batch_id`` from an at-least-once caller (foreachBatch): list
     growth then goes through ``catalog.append_once`` and the occupancy
-    update is guarded by a marker in the centroid table's meta, so a
-    replayed batch converges to ONE copy of its rows and ONE count
-    increment (the ``append_to_dedup_index`` contract)."""
+    update is guarded by the compacted applied-batch ledger
+    (``operators/ledger`` — per-prefix high-water marks) in the centroid
+    table's meta, so a replayed batch converges to ONE copy of its rows
+    and ONE count increment (the ``append_to_dedup_index`` contract).
+    The ledger refuses ANY already-applied id, including out-of-order
+    replays of older batches (a single last-batch marker would let
+    those through and silently double-count ``n_vectors`` — the
+    round-6 ADVICE finding)."""
+    from ..operators.ledger import (
+        ledger_add,
+        ledger_load,
+        ledger_meta,
+        ledger_seen,
+    )
+
     cent_table = f"{name}__centroids"
     cent_meta = catalog.read_meta(cent_table) or {}
-    if batch_id is not None and str(
-        cent_meta.get("last_appended_batch")
-    ) == str(batch_id):
+    led = ledger_load(cent_meta)
+    legacy = cent_meta.get("last_appended_batch")  # pre-ledger marker
+    if legacy is not None and not ledger_seen(led, legacy):
+        ledger_add(led, legacy)
+    if batch_id is not None and ledger_seen(led, batch_id):
         return
     cent = _centroid_rel(catalog.read(cent_table))
     base = quantize_embeddings(embeddings).select(
@@ -162,10 +176,14 @@ def append_to_ann_index(
             ),
         )
     )
-    meta = dict(cent_meta)
+    meta = {
+        k: v for k, v in cent_meta.items() if k != "last_appended_batch"
+    }
     if batch_id is not None:
-        meta["last_appended_batch"] = str(batch_id)
-    # the meta marker commits WITH the counts under one pointer flip,
+        ledger_add(led, batch_id)
+    if led["count"] or led["hwm"] or led["recent"]:
+        meta.update(ledger_meta(led))
+    # the ledger commits WITH the counts under one pointer flip,
     # AFTER the (idempotent) list append — a crash anywhere replays to
     # the same final state
     catalog.write(updated, cent_table, meta=meta or None)

@@ -287,6 +287,7 @@ def lsh_recall_stats(
     min_jaccard: float = 0.2,
     n_hashes: int = N_HASHES,
     band_size: int = BAND_SIZE,
+    sample_mod: int = 1,
 ) -> DataFrame:
     """Banding-quality eval: how much of the exact-Jaccard ground truth
     do the MinHash-LSH candidate pairs recover? Returns ONE row
@@ -302,10 +303,22 @@ def lsh_recall_stats(
     (:func:`ngram_jaccard_pairs`), which is quadratic in popular-shingle
     frequency — by nature this is an EVAL operator: at 100 TB you run it
     on a uniform document SAMPLE (recall estimates concentrate fast) and
-    apply the chosen banding corpus-wide. Both pair relations are
-    pair-bounded and referenced twice (own count + intersection), so
-    each is eagerly checkpointed.
+    apply the chosen banding corpus-wide. ``sample_mod`` IS that sample,
+    in code: both sides run on the deterministic slice
+    ``doc_id % sample_mod == 0`` (a pair of sampled docs is a band
+    candidate iff it shares a band bucket — independent of other docs —
+    so banding only the sample yields the identical candidate set on
+    sample pairs), and ``n_sample_docs`` rides in the output row so the
+    measurement records its own scope. The default 1 is the whole
+    corpus (eval-rig scale only). Both pair relations are pair-bounded
+    and referenced twice (own count + intersection), so each is eagerly
+    checkpointed.
     """
+    if sample_mod > 1:
+        documents = documents.filter(F.col("doc_id") % sample_mod == 0)
+    n_sample = documents.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sample_docs")
+    )
     true_pairs = (
         ngram_jaccard_pairs(documents, min_jaccard)
         .select("doc_id_a", "doc_id_b")
@@ -324,7 +337,9 @@ def lsh_recall_stats(
         F.count(F.lit(1)).cast("bigint").alias("n_candidates")
     )
     n_hit = hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
-    return n_true.crossJoin(n_cand).crossJoin(n_hit)
+    return (
+        n_true.crossJoin(n_cand).crossJoin(n_hit).crossJoin(n_sample)
+    )
 
 
 def ngram_containment_pairs(

@@ -1094,16 +1094,24 @@ def build_text_index(catalog, name: str, documents: DataFrame,
             F.pmod(F.xxhash64("term"), F.lit(probe_partitions)),
         )
     )
-    srow = documents.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(tokens())).alias("sum_dl"),
-    ).first()
     catalog.write(
         postings,
         f"{name}__postings",
         partition_by=["term_mod"],
         meta={"probe_partitions": int(probe_partitions)},
     )
+    # Corpus stats derive from the STORED postings — the corpus really
+    # is tokenized once (the docstring's claim; round-7 ADVICE fix):
+    # sum(tf) over all (doc, term) rows IS the total token count, and
+    # n_docs is a tokenization-free count over the source (zero-token
+    # docs carry no postings rows but still count toward n_docs,
+    # exactly as the old second-tokenization pass had it).
+    srow = (
+        catalog.read(f"{name}__postings")
+        .agg(F.sum("tf").alias("sum_dl"))
+        .first()
+    )
+    n_docs = documents.count()
     # Corpus stats live in their OWN one-row versioned table (not the
     # postings meta): incremental ingest must update them per batch, and
     # a one-row versioned rewrite with a marker in ITS meta is the
@@ -1111,7 +1119,7 @@ def build_text_index(catalog, name: str, documents: DataFrame,
     spark = documents.sparkSession
     catalog.write(
         spark.createDataFrame(
-            [(int(srow["n_docs"]), int(srow["sum_dl"]))],
+            [(int(n_docs), int(srow["sum_dl"] or 0))],
             "n_docs long, sum_dl long",
         ),
         f"{name}__stats",
@@ -1214,9 +1222,17 @@ def append_to_text_index(
             postings, f"{name}__postings", batch_id,
             partition_by=["term_mod"],
         )
+    from ..operators.ledger import (
+        LEDGER_META_KEYS,
+        ledger_add,
+        ledger_load,
+        ledger_meta,
+        ledger_seen,
+    )
+
     stats_meta = catalog.read_meta(f"{name}__stats") or {}
-    applied = set(stats_meta.get("applied_batches", []))
-    if batch_id is not None and str(batch_id) in applied:
+    led = ledger_load(stats_meta)
+    if batch_id is not None and ledger_seen(led, batch_id):
         return  # replay arriving after the stats flip: already folded
     srow = catalog.read(f"{name}__stats").first()
     drow = batch.agg(
@@ -1224,9 +1240,17 @@ def append_to_text_index(
         F.sum(F.size(tokens())).alias("sum_dl"),
     ).first()
     spark = batch.sparkSession
-    new_meta = dict(stats_meta)
+    new_meta = {
+        k: v
+        for k, v in stats_meta.items()
+        if k not in LEDGER_META_KEYS and k != "applied_batches"
+    }
     if batch_id is not None:
-        new_meta["applied_batches"] = sorted(applied | {str(batch_id)})
+        ledger_add(led, batch_id)
+    if led["count"] or led["hwm"] or led["recent"]:
+        # ledger state (possibly migrated from a legacy applied_batches
+        # list) rides the new snapshot, even on unguarded appends
+        new_meta.update(ledger_meta(led))
     catalog.write(
         spark.createDataFrame(
             [(

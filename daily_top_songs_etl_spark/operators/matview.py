@@ -6,7 +6,9 @@ a continuously-maintained aggregate state table (operators/incremental)
 plus an APPLIED-BATCH LEDGER for exactly-once semantics: scalar monoid
 state (count/sum) is NOT idempotent under replay (unlike the HLL sketch
 state), so at-least-once delivery needs bookkeeping. The ledger is the
-set of applied batch ids carried in the state snapshot's ``_meta.json``
+compacted applied-batch state (``operators/ledger`` — per-prefix
+high-water marks, constant meta size across any number of batches)
+carried in the state snapshot's ``_meta.json``
 sidecar: a replayed batch is detected and skipped before any state
 mutation, and because the ledger commits INSIDE the same snapshot
 directory the Catalog's single pointer flip makes state + ledger
@@ -24,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import Catalog
 from .incremental import STATE_COLS, agg_state, finalize, merge_states
+from .ledger import ledger_add, ledger_load, ledger_meta, ledger_seen
 
 
 class IncrementalView:
@@ -41,16 +44,17 @@ class IncrementalView:
         self.keys = keys
         self.value_col = value_col
 
-    def applied_batches(self) -> set[str]:
-        meta = self.catalog.read_meta(self.name) or {}
-        return set(meta.get("applied_batches", []))
+    def applied_count(self) -> int:
+        """Total batches ever applied (ledger observability — the ledger
+        itself is compacted to per-prefix high-water marks)."""
+        return ledger_load(self.catalog.read_meta(self.name))["count"]
 
     def refresh(self, batch: DataFrame, batch_id: str) -> bool:
         """Merge one batch into the view state. Returns False (no state
         touched) if ``batch_id`` was already applied — the exactly-once
         guard; True once the new snapshot is committed."""
-        applied = self.applied_batches()
-        if batch_id in applied:
+        led = ledger_load(self.catalog.read_meta(self.name))
+        if ledger_seen(led, batch_id):
             return False
         delta = agg_state(batch, self.keys, self.value_col)
         if self.catalog.exists(self.name):
@@ -65,10 +69,11 @@ class IncrementalView:
         # ledger) current, so replay re-merges onto the true pre-batch
         # state. No window exists where state includes the batch but the
         # ledger doesn't (or vice versa).
+        ledger_add(led, batch_id)
         self.catalog.write(
             merged.select(*self.keys, *STATE_COLS),
             self.name,
-            meta={"applied_batches": sorted(applied | {batch_id})},
+            meta=ledger_meta(led),
         )
         return True
 
@@ -111,9 +116,9 @@ class RetractableView:
         self.keys = keys
         self.value_col = value_col
 
-    def applied_batches(self) -> set[str]:
-        meta = self.catalog.read_meta(self.name) or {}
-        return set(meta.get("applied_batches", []))
+    def applied_count(self) -> int:
+        """Total batches ever applied (see :meth:`IncrementalView.applied_count`)."""
+        return ledger_load(self.catalog.read_meta(self.name))["count"]
 
     def _delta(self, batch: DataFrame, sign: int) -> DataFrame:
         v = F.col(self.value_col).cast("decimal(18,6)")
@@ -130,8 +135,8 @@ class RetractableView:
     ) -> bool:
         """Merge one insert (or, with ``delete=True``, retract) batch.
         Returns False untouched if ``batch_id`` was already applied."""
-        applied = self.applied_batches()
-        if batch_id in applied:
+        led = ledger_load(self.catalog.read_meta(self.name))
+        if ledger_seen(led, batch_id):
             return False
         delta = self._delta(batch, -1 if delete else 1)
         if self.catalog.exists(self.name):
@@ -149,10 +154,11 @@ class RetractableView:
             )
         else:
             merged = delta
+        ledger_add(led, batch_id)
         self.catalog.write(
             merged.select(*self.keys, *RETRACT_STATE_COLS),
             self.name,
-            meta={"applied_batches": sorted(applied | {batch_id})},
+            meta=ledger_meta(led),
         )
         return True
 

@@ -45,10 +45,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _group_sql_type(df: DataFrame, group_col: str) -> str:
-    return df.schema[group_col].dataType.simpleString()
-
-
 def grouped_exact_quantiles(
     df: DataFrame,
     group_col: str,

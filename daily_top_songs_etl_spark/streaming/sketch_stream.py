@@ -81,11 +81,24 @@ def merge_sketch_batch(
 ) -> None:
     """Fold one micro-batch into the persisted sketch state. With a
     ``batch_id``, replays converge to exactly one fold (see module
-    docstring for the ordering argument)."""
+    docstring for the ordering argument). The guard is the compacted
+    applied-batch ledger (``operators/ledger``): any already-applied id
+    is refused, including an out-of-order replay of an OLDER batch —
+    the single last-batch marker this replaces would have let one
+    through and double-counted the (non-idempotent) CMS counters."""
+    from ..operators.ledger import (
+        ledger_add,
+        ledger_load,
+        ledger_meta,
+        ledger_seen,
+    )
+
     meta = catalog.read_meta(f"{name}__cms") or {}
-    if batch_id is not None and str(
-        meta.get("last_merged_batch")
-    ) == str(batch_id):
+    led = ledger_load(meta)
+    legacy = meta.get("last_merged_batch")  # pre-ledger marker
+    if legacy is not None and not ledger_seen(led, legacy):
+        ledger_add(led, legacy)
+    if batch_id is not None and ledger_seen(led, batch_id):
         return
     col = meta["key_col"]
     width, depth, kmv_k = meta["width"], meta["depth"], meta["kmv_k"]
@@ -98,11 +111,12 @@ def merge_sketch_batch(
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
         .localCheckpoint(eager=True)
     )
-    catalog.write(
-        merged_cms,
-        f"{name}__cms",
-        meta={**meta, "last_merged_batch": batch_id},
-    )
+    new_meta = {k: v for k, v in meta.items() if k != "last_merged_batch"}
+    if batch_id is not None:
+        ledger_add(led, batch_id)
+    if led["count"] or led["hwm"] or led["recent"]:
+        new_meta.update(ledger_meta(led))
+    catalog.write(merged_cms, f"{name}__cms", meta=new_meta)
 
 
 def run_sketch_stream(

@@ -745,6 +745,15 @@ def test_lsh_recall_stats_bounds_and_planted_dups(spark):
     assert r.n_hit <= min(r.n_true, r.n_candidates)
     # the 4 clones contribute C(4,2)=6 true pairs, all bandable
     assert r.n_true >= 6 and r.n_hit >= 6
+    assert r.n_sample_docs == 34  # default = whole corpus
+
+    # sample-scoped (the 100 TB posture): doc_id%4==0 keeps 8 of the 30
+    # base docs + clone 100 only — the planted pairs fall outside the
+    # sample, and the output row records its own scope
+    rs = lsh_recall_stats(docs, min_jaccard=0.5, sample_mod=4).collect()[0]
+    assert rs.n_sample_docs == 9
+    assert rs.n_hit <= min(rs.n_true, rs.n_candidates)
+    assert rs.n_true == 0  # lone clone: no surviving planted pair
 
 
 def test_heavy_hitters_exact_recall_and_false_positive_drop(spark):

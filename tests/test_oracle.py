@@ -123,3 +123,93 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
     assert df.columns
+
+
+def test_rows_only_annotation_is_exactly_the_unpaired_set():
+    """rows_only() must name EXACTLY the registry queries without an
+    oracle — no silent drift in either direction (round-6 verdict #5:
+    no query whose verification status is implicit)."""
+    unpaired = set(entrymod.queries()) - set(entrymod.oracle_sql())
+    assert unpaired == set(entrymod.rows_only())
+
+
+def test_rows_only_epsilon_bounds(spark, duck):
+    """Engine-side statistical/invariant bounds for the 5 rows-only
+    queries, at the SAME scale factor the oracle sweep runs (so both
+    the sf0.01 and sf0.1 sweeps exercise them) — the verification these
+    queries carry INSTEAD of a value hash."""
+    from pyspark.sql import functions as F
+
+    qs = entrymod.queries()
+
+    # approx_distinct_users / incremental_distinct: HLL estimate within
+    # 10% of the exact distinct count per event_type (exact from DuckDB)
+    exact = dict(
+        duck.execute(
+            "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    for qname, col in (
+        ("approx_distinct_users", "n_users_approx"),
+        ("incremental_distinct", "approx_n_distinct"),
+    ):
+        got = {r["event_type"]: r[col] for r in qs[qname](spark, SF_DIR).collect()}
+        assert set(got) == set(exact), qname
+        for k, est in got.items():
+            assert abs(est - exact[k]) / exact[k] <= 0.10, (qname, k, est, exact[k])
+
+    # approx_percentile: within 2% of the exact per-group percentile
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    ex = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    for r in qs["approx_percentile"](spark, SF_DIR).collect():
+        e = ex[r["l_returnflag"]]
+        for ap, exv in (
+            (r["p50_approx"], e["p50"]),
+            (r["p95_approx"], e["p95"]),
+            (r["p99_approx"], e["p99"]),
+        ):
+            assert abs(ap - exv) / exv < 0.02, (r["l_returnflag"], ap, exv)
+
+    # text_compress_ratio: one row per document; ratio in (0, 1.2] for
+    # non-empty docs (zlib overhead can exceed 1 only on tiny inputs),
+    # NULL ratio exactly when the doc is empty
+    crows = qs["text_compress_ratio"](spark, SF_DIR).collect()
+    n_docs = duck.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert len(crows) == n_docs
+    for r in crows:
+        if r["n_bytes"] == 0:
+            assert r["compress_ratio"] is None
+        else:
+            assert 0.0 < r["compress_ratio"] <= 1.2, r
+
+    # text_normalize: row-preserving, and IDEMPOTENT — normalizing the
+    # normalized text changes nothing (changed=False on every row of a
+    # second pass)
+    from daily_top_songs_etl_spark.extensions.text import normalize_unicode
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    norm1 = normalize_unicode(docs)
+    assert norm1.count() == n_docs
+    norm2 = normalize_unicode(
+        norm1.select("doc_id", F.col("norm_text").alias("text"))
+    )
+    assert norm2.filter(F.col("changed")).count() == 0
+    # unchanged rows really are byte-identical to their input
+    bad = (
+        norm1.join(docs.select("doc_id", "text"), "doc_id")
+        .filter(
+            (~F.col("changed")) & F.col("text").isNotNull()
+            & (F.col("norm_text") != F.col("text"))
+        )
+        .count()
+    )
+    assert bad == 0

@@ -414,14 +414,14 @@ def test_incremental_view_stream_exactly_once_under_restart(spark, tmp_path):
     view = IncrementalView(cat, "stream_totals", ["k"], "v")
     run_incremental_view_stream(spark, landing, schema, view, ckpt)
     first = {r.k: (r.n_rows, r.sum_value) for r in view.read().collect()}
-    n_applied_first = len(view.applied_batches())
+    n_applied_first = view.applied_count()
 
     # restart drain with NO new data: checkpoint yields zero new batches,
     # state untouched
     run_incremental_view_stream(spark, landing, schema, view, ckpt)
     second = {r.k: (r.n_rows, r.sum_value) for r in view.read().collect()}
     assert second == first
-    assert len(view.applied_batches()) == n_applied_first
+    assert view.applied_count() == n_applied_first
 
     # land NEW files, restart the drain: the checkpoint continues batch
     # numbering past the prior run, so the new data is admitted (a
@@ -431,7 +431,7 @@ def test_incremental_view_stream_exactly_once_under_restart(spark, tmp_path):
     land(4)
     run_incremental_view_stream(spark, landing, schema, view, ckpt)
     third = {r.k: (r.n_rows, r.sum_value) for r in view.read().collect()}
-    assert len(view.applied_batches()) > n_applied_first
+    assert view.applied_count() > n_applied_first
 
     expect = {
         r.k: (r.n_rows, r.sum_value)
