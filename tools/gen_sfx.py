@@ -26,6 +26,15 @@ a 100 TB corpus can take; a scale-safe engine must stay linear on both):
   replication structurally hides the skew they handle. Deterministic
   (no RNG) and referentially intact: folded keys always exist in the
   once-copied dimension tables.
+- ``hot``: like ``grow`` for keys, but skews the INDEX-INGEST surfaces
+  (round-7 verdict #6): replica i>0 documents get ``i`` copies of a
+  fixed four-token hot phrase appended AFTER the rotation, so four
+  terms appear in ~90% of the 10× corpus with huge tf — their
+  ``term_mod`` hash partitions dominate the lexical-index postings (the
+  Zipf-vocabulary shape). Replicas 5..9 embeddings collapse onto one
+  near-constant direction (0.1 + tiny deterministic jitter per
+  (vec_id, dim)), so ~half the corpus lands in one k-means cluster —
+  the hot-inverted-list shape for ANN append. Deterministic, no RNG.
 
 Used for the sf1 spot-bench (BENCH_sf1.json). Document text is
 per-replica character-rotated (10 distinct rotations) in both modes so
@@ -87,11 +96,13 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    if MODE not in ("wide", "grow", "zipf"):
-        raise SystemExit(f"unknown mode {MODE!r}; use wide|grow|zipf")
+    if MODE not in ("wide", "grow", "zipf", "hot"):
+        raise SystemExit(f"unknown mode {MODE!r}; use wide|grow|zipf|hot")
     key_offsets = KEY_OFFSETS_WIDE if MODE == "wide" else KEY_OFFSETS_GROW
     copied = ["nation", "region"] + (
-        ["customer", "part", "supplier"] if MODE in ("grow", "zipf") else []
+        ["customer", "part", "supplier"]
+        if MODE in ("grow", "zipf", "hot")
+        else []
     )
     # zipf fold domains: 0-based contiguous key-space size per FK column.
     fold_k: dict[str, int] = {}
@@ -115,6 +126,19 @@ def main() -> None:
             if tbl == "documents":
                 rot = ALPHA[i:] + ALPHA[:i]
                 df = df.withColumn("text", F.translate("text", ALPHA, rot))
+                if MODE == "hot" and i > 0:
+                    # Zipf vocabulary: four fixed terms land in ~90% of
+                    # the scaled corpus with tf growing by replica — a
+                    # handful of term_mod hash partitions dominate the
+                    # postings (appended AFTER rotation so the hot terms
+                    # are identical corpus-wide).
+                    df = df.withColumn(
+                        "text",
+                        F.concat(
+                            F.col("text"),
+                            F.lit(" " + "zqhot0 zqhot1 zqhot2 zqhot3 " * i),
+                        ),
+                    )
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
@@ -131,7 +155,20 @@ def main() -> None:
     eparts = []
     for i in range(N):
         df = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * OFFSET_UNIT))
-        if i > 0:
+        if MODE == "hot" and i >= N // 2:
+            # hot inverted lists: the upper half of the replicas collapse
+            # onto one near-constant direction (dominant 0.1 in every
+            # dim, deterministic per-(vec_id, dim) jitter keeps vectors
+            # distinct) — after k-means, ~half the corpus shares one
+            # cluster, the worst-case list for ANN append/probe.
+            df = df.withColumn(
+                "embedding",
+                F.expr(
+                    "transform(sequence(1, 64), j -> CAST("
+                    "0.1 + ((vec_id * 7 + j) % 13) * 0.0001 AS FLOAT))"
+                ),
+            )
+        elif i > 0:
             df = df.withColumn(
                 "embedding",
                 F.concat(
