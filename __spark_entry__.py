@@ -1124,6 +1124,61 @@ def q_text_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-index COMPACTION (closes the build/query/append/compact
+    lifecycle, the `dedup_index_compact` counterpart): build on the 80%
+    slice, fold the held-out 20% in as two exactly-once batches (small
+    `batch-{id}-*` files accumulate per term_mod directory), then
+    bin-pack-rewrite the postings ON the partition key and QUERY the
+    compacted index. In-face assert: compaction strictly reduces the
+    postings file count. The oracle is the whole-corpus BM25 SQL
+    (`bm25_topk`'s, reused verbatim) — a compaction that drops or
+    duplicates postings rows, loses the stats table, or breaks the
+    partitioned layout diverges the scores. Fresh temp catalog, never
+    the session cache (`text_index_query` readers still probe it)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.text import (
+        append_to_text_index,
+        build_text_index,
+        compact_text_index,
+        query_text_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="spark_graft_textcmp_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    cat = Catalog(spark, d)
+    build_text_index(
+        cat, "tx", docs.filter(F.col("doc_id") % 5 != 0),
+        probe_partitions=16,
+    )
+    held = docs.filter(F.col("doc_id") % 5 == 0)
+    for i in range(2):
+        append_to_text_index(
+            cat, "tx", held.filter(F.col("doc_id") % 2 == i), batch_id=i
+        )
+
+    def n_parquet(table: str) -> int:
+        return sum(
+            f.endswith(".parquet")
+            for r, _, fs in os.walk(cat.path(table))
+            for f in fs
+        )
+
+    before = n_parquet("tx__postings")
+    compact_text_index(cat, "tx")
+    after = n_parquet("tx__postings")
+    assert after < before, f"compaction grew files: {before} -> {after}"
+    return query_text_index(
+        cat, "tx", ["spark", "vector", "join", "stream"], k=10
+    )
+
+
 def q_text_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 QUERY against the persisted postings (steady state): the
     scan reads only the query terms' hash partitions, the corpus is
@@ -3818,6 +3873,75 @@ def q_vector_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{base_occ.get(c, 0)} + {appended.get(c, 0)} (replay double-count)"
         )
     return out
+
+
+def q_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector DELETION from the persisted ANN index (FAISS
+    ``remove_ids`` / the GDPR-erasure path — the lifecycle face that
+    closes build/query/append/refine/DELETE): build on the full corpus
+    in a fresh temp catalog (never the session cache — `ann_index_query`
+    readers still probe it), delete the vec_id%7==3 slice as an
+    exactly-once batch, REPLAY the delete (must be refused by the
+    applied-batch ledger), and return the surviving lists. Only the
+    touched cluster partitions are rewritten (untouched partitions
+    hardlink into the new snapshot); occupancy decrements by the same
+    O(k) bookkeeping as append — both invariants asserted in-face
+    (occupancy == per-cluster survivor counts; replay changes nothing).
+    The oracle is the one-shot full-corpus assignment minus the deleted
+    slice: a half-applied delete or a double decrement diverges rows or
+    hash. Extension family (no reference analogue)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.ann_index import (
+        build_ann_index,
+        delete_from_ann_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = tempfile.mkdtemp(prefix="spark_graft_anndel_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    cat = Catalog(spark, d)
+    build_ann_index(cat, "idx", emb, n_centroids=8, iters=2)
+    doomed = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    delete_from_ann_index(cat, "idx", doomed, batch_id="d0")
+    occ_after = {
+        r["cluster"]: r["n_vectors"]
+        for r in cat.read("idx__centroids").collect()  # k=8 rows
+    }
+    # replayed delete: refused outright — occupancy must not double-drop
+    delete_from_ann_index(cat, "idx", doomed, batch_id="d0")
+    assert {
+        r["cluster"]: r["n_vectors"]
+        for r in cat.read("idx__centroids").collect()
+    } == occ_after, "replayed delete re-applied (ledger failure)"
+    out = cat.read("idx__lists").select("vec_id", "cluster")
+    survivors = {
+        r["cluster"]: r["n"]
+        for r in out.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for c, n in occ_after.items():
+        assert n == survivors.get(c, 0), (
+            f"cluster {c}: occupancy {n} != survivors {survivors.get(c, 0)}"
+        )
+    return out
+
+
+#: build_ann_index(k=8, iters=2) on the FULL corpus, then remove the
+#: vec_id%7==3 slice: surviving lists are the one-shot assignment minus
+#: the deleted ids (deletion must not move anyone else's cluster).
+def _oracle_ann_index_delete() -> str:
+    return (
+        _kmeans_cte_prefix(8, 2)
+        + _ann_cent_lists_ctes()
+        + """
+SELECT vec_id, cluster FROM lists WHERE vec_id % 7 <> 3
+"""
+    )
 
 
 def _oracle_ann_index_append() -> str:
@@ -8086,11 +8210,19 @@ def _oracle_ann_index_refine() -> str:
     """Base unroll on the 80% slice (c2) ⊕ ONE kmeans round over the
     FULL corpus initialized from c2 — the exact replay of
     refine_ann_index's warm start (L2 argmin, away-from-zero mean
-    rounding), sizes from a final assignment against the refined
-    centroids."""
+    rounding). Sizes are the COSINE assignment against the refined
+    quantized centroids — the occupancy of the STORED lists, which is
+    what n_vectors records since round 7 (truthful-occupancy
+    invariant), not kmeans' L2 training assignment."""
     d2 = (
         "CAST(list_sum(list_transform(generate_series(1, len(q.qv)),"
         " i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT)"
+    )
+    cos = (
+        "round(CAST(list_sum(list_transform(list_zip(q.qv, c.cv),"
+        " s -> s[1] * s[2])) AS DOUBLE)"
+        " / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x))"
+        " AS DOUBLE)) * c.cn), 6)"
     )
     return (
         _Q_QUANT_CTE
@@ -8117,13 +8249,17 @@ def _oracle_ann_index_refine() -> str:
                   ELSE -floor(-(CAST(s AS DOUBLE) / n) + 0.5) END AS BIGINT)
               ORDER BY pos) AS cv
   FROM u_r GROUP BY cluster
+), c_rn AS MATERIALIZED (
+  SELECT cluster, cv,
+         sqrt(CAST(list_sum(list_transform(cv, x -> x * x)) AS DOUBLE)) AS cn
+  FROM c_r
 ), sizes AS (
   SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors FROM (
     SELECT vec_id, cluster FROM (
       SELECT q.vec_id, c.cluster,
              row_number() OVER (PARTITION BY q.vec_id
-                                ORDER BY {d2}, c.cluster) AS rn
-      FROM q CROSS JOIN c_r c
+                                ORDER BY {cos} DESC, c.cluster) AS rn
+      FROM q CROSS JOIN c_rn c
     ) WHERE rn = 1
   ) GROUP BY cluster
 )
@@ -9278,6 +9414,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # relative order kept so build entries stay before their steady-state
     # consumers. Rows-only queries (see rows_only()) remain past slot 50
     # permanently — they can never enter the hash window.
+    # --- new in round 7 (past slot 50 → r8 window candidates) ---
+    "ann_index_delete": q_ann_index_delete,
+    "text_index_compact": q_text_index_compact,
     "vocab_growth": q_vocab_growth,
     "tokenizer_fertility": q_tokenizer_fertility,
     "sim_topk_rerank": q_sim_topk_rerank,
@@ -9626,6 +9765,8 @@ _ORACLES: dict[str, str] = {
     "ann_index_query": ORACLE_ANN_INDEX_QUERY,
     "ann_index_append": _oracle_ann_index_append(),
     "vector_stream_state": _oracle_ann_index_append(),
+    "ann_index_delete": _oracle_ann_index_delete(),
+    "text_index_compact": ORACLE_BM25_TOPK,
     "dedup_index_compact": ORACLE_DEDUP_INDEX_COMPACT,
     "quality_linear": ORACLE_QUALITY_LINEAR,
     "pmi_topk": ORACLE_PMI_TOPK,

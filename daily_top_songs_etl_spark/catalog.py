@@ -237,7 +237,11 @@ class Catalog:
         shutil.rmtree(staging, ignore_errors=True)
 
     def overwrite_partitions(
-        self, df: DataFrame, table: str, touched: list
+        self,
+        df: DataFrame,
+        table: str,
+        touched: list,
+        partition_by: list | None = None,
     ) -> None:
         """Touched-partition-only snapshot: the new version directory
         hardlinks every UNTOUCHED partition's files from the current
@@ -252,12 +256,12 @@ class Catalog:
         ``touched`` — enforced, because a stray row would silently land in
         a partition that was also hardlinked.
         """
-        part_cols = PARTITIONED.get(table)
+        part_cols = partition_by or PARTITIONED.get(table)
         if not part_cols:
             raise ValueError(f"{table} is not partitioned")
         cur = self.path(table)
         if cur is None:
-            self.write(df, table)
+            self.write(df, table, partition_by=part_cols)
             return
         pcol = part_cols[0]
         touched_dirs = {f"{pcol}={v}" for v in touched}
@@ -268,6 +272,12 @@ class Catalog:
         new_v = (self.current_version(table) or 0) + 1
         target = os.path.join(tdir, f"v={new_v}")
         os.makedirs(target)
+        # bookkeeping survives a touched-partition rewrite: the current
+        # snapshot's _meta.json (e.g. append_once's created-by marker)
+        # rides into the new version
+        old_meta = os.path.join(cur, "_meta.json")
+        if os.path.exists(old_meta):
+            shutil.copy(old_meta, os.path.join(target, "_meta.json"))
         for entry in os.listdir(cur):
             src = os.path.join(cur, entry)
             if (

@@ -64,21 +64,38 @@ def build_ann_index(
     id_col: str = "vec_id",
 ) -> None:
     """Fit the coarse quantizer and materialize centroids + inverted
-    lists as catalog tables ``{name}__centroids`` / ``{name}__lists``."""
+    lists as catalog tables ``{name}__centroids`` / ``{name}__lists``.
+
+    The stored ``n_vectors`` is the occupancy of the STORED lists (the
+    quantized-cosine assignment), not kmeans' training assignment — the
+    two can differ by a few boundary vectors, and occupancy must
+    describe the artifact it rides with so the append/delete O(k)
+    bookkeeping stays exactly consistent with actual list contents
+    (round-7 invariant; the delete face asserts it absolutely)."""
     centroids = kmeans_fit(
         embeddings, k=n_centroids, iters=iters, id_col=id_col
     )
-    catalog.write(
-        centroids.select("cluster", "centroid", "n_vectors"),
-        f"{name}__centroids",
-    )
-    cent = _centroid_rel(catalog.read(f"{name}__centroids"))
+    cent = _centroid_rel(centroids)
     base = quantize_embeddings(embeddings).select(
         F.col(id_col).alias("vec_id"),
         F.col("qvec").alias("v"),
         _norm(F.col("qvec")).alias("nv"),
     )
-    lists = _assign_clusters(base, cent)
+    # referenced twice (occupancy + the partitioned write) — pin it
+    lists = _assign_clusters(base, cent).localCheckpoint(eager=True)
+    occ = lists.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    catalog.write(
+        centroids.select("cluster", "centroid")
+        .join(occ, "cluster", "left")
+        .select(
+            "cluster",
+            "centroid",
+            F.coalesce("n_vectors", F.lit(0)).alias("n_vectors"),
+        ),
+        f"{name}__centroids",
+    )
     # The inverted lists are PARTITIONED by cluster, so a probe is a
     # partition-pruned read of ~n_probe/n_centroids of the index — the
     # on-disk analogue of an IVF posting list (query_ann_index collects
@@ -189,6 +206,93 @@ def append_to_ann_index(
     catalog.write(updated, cent_table, meta=meta or None)
 
 
+def delete_from_ann_index(
+    catalog: Catalog,
+    name: str,
+    vec_ids: DataFrame,
+    id_col: str = "vec_id",
+    batch_id: int | str | None = None,
+) -> None:
+    """Remove vectors from the persisted index — the lifecycle face
+    appends have had since round 6 (FAISS ``remove_ids`` semantics,
+    the GDPR-erasure / retention-purge path for a vector store).
+
+    Scale shape: the delete touches ONLY the inverted-list partitions
+    that contain deleted vectors — a semi-join finds the affected
+    clusters (≤ n_centroids, collected as a bounded list), those
+    partitions are anti-joined and rewritten through
+    ``catalog.overwrite_partitions`` (untouched partitions hardlink into
+    the new snapshot: zero data movement), and the occupancy decrement
+    is the same O(k) centroid-table bookkeeping as append. At 100 TB a
+    deletion batch rewrites a handful of cluster directories, never the
+    index.
+
+    Exactly-once: the anti-join rewrite is IDEMPOTENT (deleting
+    already-absent ids is a no-op) and runs first; the non-idempotent
+    occupancy decrement is guarded by the same applied-batch ledger as
+    append, committed with the counts under one pointer flip — the
+    append ordering argument, with the extra property that the
+    decrement counts rows ACTUALLY present at delete time, so even an
+    unguarded replay decrements by zero. Works on both layouts (flat
+    ``__lists`` and PQ ``__pqlists``)."""
+    from ..operators.ledger import (
+        ledger_add,
+        ledger_load,
+        ledger_meta,
+        ledger_seen,
+    )
+
+    cent_table = f"{name}__centroids"
+    cent_meta = catalog.read_meta(cent_table) or {}
+    led = ledger_load(cent_meta)
+    if batch_id is not None and ledger_seen(led, batch_id):
+        return
+    table = (
+        f"{name}__pqlists"
+        if catalog.exists(f"{name}__pqlists")
+        else f"{name}__lists"
+    )
+    ids = vec_ids.select(F.col(id_col).alias("vec_id")).distinct()
+    lists = catalog.read(table)
+    present = lists.join(F.broadcast(ids), "vec_id", "left_semi")
+    # per-cluster deleted counts double as the touched-partition set —
+    # bounded by n_centroids rows, the same O(k) collect as occupancy
+    del_counts = {
+        r["cluster"]: r["__d"]
+        for r in present.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .collect()
+    }
+    if del_counts:
+        touched = sorted(del_counts)
+        survivors = (
+            lists.filter(F.col("cluster").isin(touched))
+            .join(F.broadcast(ids), "vec_id", "left_anti")
+        )
+        catalog.overwrite_partitions(
+            survivors, table, touched, partition_by=["cluster"]
+        )
+    cnt_map = F.create_map(
+        *[F.lit(x) for kv in del_counts.items() for x in kv]
+    ) if del_counts else None
+    cent = catalog.read(cent_table)
+    if cnt_map is not None:
+        cent = cent.select(
+            "cluster",
+            "centroid",
+            (
+                F.col("n_vectors")
+                - F.coalesce(cnt_map[F.col("cluster")], F.lit(0))
+            ).alias("n_vectors"),
+        )
+    meta = {k: v for k, v in cent_meta.items() if k != "last_appended_batch"}
+    if batch_id is not None:
+        ledger_add(led, batch_id)
+    if led["count"] or led["hwm"] or led["recent"]:
+        meta.update(ledger_meta(led))
+    catalog.write(cent, cent_table, meta=meta or None)
+
+
 def query_ann_index(
     catalog: Catalog,
     name: str,
@@ -287,21 +391,37 @@ def build_ivfpq_index(
     centroids = kmeans_fit(
         embeddings, k=n_centroids, iters=iters, id_col=id_col
     )
-    catalog.write(
-        centroids.select("cluster", "centroid", "n_vectors"),
-        f"{name}__centroids",
-    )
     codebook = pq_train(
         embeddings, m=m, k=k_codes, iters=iters, id_col=id_col
     )
     catalog.write(codebook, f"{name}__codebook")
-    cent = _centroid_rel(catalog.read(f"{name}__centroids"))
+    cent = _centroid_rel(centroids)
     base = quantize_embeddings(embeddings).select(
         F.col(id_col).alias("vec_id"),
         F.col("qvec").alias("v"),
         _norm(F.col("qvec")).alias("nv"),
     )
-    assigned = _assign_clusters(base, cent).select("vec_id", "cluster")
+    # referenced twice (occupancy + the codes join) — pin it
+    assigned = (
+        _assign_clusters(base, cent)
+        .select("vec_id", "cluster")
+        .localCheckpoint(eager=True)
+    )
+    # stored occupancy = occupancy of the STORED lists (see
+    # build_ann_index — the delete face asserts this absolutely)
+    occ = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    catalog.write(
+        centroids.select("cluster", "centroid")
+        .join(occ, "cluster", "left")
+        .select(
+            "cluster",
+            "centroid",
+            F.coalesce("n_vectors", F.lit(0)).alias("n_vectors"),
+        ),
+        f"{name}__centroids",
+    )
     codes = pq_encode(
         embeddings, catalog.read(f"{name}__codebook"), m=m, id_col=id_col
     ).withColumnRenamed(id_col, "vec_id")
@@ -486,17 +606,27 @@ def refine_ann_index(
     refined = kmeans_fit(
         embeddings, iters=iters, id_col=id_col, init_centroids=stored
     )
-    catalog.write(
-        refined.select("cluster", "centroid", "n_vectors"),
-        f"{name}__centroids",
-    )
-    cent = _centroid_rel(catalog.read(f"{name}__centroids"))
+    cent = _centroid_rel(refined)
     base = quantize_embeddings(embeddings).select(
         F.col(id_col).alias("vec_id"),
         F.col("qvec").alias("v"),
         _norm(F.col("qvec")).alias("nv"),
     )
-    catalog.write(
-        _assign_clusters(base, cent), f"{name}__lists",
-        partition_by=["cluster"],
+    # referenced twice (occupancy + the partitioned write) — pin it
+    lists = _assign_clusters(base, cent).localCheckpoint(eager=True)
+    occ = lists.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
     )
+    # stored occupancy = occupancy of the STORED lists (see
+    # build_ann_index)
+    catalog.write(
+        refined.select("cluster", "centroid")
+        .join(occ, "cluster", "left")
+        .select(
+            "cluster",
+            "centroid",
+            F.coalesce("n_vectors", F.lit(0)).alias("n_vectors"),
+        ),
+        f"{name}__centroids",
+    )
+    catalog.write(lists, f"{name}__lists", partition_by=["cluster"])

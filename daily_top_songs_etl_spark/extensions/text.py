@@ -1264,6 +1264,43 @@ def append_to_text_index(
     )
 
 
+def compact_text_index(
+    catalog, name: str, target_file_bytes: int = 128 << 20
+) -> None:
+    """Maintenance pass for a long-lived lexical index — the
+    ``compact_dedup_index`` counterpart, completing the
+    build/query/append/compact lifecycle: per-batch ``append_once``
+    growth accumulates small ``batch-{id}-*`` files per ``term_mod``
+    directory, and the per-file open/footer cost eventually dominates a
+    pruned probe. Rewrite the postings as a NEW bin-packed snapshot
+    version, repartitioned ON ``term_mod`` so each partition directory
+    is written by one task (a keyless repartition would spray every
+    directory across all tasks — MORE fragmentation, the
+    compact_dedup_index lesson). The table meta (``probe_partitions``)
+    rides into the new version — a compaction must never silently drop
+    the partitioned-probe layout. The catalog pointer flip is the
+    atomic swap: probes racing the compaction read a consistent older
+    version. The one-row ``__stats`` table needs no compaction."""
+    import math
+    import os
+
+    table = f"{name}__postings"
+    meta = catalog.read_meta(table) or {}
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(catalog.path(table))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    catalog.write(
+        catalog.read(table).repartition(n_files, "term_mod"),
+        table,
+        partition_by=["term_mod"],
+        meta=meta,
+    )
+
+
 def bigram_lm_score(documents: DataFrame) -> DataFrame:
     """Bigram-LM familiarity score: per document, how common its word
     *transitions* are in the corpus — the conditional-context upgrade of

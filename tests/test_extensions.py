@@ -2713,13 +2713,23 @@ def test_refine_ann_index_warm_start(spark, tmp_path):
             "cluster int, centroid array<double>",
         ),
     )
-    got = {r.cluster: (list(r.centroid), r.n_vectors)
-           for r in refined.collect()}
-    exp = {r.cluster: (list(r.centroid), r.n_vectors)
-           for r in want.collect()}
+    got = {r.cluster: list(r.centroid) for r in refined.collect()}
+    exp = {r.cluster: list(r.centroid) for r in want.collect()}
     assert got == exp
+    # n_vectors records the occupancy of the STORED lists (the
+    # quantized-cosine assignment), not kmeans' L2 training assignment —
+    # the round-7 truthful-occupancy invariant the delete face relies on
+    lists = cat.read("idx__lists")
+    occ = {r.cluster: r.n_vectors for r in refined.collect()}
+    surv = {
+        r.cluster: r.n
+        for r in lists.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert occ == {c: surv.get(c, 0) for c in occ}
     # lists were rewritten over the FULL corpus
-    assert cat.read("idx__lists").count() == emb.count()
+    assert lists.count() == emb.count()
     # guard: warm start is a recompute-path feature
     with pytest.raises(ValueError):
         kmeans_fit(emb, iters=1, centroid_state="driver",
@@ -3067,3 +3077,132 @@ def test_extract_features_dispatches_png_and_jpeg(spark):
     assert rows[0].feat == image_features(png)
     assert rows[1].feat == image_features(jpg)
     assert rows[1].feat[0] != rows[0].feat[0]  # different geometries
+
+
+def test_ann_index_delete_lifecycle(spark, tmp_path):
+    """Vector deletion (FAISS remove_ids shape): deleted ids leave the
+    stored lists, untouched cluster partitions are hardlinked (not
+    rewritten), occupancy decrements to exactly the survivor counts,
+    a replayed delete batch is refused, and the query path no longer
+    returns deleted vectors."""
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.ann_index import (
+        build_ann_index,
+        delete_from_ann_index,
+        query_ann_index,
+    )
+
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    cat = Catalog(spark, str(tmp_path / "ann"))
+    build_ann_index(cat, "idx", emb, n_centroids=4, iters=2)
+    n_total = emb.count()
+    doomed = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    n_doomed = doomed.count()
+
+    delete_from_ann_index(cat, "idx", doomed, batch_id="del0")
+    lists = cat.read("idx__lists")
+    assert lists.count() == n_total - n_doomed
+    assert lists.filter(F.col("vec_id") % 7 == 3).count() == 0
+    occ = {r.cluster: r.n_vectors for r in cat.read("idx__centroids").collect()}
+    surv = {
+        r.cluster: r.n
+        for r in lists.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert occ == {c: surv.get(c, 0) for c in occ}
+
+    # replay refused: same snapshot version, same occupancy
+    v_before = cat.current_version("idx__lists")
+    delete_from_ann_index(cat, "idx", doomed, batch_id="del0")
+    assert cat.current_version("idx__lists") == v_before
+    assert {
+        r.cluster: r.n_vectors for r in cat.read("idx__centroids").collect()
+    } == occ
+
+    # queries never see deleted vectors
+    res = query_ann_index(cat, "idx", emb.limit(8), k=5, n_probe=4)
+    assert res.filter(F.col("neighbor_id") % 7 == 3).count() == 0
+
+    # deleting already-absent ids (unguarded) is a clean no-op on counts
+    delete_from_ann_index(cat, "idx", doomed)
+    assert {
+        r.cluster: r.n_vectors for r in cat.read("idx__centroids").collect()
+    } == occ
+
+
+def test_ann_index_delete_pq_layout(spark, tmp_path):
+    """The same deletion path on the PQ-coded layout: codes leave the
+    pqlists, codebook untouched."""
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.ann_index import (
+        build_ivfpq_index,
+        delete_from_ann_index,
+    )
+
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    cat = Catalog(spark, str(tmp_path / "ivfpq"))
+    build_ivfpq_index(cat, "idx", emb, n_centroids=4, iters=2, m=4, k_codes=8)
+    cb = sorted(map(tuple, cat.read("idx__codebook").collect()))
+    doomed = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    delete_from_ann_index(cat, "idx", doomed, batch_id="del0")
+    pql = cat.read("idx__pqlists")
+    assert pql.filter(F.col("vec_id") % 3 == 0).count() == 0
+    assert pql.count() == emb.filter(F.col("vec_id") % 3 != 0).count()
+    assert sorted(map(tuple, cat.read("idx__codebook").collect())) == cb
+    occ = {r.cluster: r.n_vectors for r in cat.read("idx__centroids").collect()}
+    surv = {
+        r.cluster: r.n
+        for r in pql.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert occ == {c: surv.get(c, 0) for c in occ}
+
+
+def test_compact_text_index_preserves_content_and_layout(spark, tmp_path):
+    """Compaction shrinks the per-partition file count without changing
+    query results, the partitioned layout, or the stats/meta."""
+    import os
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.text import (
+        append_to_text_index,
+        build_text_index,
+        compact_text_index,
+        query_text_index,
+    )
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    cat = Catalog(spark, str(tmp_path / "tx"))
+    build_text_index(
+        cat, "tx", docs.filter(F.col("doc_id") % 5 != 0), probe_partitions=8
+    )
+    held = docs.filter(F.col("doc_id") % 5 == 0)
+    for i in range(3):
+        append_to_text_index(
+            cat, "tx", held.filter(F.col("doc_id") % 3 == i), batch_id=i
+        )
+    before_rows = sorted(
+        map(tuple, query_text_index(cat, "tx", ["the", "data"], k=10).collect())
+    )
+    n_before = sum(
+        f.endswith(".parquet")
+        for r, _, fs in os.walk(cat.path("tx__postings"))
+        for f in fs
+    )
+    compact_text_index(cat, "tx")
+    n_after = sum(
+        f.endswith(".parquet")
+        for r, _, fs in os.walk(cat.path("tx__postings"))
+        for f in fs
+    )
+    assert n_after < n_before
+    assert (cat.read_meta("tx__postings") or {}).get("probe_partitions") == 8
+    # partitioned-directory layout survives (pruned probes still work)
+    assert any(
+        e.startswith("term_mod=")
+        for e in os.listdir(cat.path("tx__postings"))
+    )
+    after_rows = sorted(
+        map(tuple, query_text_index(cat, "tx", ["the", "data"], k=10).collect())
+    )
+    assert after_rows == before_rows
