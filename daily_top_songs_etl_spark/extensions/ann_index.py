@@ -228,13 +228,18 @@ def delete_from_ann_index(
     index.
 
     Exactly-once: the anti-join rewrite is IDEMPOTENT (deleting
-    already-absent ids is a no-op) and runs first; the non-idempotent
-    occupancy decrement is guarded by the same applied-batch ledger as
-    append, committed with the counts under one pointer flip — the
-    append ordering argument, with the extra property that the
-    decrement counts rows ACTUALLY present at delete time, so even an
-    unguarded replay decrements by zero. Works on both layouts (flat
-    ``__lists`` and PQ ``__pqlists``)."""
+    already-absent ids is a no-op) and runs first; occupancy is then
+    SET from a recount of the stored survivor lists rather than
+    decremented by delete-time counts (round-7 ADVICE medium: a crash
+    between the lists pointer flip and the centroid write replays with
+    the ids already absent, so a subtractive update would decrement by
+    zero and leave ``n_vectors`` permanently overstated — the recount
+    converges to the stored truth from ANY crash point). The recount
+    groups on the PARTITION column only, so parquet prunes every data
+    column and the pass is footer-metadata-cheap even at full index
+    size. The applied-batch ledger still refuses a replay of a
+    COMPLETED delete batch. Works on both layouts (flat ``__lists``
+    and PQ ``__pqlists``)."""
     from ..operators.ledger import (
         ledger_add,
         ledger_load,
@@ -255,16 +260,13 @@ def delete_from_ann_index(
     ids = vec_ids.select(F.col(id_col).alias("vec_id")).distinct()
     lists = catalog.read(table)
     present = lists.join(F.broadcast(ids), "vec_id", "left_semi")
-    # per-cluster deleted counts double as the touched-partition set —
-    # bounded by n_centroids rows, the same O(k) collect as occupancy
-    del_counts = {
-        r["cluster"]: r["__d"]
-        for r in present.groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("__d"))
-        .collect()
-    }
-    if del_counts:
-        touched = sorted(del_counts)
+    # the touched-partition set — bounded by n_centroids values, the
+    # same O(k) collect as occupancy
+    touched = sorted(
+        r["cluster"]
+        for r in present.select("cluster").distinct().collect()
+    )
+    if touched:
         survivors = (
             lists.filter(F.col("cluster").isin(touched))
             .join(F.broadcast(ids), "vec_id", "left_anti")
@@ -272,19 +274,25 @@ def delete_from_ann_index(
         catalog.overwrite_partitions(
             survivors, table, touched, partition_by=["cluster"]
         )
-    cnt_map = F.create_map(
-        *[F.lit(x) for kv in del_counts.items() for x in kv]
-    ) if del_counts else None
-    cent = catalog.read(cent_table)
-    if cnt_map is not None:
-        cent = cent.select(
+    # idempotent occupancy: recount the STORED lists (post-flip read) —
+    # partition-column-only aggregation, every data column pruned. Runs
+    # even when touched is empty so a crash-replay (ids already gone)
+    # still converges n_vectors to the stored truth.
+    occ = (
+        catalog.read(table)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    cent = (
+        catalog.read(cent_table)
+        .select("cluster", "centroid")
+        .join(F.broadcast(occ), "cluster", "left")
+        .select(
             "cluster",
             "centroid",
-            (
-                F.col("n_vectors")
-                - F.coalesce(cnt_map[F.col("cluster")], F.lit(0))
-            ).alias("n_vectors"),
+            F.coalesce("__n", F.lit(0)).alias("n_vectors"),
         )
+    )
     meta = {k: v for k, v in cent_meta.items() if k != "last_appended_batch"}
     if batch_id is not None:
         ledger_add(led, batch_id)

@@ -724,6 +724,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytearray]:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        # T.81 B.1.1.2: any marker may be preceded by any number of
+        # 0xFF fill bytes — skip them so the fill byte is never read as
+        # the marker code itself (round-7 ADVICE low)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(data):
+            break
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

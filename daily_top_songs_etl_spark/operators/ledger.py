@@ -27,7 +27,15 @@ This module is the standard streaming-sink ledger compaction:
   An id arriving more than ``RECENT_CAP`` behind the newest applied id
   of its prefix is then refused even if it was never applied — the
   bounded-reorder contract (Spark's own streaming commit log keeps only
-  the last epoch, i.e. a reorder window of zero).
+  the last epoch, i.e. a reorder window of zero). Because such a
+  refusal can silently drop a legitimate never-applied batch (round-7
+  ADVICE low), the ledger records where each prefix's mark first
+  JUMPED over (``applied_jumped``: ``{prefix: [lo, hi]}``): a refusal
+  inside that interval is only *contractually* seen, not *provably*
+  applied, and ``ledger_seen`` logs a loud warning for it;
+  :func:`ledger_refusal_kind` exposes the distinction (``"replay"``
+  vs ``"beyond_window"``) for callers that want to raise instead.
+  Outside the jumped interval, seen-ness stays exact and silent.
 - Ids with no numeric suffix cannot be ordered, so they are kept in an
   exact uncompacted list — bounded meta therefore requires
   numerically-suffixed ids, which foreachBatch epoch ids give for free.
@@ -42,10 +50,18 @@ migrated on load (folded into the mark) and dropped on the next write.
 
 from __future__ import annotations
 
+import logging
 import re
 
+_log = logging.getLogger(__name__)
+
 #: meta keys owned by this module — callers must not write them directly
-LEDGER_META_KEYS = ("applied_hwm", "applied_recent", "applied_count")
+LEDGER_META_KEYS = (
+    "applied_hwm",
+    "applied_recent",
+    "applied_count",
+    "applied_jumped",
+)
 
 #: max exactly-tracked out-of-order ids per prefix before the mark jumps
 RECENT_CAP = 64
@@ -66,6 +82,10 @@ def ledger_load(meta: dict | None) -> dict:
         "hwm": {k: int(v) for k, v in (meta.get("applied_hwm") or {}).items()},
         "recent": list(meta.get("applied_recent") or []),
         "count": int(meta.get("applied_count") or 0),
+        "jumped": {
+            k: (int(v[0]), int(v[1]))
+            for k, v in (meta.get("applied_jumped") or {}).items()
+        },
     }
     for bid in meta.get("applied_batches") or []:  # legacy migration
         if not ledger_seen(led, bid):
@@ -75,11 +95,47 @@ def ledger_load(meta: dict | None) -> dict:
 
 def ledger_seen(led: dict, batch_id: object) -> bool:
     """True if ``batch_id`` was already applied (or fell out of the
-    bounded reorder window — refused per the delivery contract)."""
+    bounded reorder window — refused per the delivery contract).
+
+    A refusal inside jumped-over territory is AMBIGUOUS — the id may
+    never have been applied, and the caller will drop its data — so it
+    is logged loudly; see :func:`ledger_refusal_kind`."""
+    kind = ledger_refusal_kind(led, batch_id)
+    if kind == "beyond_window":
+        _log.warning(
+            "ledger refusing batch id %r: it is more than RECENT_CAP=%d "
+            "behind its prefix's newest applied id, so it cannot be "
+            "distinguished from a replay — if this delivery is NOT a "
+            "replay its data is being dropped (the bounded-reorder "
+            "contract requires delivery reorder <= RECENT_CAP)",
+            batch_id,
+            RECENT_CAP,
+        )
+    return kind != "new"
+
+
+def ledger_refusal_kind(led: dict, batch_id: object) -> str:
+    """Classify what ``ledger_seen`` would say about ``batch_id``:
+
+    - ``"new"`` — not seen; the caller should apply it.
+    - ``"replay"`` — PROVABLY applied before (exactly tracked in
+      ``recent``, or at-or-below a mark position reached only by
+      contiguous drains).
+    - ``"beyond_window"`` — refused, but only contractually: the id
+      sits in territory the mark JUMPED over on a ``recent`` overflow,
+      so the ledger cannot prove it was ever applied. Callers with
+      unbounded-reorder sources should treat this as an error.
+    """
+    bid = str(batch_id)
+    if bid in led["recent"]:
+        return "replay"
     p = _parse(batch_id)
-    if p is not None and p[1] <= led["hwm"].get(p[0], -1):
-        return True
-    return str(batch_id) in led["recent"]
+    if p is None or p[1] > led["hwm"].get(p[0], -1):
+        return "new"
+    jumped = led.get("jumped", {}).get(p[0])
+    if jumped is not None and jumped[0] <= p[1] <= jumped[1]:
+        return "beyond_window"
+    return "replay"
 
 
 def _drain(led: dict, pre: str) -> None:
@@ -99,8 +155,14 @@ def _drain(led: dict, pre: str) -> None:
         led["recent"].remove(nums.pop(n))
     if len(nums) > RECENT_CAP:
         # bounded reorder window: jump the mark so only the newest
-        # RECENT_CAP out-of-order ids stay exactly tracked
+        # RECENT_CAP out-of-order ids stay exactly tracked. Record the
+        # jumped-over interval — inside it, "seen" is contractual, not
+        # proof of application (ledger_refusal_kind); applied ids the
+        # jump dropped from recent land inside too (conservative).
         keep = sorted(nums)[-RECENT_CAP:]
+        jumped = led.setdefault("jumped", {})
+        lo, hi = jumped.get(pre, (hwm + 1, hwm))
+        jumped[pre] = (lo, max(hi, keep[0] - 1))
         hwm = keep[0] - 1
         for n in [n for n in nums if n < keep[0]]:
             led["recent"].remove(nums.pop(n))
@@ -132,8 +194,13 @@ def ledger_meta(led: dict) -> dict:
     """The compact meta fields to merge into the snapshot meta dict
     (constant-size under in-order ids; ≤ RECENT_CAP extra entries per
     prefix under bounded reorder)."""
-    return {
+    out = {
         "applied_hwm": dict(led["hwm"]),
         "applied_recent": list(led["recent"]),
         "applied_count": led["count"],
     }
+    if led.get("jumped"):
+        out["applied_jumped"] = {
+            k: [v[0], v[1]] for k, v in led["jumped"].items()
+        }
+    return out

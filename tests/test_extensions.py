@@ -3053,6 +3053,24 @@ def test_decode_jpeg_real_world_420_fixture():
     assert 0.2 < feats[7] < 0.95
 
 
+def test_decode_jpeg_tolerates_fill_bytes_before_markers():
+    """T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+    bytes — a filled stream must decode byte-identically to the
+    unfilled one (round-7 ADVICE low: the fill byte must not be read
+    as the marker code)."""
+    import os
+
+    from daily_top_songs_etl_spark.extensions.multimodal import decode_jpeg
+
+    fixture = os.path.join(
+        os.path.dirname(__file__), "fixtures", "cpython_python_420.jpg"
+    )
+    payload = open(fixture, "rb").read()
+    # inject fill bytes before the first marker after SOI and before EOI
+    filled = payload[:2] + b"\xff\xff\xff" + payload[2:-2] + b"\xff" + payload[-2:]
+    assert decode_jpeg(filled) == decode_jpeg(payload)
+
+
 def test_extract_features_dispatches_png_and_jpeg(spark):
     """fake=False image branch dispatches on container signature: one
     Arrow batch carrying a PNG and a JPEG yields each format's real
@@ -3127,6 +3145,57 @@ def test_ann_index_delete_lifecycle(spark, tmp_path):
     assert {
         r.cluster: r.n_vectors for r in cat.read("idx__centroids").collect()
     } == occ
+
+
+def test_ann_index_delete_crash_replay_converges(spark, tmp_path):
+    """Crash-window convergence (round-7 ADVICE medium): a crash AFTER
+    the lists pointer flip but BEFORE the centroid write leaves
+    occupancy stale; the replayed delete finds the ids already absent,
+    so a subtractive update would decrement by zero — the recount-based
+    update must instead converge n_vectors to the stored survivor
+    counts."""
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.ann_index import (
+        build_ann_index,
+        delete_from_ann_index,
+    )
+
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    cat = Catalog(spark, str(tmp_path / "ann"))
+    build_ann_index(cat, "idx", emb, n_centroids=4, iters=2)
+    doomed = emb.filter(F.col("vec_id") % 5 == 1).select("vec_id")
+
+    # simulate the crash: perform ONLY the lists rewrite (the pointer
+    # flip), leaving the centroid table's n_vectors stale/overstated
+    lists = cat.read("idx__lists")
+    touched = sorted(
+        r.cluster
+        for r in lists.join(doomed, "vec_id", "left_semi")
+        .select("cluster").distinct().collect()
+    )
+    survivors = lists.filter(F.col("cluster").isin(touched)).join(
+        doomed, "vec_id", "left_anti"
+    )
+    cat.overwrite_partitions(
+        survivors, "idx__lists", touched, partition_by=["cluster"]
+    )
+    stale = {
+        r.cluster: r.n_vectors for r in cat.read("idx__centroids").collect()
+    }
+    assert sum(stale.values()) == emb.count()  # overstated pre-replay
+
+    # the replay (ledger never saw del0) must converge, not subtract zero
+    delete_from_ann_index(cat, "idx", doomed, batch_id="del0")
+    occ = {
+        r.cluster: r.n_vectors for r in cat.read("idx__centroids").collect()
+    }
+    surv = {
+        r.cluster: r.n
+        for r in cat.read("idx__lists")
+        .groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert occ == {c: surv.get(c, 0) for c in occ}
+    assert sum(occ.values()) == emb.count() - doomed.count()
 
 
 def test_ann_index_delete_pq_layout(spark, tmp_path):

@@ -97,6 +97,53 @@ def test_ledger_cap_bounds_reorder_window():
     assert not ledger_seen(led, f"b{n + 1}")
 
 
+def test_ledger_beyond_window_refusal_is_loud(caplog):
+    """Round-7 ADVICE low: a never-applied id falling inside the
+    jumped-over interval is still refused (the bounded-reorder
+    contract) but the refusal is distinguishable from a provable
+    replay — ledger_refusal_kind says "beyond_window" and ledger_seen
+    logs a warning — while replays outside the interval stay silent."""
+    import logging
+
+    from daily_top_songs_etl_spark.operators.ledger import (
+        RECENT_CAP,
+        ledger_refusal_kind,
+    )
+
+    # no jump ever (in-order 0-based): every refusal is a clean replay
+    led = ledger_load(None)
+    for i in range(10):
+        ledger_add(led, f"b{i}")
+    assert ledger_refusal_kind(led, "b3") == "replay"
+    assert ledger_refusal_kind(led, "b10") == "new"
+    with caplog.at_level(logging.WARNING):
+        assert ledger_seen(led, "b3")
+    assert not caplog.records
+
+    # force a jump: ids 2..RECENT_CAP+40 with id 0 and 1 never applied
+    led = ledger_load(None)
+    n = RECENT_CAP + 40
+    for i in range(2, n + 1):
+        ledger_add(led, f"b{i}")
+    # never-applied b0/b1 now sit inside the jumped interval: refused,
+    # classified beyond_window, and the refusal logs a warning
+    assert ledger_refusal_kind(led, "b0") == "beyond_window"
+    with caplog.at_level(logging.WARNING):
+        assert ledger_seen(led, "b0")
+        assert ledger_seen(led, "b1")
+    assert sum("ledger refusing" in r.message for r in caplog.records) == 2
+    # replays of genuinely-applied ids above the interval stay exact
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        assert ledger_seen(led, f"b{n}")
+    assert not caplog.records
+    assert ledger_refusal_kind(led, f"b{n}") == "replay"
+    # the interval round-trips through meta serialization
+    led2 = ledger_load(ledger_meta(led))
+    assert ledger_refusal_kind(led2, "b1") == "beyond_window"
+    assert ledger_refusal_kind(led2, f"b{n}") == "replay"
+
+
 def test_ledger_non_numeric_ids_exact():
     led = ledger_load(None)
     ledger_add(led, "bootstrap")
