@@ -1185,18 +1185,14 @@ def compact_dedup_index(
     band_size, probe_partitions) is carried into the new version — a
     compaction must never silently drop the partitioned-probe layout."""
     import math
-    import os
 
     def n_files(table: str) -> int:
         # each table bin-packs against its OWN byte size — the bands
         # layout is ~n_bands× the signatures table, so reusing one
-        # count would leave its files n_bands× over target
-        total = sum(
-            os.path.getsize(os.path.join(r, f))
-            for r, _, fs in os.walk(catalog.path(table))
-            for f in fs
-            if f.endswith(".parquet")
-        )
+        # count would leave its files n_bands× over target. Sizing
+        # goes through the catalog (object-store-safe), never a direct
+        # filesystem walk in operator code.
+        total = sum(catalog.file_sizes(table).values())
         return max(1, math.ceil(total / target_file_bytes))
 
     sig_table = f"{name}__signatures"

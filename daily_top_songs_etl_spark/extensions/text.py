@@ -1284,16 +1284,12 @@ def compact_text_index(
     atomic swap: probes racing the compaction read a consistent older
     version. The one-row ``__stats`` table needs no compaction."""
     import math
-    import os
 
     table = f"{name}__postings"
     meta = catalog.read_meta(table) or {}
-    total = sum(
-        os.path.getsize(os.path.join(r, f))
-        for r, _, fs in os.walk(catalog.path(table))
-        for f in fs
-        if f.endswith(".parquet")
-    )
+    # physical sizing goes through the catalog (object-store-safe),
+    # never a direct filesystem walk in operator code
+    total = sum(catalog.file_sizes(table).values())
     n_files = max(1, math.ceil(total / target_file_bytes))
     catalog.write(
         catalog.read(table).repartition(n_files, "term_mod"),

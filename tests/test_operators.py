@@ -321,6 +321,37 @@ def test_catalog_time_travel(spark, tmp_path):
         cat.read_at("artist", 99)
 
 
+def test_catalog_file_sizes_covers_data_files_only(spark, tmp_path):
+    """file_sizes reports the current snapshot's data files (relative
+    path -> bytes) and excludes sidecars — the abstraction the
+    compactors size through instead of os.walk (round-7 verdict)."""
+    import os
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 4).alias("part")
+    )
+    assert cat.file_sizes("t") == {}  # nonexistent table
+    cat.write(df, "t", partition_by=["part"], meta={"k": 1})
+    sizes = cat.file_sizes("t")
+    assert sizes and all(v > 0 for v in sizes.values())
+    assert all(rel.endswith(".parquet") for rel in sizes)
+    assert {rel.split(os.sep)[0] for rel in sizes} == {
+        f"part={i}" for i in range(4)
+    }
+    # matches a direct walk of the snapshot's parquet payload
+    p = cat.path("t")
+    expect = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(p)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert sum(sizes.values()) == expect
+
+
 def test_clustered_write_produces_disjoint_file_ranges(spark, tmp_path):
     """Every output file covers a non-overlapping l_shipdate range and
     carries parquet min/max stats — the precondition for file skipping."""
