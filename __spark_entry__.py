@@ -591,6 +591,42 @@ WITH tok AS (
 )"""
 
 
+def _sql_shingles_stripped(
+    max_df_ratio: float | None = None, top_k: int | None = None
+) -> str:
+    """``_SQL_SHINGLES`` with the boilerplate strip pre-pass applied:
+    the final ``sh`` CTE excludes corpus-dominant shingles — the
+    df-ratio rule unioned with the deterministic top-k by
+    (df DESC, shingle ASC) — mirroring
+    ``extensions/dedup._shingled_stripped`` so every downstream pair
+    oracle body can be reused verbatim against the stripped stream."""
+    rules = []
+    if max_df_ratio is not None:
+        rules.append(
+            "SELECT shingle FROM s_df\n"
+            f"  WHERE df > {max_df_ratio} * (SELECT n FROM s_nd)"
+        )
+    if top_k is not None:
+        rules.append(
+            "SELECT shingle FROM\n"
+            f"  (SELECT shingle FROM s_df ORDER BY df DESC, shingle"
+            f" LIMIT {top_k})"
+        )
+    hot = "\n  UNION\n  ".join(rules)
+    return (
+        _SQL_SHINGLES.replace("), sh AS (", "), sh0 AS (")
+        + f""", s_nd AS (SELECT count(*) AS n FROM documents),
+s_df AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY 1),
+s_hot AS (
+  {hot}
+),
+sh AS (
+  SELECT doc_id, shingle FROM sh0
+  WHERE shingle NOT IN (SELECT shingle FROM s_hot)
+)"""
+    )
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daily_top_songs_etl_spark.extensions.text import token_stats
 
@@ -7333,6 +7369,153 @@ WHERE greatest(round(CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE), 6),
 
 
 # --------------------------------------------------------------------------
+# Boilerplate strip (round-8): C4-style corpus-dominant-unit removal as a
+# composable pre-pass for the pair-enumeration dedup family. On a
+# boilerplate-heavy corpus near-universal shingles make every document a
+# near-dup of every other, so exact pair enumeration is Θ(n²) BY
+# SEMANTICS — the round-7 hot-shape finding (4 shingles in 90% of docs
+# spilled 79 GB in the naive pair oracle, ORACLE_SFX1_HOT.json).
+# Stripping the dominant set first restores pair density — and pair
+# cost — to the content signal, which is exactly what a production
+# near-dup pass does before shingling a web crawl.
+# --------------------------------------------------------------------------
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate-strip accounting: distinct shingles, shingles
+    surviving the strip, shingles removed as corpus-dominant (df > 50%
+    of docs ∪ the deterministic top-10 by document frequency)."""
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        strip_boilerplate_stats,
+    )
+
+    return strip_boilerplate_stats(
+        _t(spark, sf_dir, "documents"), max_df_ratio=0.5, top_k=10
+    )
+
+
+ORACLE_BOILERPLATE_STRIP = f"""{_SQL_SHINGLES}
+, s_nd AS (SELECT count(*) AS n FROM documents),
+s_df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+s_hot AS (
+  SELECT shingle FROM s_df WHERE df > 0.5 * (SELECT n FROM s_nd)
+  UNION
+  SELECT shingle FROM
+  (SELECT shingle FROM s_df ORDER BY df DESC, shingle LIMIT 10)
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN h.shingle IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(sum(CASE WHEN h.shingle IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_stripped
+FROM sh s LEFT JOIN s_hot h ON s.shingle = h.shingle
+GROUP BY s.doc_id
+"""
+
+
+def q_dedup_jaccard_stripped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs over boilerplate-STRIPPED shingle
+    sets (df > 50% ∪ top-5 removed before sizes, intersections, and
+    the pair join) — the composition that keeps exact pair enumeration
+    content-scoped on boilerplate-heavy corpora."""
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        min_jaccard=0.2,
+        max_df_ratio=0.5,
+        top_k=5,
+    )
+
+
+ORACLE_DEDUP_JACCARD_STRIPPED = (
+    _sql_shingles_stripped(0.5, 5) + ORACLE_DEDUP_JACCARD[len(_SQL_SHINGLES):]
+)
+
+
+def q_dedup_jaccard_lsh_stripped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The scale path with the strip applied to BOTH stages: MinHash
+    signatures (and therefore band candidates) and the exact verify
+    sets are computed over stripped shingles — on a boilerplate-heavy
+    corpus this is what keeps band buckets content-selective instead
+    of funneling the whole corpus through the universal-shingle
+    bands."""
+    from daily_top_songs_etl_spark.extensions.dedup import ngram_jaccard_lsh
+
+    return ngram_jaccard_lsh(
+        _t(spark, sf_dir, "documents"),
+        min_jaccard=0.2,
+        max_df_ratio=0.5,
+        top_k=5,
+    )
+
+
+ORACLE_DEDUP_JACCARD_LSH_STRIPPED = (
+    _sql_shingles_stripped(0.5, 5)
+    + ORACLE_DEDUP_JACCARD_LSH[len(_SQL_SHINGLES):]
+)
+
+
+def q_dedup_containment_stripped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Asymmetric containment over boilerplate-stripped shingle sets —
+    shared boilerplate inflates |A∩B| against the SHORT document's
+    size, so the strip matters even more here than for Jaccard."""
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        ngram_containment_pairs,
+    )
+
+    return ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        min_containment=0.5,
+        max_df_ratio=0.5,
+        top_k=5,
+    )
+
+
+ORACLE_DEDUP_CONTAINMENT_STRIPPED = (
+    _sql_shingles_stripped(0.5, 5)
+    + ORACLE_DEDUP_CONTAINMENT[len(_SQL_SHINGLES):]
+)
+
+
+def q_dedup_simhash_stripped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with corpus-dominant TOKENS stripped
+    before signing (simhash fingerprints tokens, not shingles):
+    near-universal tokens drive every document's bit signs the same
+    way, collapsing fingerprints corpus-wide — the token-domain face
+    of the boilerplate problem. Top-4 by token document frequency,
+    deterministic tie-break."""
+    from daily_top_songs_etl_spark.extensions.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3, top_k=4
+    )
+
+
+ORACLE_DEDUP_SIMHASH_STRIPPED = ORACLE_DEDUP_SIMHASH_PAIRS.replace(
+    "WITH tok AS (",
+    "WITH tok0 AS (",
+).replace(
+    "), hashed AS (",
+    """), t_df AS (
+  SELECT token, count(*) AS df FROM tok0 GROUP BY 1
+), t_hot AS (
+  SELECT token FROM
+  (SELECT token FROM t_df ORDER BY df DESC, token LIMIT 4)
+), tok AS (
+  SELECT doc_id, token FROM tok0
+  WHERE token NOT IN (SELECT token FROM t_hot)
+), hashed AS (""",
+    1,
+)
+
+
+# --------------------------------------------------------------------------
 # Triangle counting (degree-ordered orientation) over part co-occurrence
 # --------------------------------------------------------------------------
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9417,6 +9600,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 7 (past slot 50 → r8 window candidates) ---
     "ann_index_delete": q_ann_index_delete,
     "text_index_compact": q_text_index_compact,
+    # --- new in round 8: boilerplate strip family (the pre-pass that
+    # makes exact pair enumeration content-scoped on boilerplate-heavy
+    # corpora — ORACLE_SFX1_HOT's 79 GB-spill class becomes checkable
+    # with the strip applied) ---
+    "boilerplate_strip": q_boilerplate_strip,
+    "dedup_jaccard_stripped": q_dedup_jaccard_stripped,
+    "dedup_jaccard_lsh_stripped": q_dedup_jaccard_lsh_stripped,
+    "dedup_containment_stripped": q_dedup_containment_stripped,
+    "dedup_simhash_stripped": q_dedup_simhash_stripped,
     "vocab_growth": q_vocab_growth,
     "tokenizer_fertility": q_tokenizer_fertility,
     "sim_topk_rerank": q_sim_topk_rerank,
@@ -9605,6 +9797,11 @@ _ORACLES: dict[str, str] = {
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
+    "boilerplate_strip": ORACLE_BOILERPLATE_STRIP,
+    "dedup_jaccard_stripped": ORACLE_DEDUP_JACCARD_STRIPPED,
+    "dedup_jaccard_lsh_stripped": ORACLE_DEDUP_JACCARD_LSH_STRIPPED,
+    "dedup_containment_stripped": ORACLE_DEDUP_CONTAINMENT_STRIPPED,
+    "dedup_simhash_stripped": ORACLE_DEDUP_SIMHASH_STRIPPED,
     "sim_topk_bruteforce": ORACLE_SIM_TOPK,
     "stream_tumbling_window": ORACLE_TUMBLING,
     "stream_session_window": ORACLE_SESSION,

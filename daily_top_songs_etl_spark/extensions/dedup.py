@@ -82,6 +82,124 @@ def _shingled(documents: DataFrame) -> DataFrame:
     )
 
 
+def _dominant_units(units: DataFrame, documents: DataFrame, unit_col: str,
+                    max_df_ratio: float | None,
+                    top_k: int | None) -> DataFrame:
+    """The corpus-dominant (boilerplate) unit set over a distinct
+    (doc_id, unit) relation: units present in more than ``max_df_ratio``
+    of all documents, unioned with the ``top_k`` by document frequency
+    (ties broken by the unit string — deterministic in any engine).
+    Returns a single-column DataFrame of the dominant units.
+
+    Plan shape: one map-side-combinable groupBy over the unit stream
+    (bounded by vocabulary size, not corpus size); the ratio rule joins
+    a broadcast one-row count; the top-k rule compiles to
+    TakeOrderedAndProject (per-partition k rows, no full sort). The
+    result is boilerplate vocabulary — tiny by definition — so every
+    consumer broadcasts it."""
+    df_rel = units.groupBy(unit_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    out = None
+    if max_df_ratio is not None:
+        n_docs = documents.agg(
+            F.count(F.lit(1)).cast("bigint").alias("__nd")
+        )
+        out = (
+            df_rel.crossJoin(F.broadcast(n_docs))
+            .filter(
+                F.col("df")
+                > F.col("__nd").cast("double") * F.lit(float(max_df_ratio))
+            )
+            .select(unit_col)
+        )
+    if top_k is not None:
+        topk = (
+            df_rel.orderBy(F.col("df").desc(), F.col(unit_col).asc())
+            .limit(int(top_k))
+            .select(unit_col)
+        )
+        out = topk if out is None else out.union(topk).distinct()
+    if out is None:
+        raise ValueError("pass max_df_ratio and/or top_k")
+    return out
+
+
+def dominant_shingles(documents: DataFrame,
+                      max_df_ratio: float | None = None,
+                      top_k: int | None = None) -> DataFrame:
+    """Corpus-dominant shingles — the boilerplate set the strip
+    pre-pass removes before pair generation. On a boilerplate-heavy
+    crawl these are the near-universal header/footer/license shingles
+    that make every document a near-duplicate of every other and blow
+    exact pair enumeration up to Θ(n²) (the round-7 hot-shape finding:
+    4 shingles in 90% of docs made the naive pair oracle spill 79 GB);
+    stripping them first restores near-dup density — and pair cost —
+    to the content signal. C4/CCNet strip boilerplate by line; this
+    corpus has no line structure, so the shingle (and token) domain is
+    the unit."""
+    return _dominant_units(
+        _shingled(documents), documents, "shingle", max_df_ratio, top_k
+    )
+
+
+def dominant_tokens(documents: DataFrame,
+                    max_df_ratio: float | None = None,
+                    top_k: int | None = None) -> DataFrame:
+    """Corpus-dominant tokens — the token-domain analogue of
+    :func:`dominant_shingles` for consumers that fingerprint tokens,
+    not shingles (:func:`simhash`)."""
+    toks = documents.select(
+        "doc_id", F.explode(F.array_distinct(tokens())).alias("token")
+    )
+    return _dominant_units(toks, documents, "token", max_df_ratio, top_k)
+
+
+def _shingled_stripped(documents: DataFrame,
+                       max_df_ratio: float | None,
+                       top_k: int | None) -> DataFrame:
+    """The (doc_id, shingle) stream with dominant shingles removed —
+    the composable pre-pass every pair generator threads through its
+    ``max_df_ratio``/``top_k`` knobs. Identity when both are None.
+
+    The dominant set is recomputed from the stream's own lineage (a
+    second tokenize pass) rather than checkpointing the exploded
+    shingle stream: at 100 TB re-running the CPU is cheaper than
+    materializing the full (doc, shingle) explosion, and the df
+    aggregation itself collapses map-side to vocabulary size."""
+    sh = _shingled(documents)
+    if max_df_ratio is None and top_k is None:
+        return sh
+    hot = _dominant_units(sh, documents, "shingle", max_df_ratio, top_k)
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def strip_boilerplate_stats(documents: DataFrame,
+                            max_df_ratio: float | None = None,
+                            top_k: int | None = None) -> DataFrame:
+    """Per-document effect of the boilerplate strip: how many distinct
+    shingles the document has, how many survive, how many were
+    corpus-dominant. The registered face of the strip pre-pass — the
+    per-doc accounting a pipeline uses to audit how much of each
+    document was boilerplate before committing to a stripped dedup
+    run. Docs with fewer than SHINGLE_N tokens have no shingles and
+    are absent (consistent with every shingle consumer)."""
+    sh = _shingled(documents)
+    hot = _dominant_units(sh, documents, "shingle", max_df_ratio, top_k)
+    flagged = sh.join(
+        F.broadcast(hot.withColumn("__hot", F.lit(1))), "shingle", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(F.when(F.col("__hot").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("__hot").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_stripped"),
+    )
+
+
 def duplicated_span_stats(documents: DataFrame) -> DataFrame:
     """Per-document duplicated-span fraction — the corpus-level
     exact-substring-dedup signal (Lee et al., "Deduplicating Training
@@ -117,15 +235,21 @@ def duplicated_span_stats(documents: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(documents: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+def minhash_signatures(documents: DataFrame, n_hashes: int = N_HASHES,
+                       max_df_ratio: float | None = None,
+                       top_k: int | None = None) -> DataFrame:
     """MinHash signature per document.
 
     Hash family i = md5(i || ' ' || shingle); the signature component is the
     lexicographic MIN hex digest — a valid min-wise permutation family and
     exactly reproducible in any engine with md5 + string MIN. The agg is a
     plain groupBy MIN: map-side partials keep the shuffle tiny.
+
+    ``max_df_ratio``/``top_k`` apply the boilerplate strip pre-pass
+    (:func:`dominant_shingles`) before signing, so signatures measure
+    content similarity, not shared boilerplate.
     """
-    sh = _shingled(documents)
+    sh = _shingled_stripped(documents, max_df_ratio, top_k)
     aggs = [
         F.min(F.md5(F.concat_ws(" ", F.lit(str(i)), F.col("shingle")))).alias(
             f"mh_{i}"
@@ -139,13 +263,19 @@ def minhash_lsh_pairs(
     documents: DataFrame,
     n_hashes: int = N_HASHES,
     band_size: int = BAND_SIZE,
+    max_df_ratio: float | None = None,
+    top_k: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs agreeing on any full band of signature
-    components. Returns (doc_id_a < doc_id_b, n_shared_bands)."""
+    components. Returns (doc_id_a < doc_id_b, n_shared_bands).
+    ``max_df_ratio``/``top_k`` strip boilerplate shingles before
+    signing."""
     # Checkpoint the signatures: the band relation feeds BOTH sides of the
     # candidate self-join, which would otherwise recompute the whole
     # shingle-explode aggregation twice.
-    sig = minhash_signatures(documents, n_hashes).localCheckpoint(eager=False)
+    sig = minhash_signatures(
+        documents, n_hashes, max_df_ratio, top_k
+    ).localCheckpoint(eager=False)
     n_bands = n_hashes // band_size
     # The band id is folded into one 8-byte xxhash64 bucket key, so the
     # self-join shuffles on a single bigint instead of (int, 32-char md5).
@@ -235,7 +365,9 @@ def minhash_lsh_star_edges(
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, min_jaccard: float = 0.2
+    documents: DataFrame, min_jaccard: float = 0.2,
+    max_df_ratio: float | None = None,
+    top_k: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing ≥1 shingle (a semi-join
     pre-filter; at scale, feed LSH candidates instead of the shingle join).
@@ -245,8 +377,15 @@ def ngram_jaccard_pairs(
     The self-join key is xxhash64(shingle) (8 bytes) rather than the raw
     shingle string — same matches modulo 2⁻⁶⁴ collisions, much smaller
     shuffle.
+
+    ``max_df_ratio``/``top_k`` apply the boilerplate strip pre-pass
+    before pair generation: sizes and intersections are computed over
+    the STRIPPED shingle sets, so the jaccard is content similarity.
+    On boilerplate-heavy corpora the strip is also what keeps the
+    shared-shingle self-join from degenerating to Θ(n²) on the
+    near-universal shingles (round-7 hot-shape finding).
     """
-    sh = _shingled(documents).select(
+    sh = _shingled_stripped(documents, max_df_ratio, top_k).select(
         "doc_id", F.xxhash64("shingle").alias("sh")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -343,7 +482,9 @@ def lsh_recall_stats(
 
 
 def ngram_containment_pairs(
-    documents: DataFrame, min_containment: float = 0.5
+    documents: DataFrame, min_containment: float = 0.5,
+    max_df_ratio: float | None = None,
+    top_k: int | None = None,
 ) -> DataFrame:
     """Asymmetric containment dedup (Broder's resemblance companion):
     containment(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|.
@@ -358,8 +499,10 @@ def ngram_containment_pairs(
     shared-shingle self-join keys on xxhash64(shingle); at 100 TB feed
     MinHash-LSH candidates instead (swap the pair source exactly as
     :func:`ngram_jaccard_lsh` does — downstream is unchanged).
+    ``max_df_ratio``/``top_k`` strip boilerplate shingles first (sizes
+    and intersections are over the stripped sets).
     """
-    sh = _shingled(documents).select(
+    sh = _shingled_stripped(documents, max_df_ratio, top_k).select(
         "doc_id", F.xxhash64("shingle").alias("sh")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -411,6 +554,8 @@ def ngram_jaccard_lsh(
     min_jaccard: float = 0.2,
     n_hashes: int = N_HASHES,
     band_size: int = BAND_SIZE,
+    max_df_ratio: float | None = None,
+    top_k: int | None = None,
 ) -> DataFrame:
     """The scale path for n-gram Jaccard: exact Jaccard re-rank restricted
     to MinHash-LSH candidate pairs (docs sharing ≥1 signature band).
@@ -421,11 +566,17 @@ def ngram_jaccard_lsh(
     candidate count scales with true near-duplicate density. Semantics:
     pairs are (LSH candidates) ∩ (jaccard ≥ threshold) — recall < 1 by LSH
     design, precision exact.
+
+    ``max_df_ratio``/``top_k`` apply the boilerplate strip pre-pass to
+    BOTH stages (the signatures the candidates come from AND the exact
+    verify sets) — on boilerplate-heavy corpora this is what keeps the
+    band buckets content-selective instead of funneling the whole
+    corpus through the universal-shingle bands.
     """
-    cand = minhash_lsh_pairs(documents, n_hashes, band_size).select(
-        "doc_id_a", "doc_id_b"
-    )
-    sh = _shingled(documents).select(
+    cand = minhash_lsh_pairs(
+        documents, n_hashes, band_size, max_df_ratio, top_k
+    ).select("doc_id_a", "doc_id_b")
+    sh = _shingled_stripped(documents, max_df_ratio, top_k).select(
         "doc_id", F.xxhash64("shingle").alias("sh")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -535,7 +686,9 @@ def embedding_cosine_pairs(
 
 
 def simhash_pairs(
-    documents: DataFrame, max_hamming: int = 3, n_bits: int = 60
+    documents: DataFrame, max_hamming: int = 3, n_bits: int = 60,
+    max_df_ratio: float | None = None,
+    top_k: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: candidates share at least one of 4
     bands of the fingerprint (pigeonhole: hamming ≤ 3 ⇒ some band is
@@ -554,7 +707,9 @@ def simhash_pairs(
     aggregation; the join (not bucket-local array expansion) is what
     spreads a skewed bucket's pair fan-out across the cluster.
     """
-    sig = simhash(documents, n_bits).localCheckpoint(eager=False)
+    sig = simhash(
+        documents, n_bits, max_df_ratio, top_k
+    ).localCheckpoint(eager=False)
     n_bands = 4
     band_bits = n_bits // n_bands
     mask = (1 << band_bits) - 1
@@ -702,20 +857,32 @@ def connected_components(
     )
 
 
-def simhash(documents: DataFrame, n_bits: int = 16) -> DataFrame:
+def simhash(documents: DataFrame, n_bits: int = 16,
+            max_df_ratio: float | None = None,
+            top_k: int | None = None) -> DataFrame:
     """SimHash over word tokens: bit j of the fingerprint is the sign of the
     sum over tokens of (±1 by bit j of md5(token)).
 
     Bits come from hex nibbles via position-in-alphabet (portable: strpos /
     instr exist everywhere); 16 bits = first 4 nibbles. Integer math only.
+
+    ``max_df_ratio``/``top_k`` strip corpus-dominant TOKENS
+    (:func:`dominant_tokens` — simhash fingerprints tokens, not
+    shingles) before signing: near-universal tokens drive every
+    document's sign pattern the same way, collapsing fingerprints
+    corpus-wide (the round-7 hot-shape failure in the token domain).
     """
     t = F.array_distinct(tokens())
+    exploded = documents.select("doc_id", F.explode(t).alias("token"))
+    if max_df_ratio is not None or top_k is not None:
+        hot = dominant_tokens(documents, max_df_ratio, top_k)
+        exploded = exploded.join(F.broadcast(hot), "token", "left_anti")
     # One hex→integer parse per token (the first n_bits/4 digest chars,
     # big-endian, so bit j of the fingerprint = bit (n_bits-1-j) of v) —
     # bit-identical to per-nibble extraction but one conv + cheap integer
     # shifts instead of n_bits string probes per row. Portable: DuckDB
     # reproduces v with CAST('0x' || substring(md5(...)) AS BIGINT).
-    exploded = documents.select("doc_id", F.explode(t).alias("token")).select(
+    exploded = exploded.select(
         "doc_id",
         F.conv(F.substring(F.md5("token"), 1, n_bits // 4), 16, 10)
         .cast("bigint")

@@ -3097,6 +3097,68 @@ def test_extract_features_dispatches_png_and_jpeg(spark):
     assert rows[1].feat[0] != rows[0].feat[0]  # different geometries
 
 
+def test_boilerplate_strip_changes_pair_semantics(spark):
+    """The C4-style strip pre-pass: docs related ONLY through shared
+    boilerplate stop pairing once the corpus-dominant shingles are
+    stripped, while genuine content near-dups survive with a HIGHER
+    jaccard (the union no longer carries boilerplate)."""
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        dominant_shingles,
+        ngram_jaccard_pairs,
+        strip_boilerplate_stats,
+    )
+
+    boiler = "terms of service apply to all"  # 6 tokens -> 4 shingles
+    rows = [
+        (i, f"{boiler} u{i}a u{i}b u{i}c u{i}d u{i}e") for i in range(6)
+    ]
+    rows.append((10, f"{boiler} real content shared tokens here xtra1"))
+    rows.append((11, f"{boiler} real content shared tokens here xtra2"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    hot = sorted(r[0] for r in dominant_shingles(docs, max_df_ratio=0.5).collect())
+    assert hot == [
+        "apply to all", "of service apply", "service apply to",
+        "terms of service",
+    ]
+    # unstripped: every pair of the 8 docs shares the 4 boilerplate
+    # shingles and clears jaccard 0.2 -> all C(8,2)=28 pairs
+    assert ngram_jaccard_pairs(docs, 0.2).count() == 28
+    # stripped: only the genuine content pair survives, and its jaccard
+    # rose (boilerplate no longer inflates the union)
+    got = ngram_jaccard_pairs(docs, 0.2, max_df_ratio=0.5).collect()
+    assert [(r.doc_id_a, r.doc_id_b) for r in got] == [(10, 11)]
+    assert got[0].jaccard > 0.7
+    # per-doc accounting: every doc lost exactly the 4 boiler shingles
+    stats = strip_boilerplate_stats(docs, max_df_ratio=0.5).collect()
+    assert all(r.n_stripped == 4 for r in stats)
+    assert all(r.n_kept == r.n_shingles - 4 for r in stats)
+
+
+def test_dominant_tokens_strip_dedups_simhash(spark):
+    """Token-domain strip for simhash: docs differing only in dominant
+    tokens collapse to identical fingerprints after the strip; the
+    top-k tie-break on the token string is deterministic."""
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        dominant_tokens,
+        simhash_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "aa x y z"), (1, "bb x y z"), (2, "aa p q r"), (3, "bb p q r")],
+        "doc_id long, text string",
+    )
+    # every token has df=2; the tie-break picks the lexicographic first
+    assert sorted(
+        r[0] for r in dominant_tokens(docs, top_k=2).collect()
+    ) == ["aa", "bb"]
+    got = sorted(
+        (r.doc_id_a, r.doc_id_b)
+        for r in simhash_pairs(docs, max_hamming=0, top_k=2).collect()
+    )
+    assert got == [(0, 1), (2, 3)]
+
+
 def test_ann_index_delete_lifecycle(spark, tmp_path):
     """Vector deletion (FAISS remove_ids shape): deleted ids leave the
     stored lists, untouched cluster partitions are hardlinked (not
