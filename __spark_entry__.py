@@ -9525,46 +9525,82 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- registry head: the first 50 entries are the driver's correctness
     # window (CORRECTNESS_r{N}.json samples exactly these slots in order).
-    # Invariant: every entry here MUST be oracle-paired (_ORACLES key
-    # exists). Round-7 rotation (VERDICT r6 #1): the final verification
-    # residue — the nine round-6 additions that have only builder-sweep
-    # green rows, ordered build-before-consumer so session caches warm in
-    # order (text_index_build < query < append), plus multimodal_features,
-    # whose ONLY driver row ever is the round-1 red (pre-fix array schema;
-    # scalar feat_0..7 since round 2). It sits at slot 50, LAST in the
-    # window, so a canonicalizer incident cannot shadow slots 1-49 (the
-    # round-1 lesson). When this window lands green, EVERY oracle-paired
-    # query in the registry has a driver-verified row — full closure, no
-    # asterisk. The remaining 39 slots are heavy re-verifies: the
-    # exactly-once state faces whose ledgers were rebuilt this round
-    # (sketch_stream_state, matview_refresh, the ANN/PQ/dedup/text index
-    # lifecycle), the three queries carrying unadjudicated head-slot
-    # sweep numbers from r6 (temperature_mixture, dedup_apply_best,
-    # ann_index_append), and the iterative family.
+    # Invariant: every entry here MUST be oracle-paired. Round-8 rotation
+    # (VERDICT r7 #1): the two round-7 lifecycle faces that lack driver
+    # rows (ann_index_delete, text_index_compact — the only 2 of 200
+    # oracle-paired queries without one) right behind the flagship
+    # anchor, then re-verifies weighted toward everything round 8
+    # touched: the full text/ANN/IVF-PQ/dedup index lifecycles (the
+    # shared bounded ledger sits under their append/stream faces; the
+    # ANN delete face now recounts occupancy idempotently; the text
+    # build face derives stats via observe-on-write), the dedup pair
+    # family (every pair generator gained strip knobs this round —
+    # default-off, so these re-verify the identity path), and a 12-slot
+    # band of the reference-surface §2 core. Slots 46-50 are the five
+    # round-8 boilerplate-strip faces — new faces sit LAST in the
+    # window so a canonicalizer incident cannot shadow slots 1-45 (the
+    # round-1 lesson). Ordering keeps build-before-consumer so session
+    # caches warm in order (text/ann/ivfpq/pq/dedup index builds precede
+    # their query/append/refine consumers; the compact and delete faces
+    # construct FRESH temp catalogs and have no such dependency).
     "flagship_delta": q_flagship_delta,
+    "ann_index_delete": q_ann_index_delete,
+    "text_index_compact": q_text_index_compact,
     "text_index_build": q_text_index_build,
     "text_index_query": q_text_index_query,
     "text_index_append": q_text_index_append,
     "vector_stream_state": q_vector_stream_state,
-    "ivfpq_append": q_ivfpq_append,
-    "dedup_index_compact": q_dedup_index_compact,
-    "winsorize": q_winsorize,
-    "matview_retract": q_matview_retract,
-    "dedup_lsh_recall": q_dedup_lsh_recall,
     "sketch_stream_state": q_sketch_stream_state,
     "matview_refresh": q_matview_refresh,
+    "matview_retract": q_matview_retract,
     "ann_index_build": q_ann_index_build,
     "ann_index_query": q_ann_index_query,
     "ann_index_append": q_ann_index_append,
     "ann_index_refine": q_ann_index_refine,
     "ivfpq_index_build": q_ivfpq_index_build,
     "ivfpq_query": q_ivfpq_query,
+    "ivfpq_append": q_ivfpq_append,
     "pq_index_build": q_pq_index_build,
     "pq_encode_apply": q_pq_encode_apply,
     "dedup_index_build": q_dedup_index_build,
     "dedup_index_query": q_dedup_index_query,
-    "temperature_mixture": q_temperature_mixture,
+    "dedup_index_compact": q_dedup_index_compact,
+    "dedup_exact": q_dedup_exact,
+    "dedup_spans": q_dedup_spans,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_minhash_estimate": q_dedup_minhash_estimate,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_jaccard_lsh": q_dedup_jaccard_lsh,
+    "dedup_containment": q_dedup_containment,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_lsh_recall": q_dedup_lsh_recall,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_apply_best": q_dedup_apply_best,
+    "string_agg": q_string_agg,
+    "priority_dedup": q_priority_dedup,
+    "topk_per_group": q_topk_per_group,
+    "merge_patch": q_merge_patch,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "retention": q_retention,
+    "orphan_gc": q_orphan_gc,
+    "json_extract": q_json_extract,
+    "enum_ordinal": q_enum_ordinal,
+    "rank_delta_two_dates": q_rank_delta_two_dates,
+    "window_gap": q_window_gap,
+    "boilerplate_strip": q_boilerplate_strip,
+    "dedup_jaccard_stripped": q_dedup_jaccard_stripped,
+    "dedup_jaccard_lsh_stripped": q_dedup_jaccard_lsh_stripped,
+    "dedup_containment_stripped": q_dedup_containment_stripped,
+    "dedup_simhash_stripped": q_dedup_simhash_stripped,
+    # --- end of driver correctness window (slot 50) ---
+    # Displaced round-7 head and continuation (every entry below has a
+    # driver-verified green row in CORRECTNESS_r01..r07); old relative
+    # order kept so build entries stay before their steady-state
+    # consumers. Rows-only queries (see rows_only()) remain past slot 50
+    # permanently — they can never enter the hash window.
+    "winsorize": q_winsorize,
+    "temperature_mixture": q_temperature_mixture,
     "pagerank": q_pagerank,
     "kmeans": q_kmeans,
     "bpe_train": q_bpe_train,
@@ -9581,7 +9617,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_distinct": q_kmv_distinct,
     "bigram_lm_score": q_bigram_lm_score,
     "bloom_decontaminate": q_bloom_decontaminate,
-    "dedup_containment": q_dedup_containment,
     "leakage_safe_split": q_leakage_safe_split,
     "srp_project": q_srp_project,
     "srp_neighbor_recall": q_srp_neighbor_recall,
@@ -9589,26 +9624,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_at_k": q_ann_recall_at_k,
     "knn_classify": q_knn_classify,
     "hard_negatives": q_hard_negatives,
-    "dedup_clusters": q_dedup_clusters,
     "multimodal_features": q_multimodal_features,
-    # --- end of driver correctness window (slot 50) ---
-    # Displaced round-6 head and continuation (every entry below already
-    # has a driver-verified green row in CORRECTNESS_r01..r06); old
-    # relative order kept so build entries stay before their steady-state
-    # consumers. Rows-only queries (see rows_only()) remain past slot 50
-    # permanently — they can never enter the hash window.
-    # --- new in round 7 (past slot 50 → r8 window candidates) ---
-    "ann_index_delete": q_ann_index_delete,
-    "text_index_compact": q_text_index_compact,
-    # --- new in round 8: boilerplate strip family (the pre-pass that
-    # makes exact pair enumeration content-scoped on boilerplate-heavy
-    # corpora — ORACLE_SFX1_HOT's 79 GB-spill class becomes checkable
-    # with the strip applied) ---
-    "boilerplate_strip": q_boilerplate_strip,
-    "dedup_jaccard_stripped": q_dedup_jaccard_stripped,
-    "dedup_jaccard_lsh_stripped": q_dedup_jaccard_lsh_stripped,
-    "dedup_containment_stripped": q_dedup_containment_stripped,
-    "dedup_simhash_stripped": q_dedup_simhash_stripped,
     "vocab_growth": q_vocab_growth,
     "tokenizer_fertility": q_tokenizer_fertility,
     "sim_topk_rerank": q_sim_topk_rerank,
@@ -9700,7 +9716,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_subspace_assign": q_pq_subspace_assign,
     "pq_codes": q_pq_codes,
     "pq_topk_adc": q_pq_topk,
-    "string_agg": q_string_agg,
     "decontaminate": q_decontaminate,
     "token_freq_score": q_token_freq_score,
     "vocab_build": q_vocab_build,
@@ -9714,29 +9729,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "star_join_agg": q_star_join_agg,
     "profile_columns": q_profile_columns,
     "window_rank_family": q_window_rank_family,
-    "rank_delta_two_dates": q_rank_delta_two_dates,
     "left_join": q_left_join,
-    "anti_join": q_anti_join,
-    "semi_join": q_semi_join,
-    "priority_dedup": q_priority_dedup,
-    "topk_per_group": q_topk_per_group,
-    "retention": q_retention,
-    "orphan_gc": q_orphan_gc,
-    "enum_ordinal": q_enum_ordinal,
-    "window_gap": q_window_gap,
     "pricing_summary": q_pricing_summary,
     "explode": q_explode,
-    "json_extract": q_json_extract,
     "text_token_stats": q_text_token_stats,
     "text_language_id": q_text_language_id,
     "text_quality": q_text_quality,
-    "dedup_exact": q_dedup_exact,
-    "dedup_spans": q_dedup_spans,
     "tfidf_topk": q_tfidf_topk,
-    "dedup_minhash_pairs": q_dedup_minhash_pairs,
-    "dedup_jaccard": q_dedup_jaccard,
     "window_running": q_window_running,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "stream_tumbling_window": q_stream_tumbling_window,
     "percentile_agg": q_percentile_agg,
@@ -9745,14 +9745,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "sim_topk_ivf": q_sim_topk_ivf,
     "asof_join": q_asof_join,
-    "merge_patch": q_merge_patch,
     "rollup_agg": q_rollup_agg,
     "vocab_encode": q_vocab_encode,
     "train_order": q_train_order,
     "setop_intersect": q_setop_intersect,
     "zorder_value": q_zorder_value,
-    "dedup_minhash_estimate": q_dedup_minhash_estimate,
-    "dedup_jaccard_lsh": q_dedup_jaccard_lsh,
     "dedup_simhash": q_dedup_simhash,
     "text_winnow": q_text_winnow,
     "sim_topk_lsh": q_sim_topk_lsh,
