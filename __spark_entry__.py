@@ -1580,6 +1580,67 @@ SELECT * FROM (
 """
 
 
+# Residual-quantized embeddings: _SQL_QUANT with the dominant-direction
+# (common-component) removal applied — the vector-space face of the
+# boilerplate strip. Ends with a CTE named `q`(vec_id, v) so every
+# downstream embedding-pair oracle body is reused verbatim. Arithmetic
+# is exact: bigint component sums, bigint projection dots, then ONE
+# fixed-shape double expression per element re-quantized via
+# floor(x+0.5) (HALF_UP/half-even safe).
+_SQL_QUANT_RESID = """
+WITH q0 AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE)*1000)::BIGINT)
+             AS v
+  FROM embeddings
+), comp AS (
+  SELECT j, SUM(v[j]) AS d
+  FROM q0, unnest(generate_series(1, len(v))) AS u(j)
+  GROUP BY j
+), dvec AS (SELECT list(d ORDER BY j) AS d FROM comp),
+dnorm AS (
+  SELECT CAST(list_sum(list_transform(d, x -> x*x)) AS DOUBLE) AS dd
+  FROM dvec
+), proj AS (
+  SELECT vec_id, v, d, dd,
+         CAST(list_sum(list_transform(list_zip(v, d), t -> t[1]*t[2]))
+              AS DOUBLE) AS p
+  FROM q0, dvec, dnorm
+), q AS (
+  SELECT vec_id,
+         list_transform(list_zip(v, d),
+           s -> CAST(floor(CAST(s[1] AS DOUBLE)
+                           - p * CAST(s[2] AS DOUBLE) / dd
+                           + 0.5) AS BIGINT)) AS v
+  FROM proj
+)"""
+
+
+def q_dedup_cosine_stripped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with the dominant-direction strip: the
+    corpus mean direction (exact bigint sums) is projected out of
+    every vector BEFORE both the SRP buckets and the exact cosine —
+    the vector-space analogue of shingle boilerplate stripping. On the
+    round-7 hot shape (~half the vectors collapsed onto one
+    direction), this is what turns both the bucket join and the pair
+    output from corpus-quadratic back into content-scoped."""
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        embedding_cosine_pairs,
+    )
+
+    return embedding_cosine_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        min_cosine=0.3,
+        n_planes=4,
+        remove_dominant=True,
+    )
+
+
+ORACLE_DEDUP_COSINE_STRIPPED = (
+    _SQL_QUANT_RESID + ORACLE_DEDUP_EMBEDDING_COSINE[len(_SQL_QUANT):]
+)
+
+
 def q_dedup_semantic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding-space) dedup END-TO-END: bucketed cosine
     candidate pairs → connected components → keep one representative per
@@ -9587,18 +9648,19 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_extract": q_json_extract,
     "enum_ordinal": q_enum_ordinal,
     "rank_delta_two_dates": q_rank_delta_two_dates,
-    "window_gap": q_window_gap,
     "boilerplate_strip": q_boilerplate_strip,
     "dedup_jaccard_stripped": q_dedup_jaccard_stripped,
     "dedup_jaccard_lsh_stripped": q_dedup_jaccard_lsh_stripped,
     "dedup_containment_stripped": q_dedup_containment_stripped,
     "dedup_simhash_stripped": q_dedup_simhash_stripped,
+    "dedup_cosine_stripped": q_dedup_cosine_stripped,
     # --- end of driver correctness window (slot 50) ---
     # Displaced round-7 head and continuation (every entry below has a
     # driver-verified green row in CORRECTNESS_r01..r07); old relative
     # order kept so build entries stay before their steady-state
     # consumers. Rows-only queries (see rows_only()) remain past slot 50
     # permanently — they can never enter the hash window.
+    "window_gap": q_window_gap,
     "winsorize": q_winsorize,
     "temperature_mixture": q_temperature_mixture,
     "pagerank": q_pagerank,
@@ -9799,6 +9861,7 @@ _ORACLES: dict[str, str] = {
     "dedup_jaccard_lsh_stripped": ORACLE_DEDUP_JACCARD_LSH_STRIPPED,
     "dedup_containment_stripped": ORACLE_DEDUP_CONTAINMENT_STRIPPED,
     "dedup_simhash_stripped": ORACLE_DEDUP_SIMHASH_STRIPPED,
+    "dedup_cosine_stripped": ORACLE_DEDUP_COSINE_STRIPPED,
     "sim_topk_bruteforce": ORACLE_SIM_TOPK,
     "stream_tumbling_window": ORACLE_TUMBLING,
     "stream_session_window": ORACLE_SESSION,

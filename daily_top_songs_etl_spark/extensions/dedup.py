@@ -624,6 +624,74 @@ def suggested_n_planes(n_rows: int, target_bucket: int = 100) -> int:
     return max(4, math.ceil(math.log2(n_rows / target_bucket)))
 
 
+def remove_dominant_direction(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    out: str = "qvec",
+) -> DataFrame:
+    """Common-component removal for embeddings — the vector-space face
+    of boilerplate stripping (the all-but-the-top / SIF trick, with the
+    corpus MEAN direction as the component estimate): subtract each
+    vector's projection onto the dominant direction so that a corpus
+    where a large fraction of embeddings collapse onto one direction
+    (near-universal template content — the round-7 hot shape, where
+    ~half the vectors were near-parallel and every pair enumeration
+    over them was Θ(n²) by semantics) regains content-scoped cosine
+    structure.
+
+    Cross-engine exact by construction: vectors are quantized to
+    bigint (``QUANT_SCALE``); the direction is the component-wise
+    BIGINT sum over the corpus (order-independent, exact); each
+    vector's projection coefficient is a BIGINT dot; the residual is
+    ONE fixed-shape double expression per element
+    (``floor(q - p·d/|d|² + 0.5)``, identical IEEE ops in any engine —
+    floor(x+0.5) instead of round() to sidestep HALF_UP/half-even
+    divergence) re-quantized to bigint, so every downstream consumer
+    stays on the integer-exact cosine machinery.
+
+    Scale shape: one map-side-combinable component-sum aggregate
+    (``dim`` rows collected — the same bounded driver read as a
+    centroid table), then a single embarrassingly-parallel projection
+    pass; no shuffle, no pairwise work. Returns (``id_col``, ``out``)
+    with ``out`` an ``array<bigint>`` drop-in for
+    ``quantize_embeddings`` output.
+
+    A residual can be exactly zero only for a vector fully explained
+    by the dominant direction (pure template); measured zero
+    occurrences across every test corpus — guard upstream if your
+    corpus can contain bit-exact template embeddings."""
+    from .similarity import _dot, quantize_embeddings
+
+    q = quantize_embeddings(embeddings, col, "q").select(id_col, "q")
+    comp = (
+        q.select(F.posexplode("q").alias("j", "x"))
+        .groupBy("j")
+        .agg(F.sum("x").alias("d"))
+        .collect()
+    )
+    d = [0] * (max(r["j"] for r in comp) + 1)
+    for r in comp:
+        d[r["j"]] = int(r["d"])
+    dd = float(sum(x * x for x in d))
+    if dd == 0.0:
+        return q.withColumnRenamed("q", out)
+    d_arr = F.array(*[F.lit(x).cast("bigint") for x in d])
+    # projection coefficient precomputed as its own column — inside the
+    # zip_with lambda it would re-evaluate the 64-term dot per element
+    proj = q.withColumn("p", _dot(F.col("q"), d_arr).cast("double"))
+    resid = F.zip_with(
+        F.col("q"),
+        d_arr,
+        lambda x, dj: F.floor(
+            x.cast("double")
+            - F.col("p") * dj.cast("double") / F.lit(dd)
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    return proj.select(id_col, resid.alias(out))
+
+
 def embedding_cosine_pairs(
     embeddings: DataFrame,
     min_cosine: float = 0.3,
@@ -631,6 +699,7 @@ def embedding_cosine_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     target_bucket: int = 100,
+    remove_dominant: bool = False,
 ) -> DataFrame:
     """Embedding-based near-duplicate pairs: exact cosine over
     sign-random-projection LSH candidates (same bucket), keeping pairs with
@@ -656,11 +725,20 @@ def embedding_cosine_pairs(
     if n_planes is None:
         n_planes = suggested_n_planes(embeddings.count(), target_bucket)
 
+    # remove_dominant applies the common-component strip BEFORE both the
+    # SRP buckets and the exact cosine — with a dominant direction in
+    # place the bucket join itself degenerates (near-parallel vectors
+    # all land in one bucket), so the strip must precede the hash.
+    src = (
+        remove_dominant_direction(embeddings, id_col)
+        if remove_dominant
+        else quantize_embeddings(embeddings)
+    )
     # Norm computed once per vector BEFORE the self-join (per-pair work is
     # one dot product, not three array aggregations); the relation is
     # checkpointed so the self-join doesn't evaluate the 4×64-term bucket
     # projection twice.
-    base = quantize_embeddings(embeddings).select(
+    base = src.select(
         F.col(id_col).alias("id"),
         F.col("qvec").alias("v"),
         _norm(F.col("qvec")).alias("nrm"),

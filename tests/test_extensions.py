@@ -3135,6 +3135,52 @@ def test_boilerplate_strip_changes_pair_semantics(spark):
     assert all(r.n_kept == r.n_shingles - 4 for r in stats)
 
 
+def test_remove_dominant_direction_breaks_template_clique(spark):
+    """Vector-space boilerplate strip: a corpus where most vectors
+    collapse onto one direction pairs everything with everything at
+    cosine ~1; after projecting out the dominant (mean) direction the
+    template clique dissolves while a genuine near-dup pair — similar
+    in a direction ORTHOGONAL to the template — survives."""
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        embedding_cosine_pairs,
+        remove_dominant_direction,
+    )
+
+    dim = 64
+    n_t = 18
+    rows = []
+    # the hot shape in miniature: most vectors are the template
+    # (0.1 everywhere) plus a small UNIQUE per-vector fingerprint —
+    # pairwise cosine ~1 purely through the shared template
+    for i in range(n_t):
+        v = [0.1] * dim
+        v[2 + i] += 0.05
+        rows.append((i, v))
+    # a genuine near-dup pair in an orthogonal subspace (ids 100, 101)
+    for j, eps in ((100, 0.01), (101, -0.01)):
+        v = [0.0] * dim
+        v[40] = 0.5
+        v[41] = eps
+        rows.append((j, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    plain = embedding_cosine_pairs(emb, min_cosine=0.9, n_planes=4)
+    template_pairs = plain.filter(F.col("id_b") < n_t).count()
+    assert template_pairs == n_t * (n_t - 1) // 2  # the full clique
+
+    stripped = embedding_cosine_pairs(
+        emb, min_cosine=0.9, n_planes=4, remove_dominant=True
+    )
+    got = {(r.id_a, r.id_b) for r in stripped.collect()}
+    assert (100, 101) in got          # genuine pair survives the strip
+    assert not any(b < n_t for _, b in got)  # template clique dissolved
+
+    # residuals stay integer-exact drop-ins for the quantized pipeline
+    res = remove_dominant_direction(emb)
+    assert dict(res.dtypes)["qvec"] == "array<bigint>"
+    assert res.count() == n_t + 2
+
+
 def test_dominant_tokens_strip_dedups_simhash(spark):
     """Token-domain strip for simhash: docs differing only in dominant
     tokens collapse to identical fingerprints after the strip; the
