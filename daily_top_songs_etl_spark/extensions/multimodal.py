@@ -15,9 +15,12 @@ pure-stdlib RIFF/fmt/data parser (:func:`decode_wav`) feeds amplitude
 statistics (:func:`wav_features`). Video decode is REAL for
 uncompressed YUV4MPEG2
 — a pure-stdlib header + FRAME-plane parser (:func:`decode_y4m`) feeds
-luma/motion statistics (:func:`video_features`); compressed VIDEO
-codecs (H.264/VP9 — ffmpeg territory) and progressive/arithmetic JPEG
-are documented out of scope. The
+luma/motion statistics (:func:`video_features`) — AND for AVI/MJPEG
+(:func:`decode_avi_mjpeg`: RIFF chunk walk + the shared baseline-JPEG
+kernel per frame; MJPEG is exactly JPEG-per-frame, so it is the one
+COMPRESSED video container stdlib-only decode honestly covers).
+Inter-frame codecs (H.264/VP9/AV1 — ffmpeg territory) and
+progressive/arithmetic JPEG are documented out of scope. The
 deterministic fake decoder (``fake=True``) remains for engine-portable
 oracle comparison.
 
@@ -434,19 +437,154 @@ def decode_y4m(
     return width, height, fps_num, fps_den, colorspace, frames
 
 
+def encode_avi_mjpeg(
+    width: int,
+    height: int,
+    fps_num: int,
+    fps_den: int,
+    frames: list[bytes],
+    channels: int = 3,
+) -> bytes:
+    """Minimal stdlib AVI/MJPEG writer — each frame is a standalone
+    baseline JPEG (:func:`encode_jpeg`) inside a RIFF 'AVI ' container
+    (hdrl/avih + strl/strh'vids'/strf + movi/00dc chunks) — the
+    fixture / round-trip counterpart of :func:`decode_avi_mjpeg`.
+    ``frames`` are raw interleaved pixel buffers."""
+    jpegs = [encode_jpeg(width, height, channels, f) for f in frames]
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    usec = max(1, round(1_000_000 * fps_den / fps_num))
+    avih = struct.pack(
+        "<14I", usec, 0, 0, 0, len(frames), 0, 1, 0, width, height,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<3I", 0, 0, 0)  # flags, prio/lang, initial frames
+        + struct.pack(
+            # dwScale, dwRate, dwStart, dwLength, dwSuggestedBufferSize,
+            # dwQuality, dwSampleSize — the 56-byte AVISTREAMHEADER
+            "<7I", fps_den, fps_num, 0, len(frames), 0, 0xFFFFFFFF, 0
+        )
+        + struct.pack("<4h", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<I2i2H", 40, width, height, 1, 8 * channels
+    ) + b"MJPG" + struct.pack("<I2i2I", width * height * channels, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi_mjpeg(
+    data: bytes,
+) -> tuple[int, int, int, int, list[tuple[int, bytes]]]:
+    """Pure-stdlib AVI/MJPEG parser: walk the RIFF chunk tree, read the
+    frame rate from the 'vids' stream header (dwRate/dwScale — falling
+    back to avih's dwMicroSecPerFrame), collect the movi '..dc'/'..db'
+    frame chunks, and decode each as a standalone baseline JPEG through
+    the shared :func:`decode_jpeg` kernel. Returns ``(width, height,
+    fps_num, fps_den, frames)`` with each frame ``(channels, pixels)``
+    row-major interleaved; geometry must agree across frames and with
+    the header. MJPEG is the one COMPRESSED video container stdlib-only
+    decode can honestly cover, because it is exactly JPEG-per-frame;
+    inter-frame codecs (H.264/VP9/AV1) remain out of scope. Corrupt
+    input raises ``ValueError`` — fail loudly, never garbage features
+    (the shared decoder contract)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI: bad RIFF signature")
+    fps_num, fps_den = None, None
+    usec = None
+    hdr_w = hdr_h = None
+    jpegs: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal fps_num, fps_den, usec, hdr_w, hdr_h
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body_end = pos + 8 + size
+            if body_end > end:
+                raise ValueError("truncated AVI chunk")
+            if fourcc == b"LIST":
+                walk(buf, pos + 12, body_end)
+            elif fourcc == b"avih" and size >= 40:
+                vals = struct.unpack("<10I", buf[pos + 8 : pos + 48])
+                usec, hdr_w, hdr_h = vals[0], vals[8], vals[9]
+            elif fourcc == b"strh" and size >= 44:
+                if buf[pos + 8 : pos + 12] == b"vids":
+                    scale, rate = struct.unpack(
+                        "<2I", buf[pos + 28 : pos + 36]
+                    )
+                    if rate and scale:
+                        fps_num, fps_den = rate, scale
+            elif fourcc[2:4] in (b"dc", b"db") and size > 0:
+                jpegs.append(buf[pos + 8 : body_end])
+            pos = body_end + (size % 2)  # chunks are word-aligned
+
+    walk(data, 12, len(data))
+    if not jpegs:
+        raise ValueError("AVI stream contains no video frame chunks")
+    if fps_num is None:
+        if not usec:
+            raise ValueError("AVI has neither a vids strh nor avih timing")
+        fps_num, fps_den = 1_000_000, usec
+    frames: list[tuple[int, bytes]] = []
+    width = height = None
+    for j in jpegs:
+        w, h, c, px = decode_jpeg(j)
+        if width is None:
+            width, height = w, h
+        elif (w, h) != (width, height):
+            raise ValueError("AVI MJPEG frames disagree on geometry")
+        frames.append((c, bytes(px)))
+    if hdr_w and hdr_h and (hdr_w, hdr_h) != (width, height):
+        raise ValueError("AVI header geometry disagrees with frame JPEGs")
+    return width, height, fps_num, fps_den, frames
+
+
+def _rgb_luma(channels: int, pixels: bytes) -> bytes:
+    """Rec.601 integer luma from an interleaved frame (grayscale passes
+    through) — exact integer math, deterministic everywhere."""
+    if channels == 1:
+        return pixels
+    return bytes(
+        (299 * pixels[i] + 587 * pixels[i + 1] + 114 * pixels[i + 2] + 500)
+        // 1000
+        for i in range(0, len(pixels), channels)
+    )
+
+
 def video_features(payload: bytes) -> list[float]:
-    """8-dim feature vector from REAL decoded Y4M video (same shape
+    """8-dim feature vector from REAL decoded video (same shape
     contract as :func:`png_features` / :func:`wav_features`): geometry,
     frame count, duration, then luma statistics — mean level, peak,
     mean absolute TEMPORAL difference (a motion-energy proxy: 0 for a
-    static clip), and luma dynamic range. All statistics are exact
-    integer sums over the luma plane before one float division, so the
-    output is deterministic across partitionings."""
+    static clip), and luma dynamic range. Dispatches on the container
+    signature: uncompressed YUV4MPEG2 (:func:`decode_y4m`, luma = the
+    Y plane) or AVI/MJPEG (:func:`decode_avi_mjpeg`, luma via exact
+    Rec.601 integers). All statistics are exact integer sums over the
+    luma plane before one float division, so the output is
+    deterministic across partitionings."""
     import math
 
-    width, height, fps_num, fps_den, _cs, frames = decode_y4m(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        width, height, fps_num, fps_den, dec = decode_avi_mjpeg(payload)
+        luma = [_rgb_luma(c, px) for c, px in dec]
+    else:
+        width, height, fps_num, fps_den, _cs, frames = decode_y4m(payload)
+        n_px = width * height
+        luma = [f[:n_px] for f in frames]  # chroma never enters the stats
     n_px = width * height
-    luma = [f[:n_px] for f in frames]  # chroma never enters the stats
     total = sum(sum(p) for p in luma)
     peak = max(max(p) for p in luma)
     lo = min(min(p) for p in luma)
@@ -457,8 +595,8 @@ def video_features(payload: bytes) -> list[float]:
     return [
         math.log1p(width),
         math.log1p(height),
-        math.log1p(len(frames)),
-        len(frames) * fps_den / fps_num,
+        math.log1p(len(luma)),
+        len(luma) * fps_den / fps_num,
         total / (len(luma) * n_px) / 255.0,
         peak / 255.0,
         motion / n_motion / 255.0,
@@ -1076,9 +1214,10 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     REAL payloads for all three kinds, stdlib-only: PNG and baseline
     JPEG images (:func:`image_features` dispatches on the container
     signature → :func:`decode_png` / :func:`decode_jpeg`), PCM WAV audio
-    (:func:`decode_wav` → :func:`wav_features`), and uncompressed
-    YUV4MPEG2 video (:func:`decode_y4m` → :func:`video_features`).
-    Compressed video codecs (H.264/VP9 — ffmpeg territory) and
+    (:func:`decode_wav` → :func:`wav_features`), and video —
+    uncompressed YUV4MPEG2 or AVI/MJPEG, signature-dispatched inside
+    :func:`video_features` (:func:`decode_y4m` / :func:`decode_avi_mjpeg`).
+    Inter-frame video codecs (H.264/VP9 — ffmpeg territory) and
     progressive/arithmetic JPEG are out of scope; corrupt payloads of
     any kind raise rather than yielding garbage features.
     """

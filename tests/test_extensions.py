@@ -3053,6 +3053,82 @@ def test_decode_jpeg_real_world_420_fixture():
     assert 0.2 < feats[7] < 0.95
 
 
+def test_avi_mjpeg_roundtrip_and_features():
+    """AVI/MJPEG: encode N RGB frames as JPEG-in-RIFF, decode through
+    the shared baseline-JPEG kernel, and check geometry/fps/frame
+    fidelity plus the video_features dispatch (motion > 0 for a moving
+    gradient, 0 duration error, same 8-dim shape as Y4M)."""
+    import math
+
+    import pytest
+
+    from daily_top_songs_etl_spark.extensions.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        video_features,
+    )
+
+    W, H, N = 24, 16, 3
+    frames = []
+    for t in range(N):
+        px = bytearray()
+        for y in range(H):
+            for x in range(W):
+                px += bytes((
+                    (x * 10 + t * 40) % 256, (y * 12) % 256, 128,
+                ))
+        frames.append(bytes(px))
+    avi = encode_avi_mjpeg(W, H, 30, 1, frames)
+    w, h, num, den, dec = decode_avi_mjpeg(avi)
+    assert (w, h, num, den, len(dec)) == (W, H, 30, 1, N)
+    assert all(c == 3 and len(px) == W * H * 3 for c, px in dec)
+    # JPEG is lossy but close: per-pixel error bounded
+    err = max(
+        abs(a - b) for (_, px), org in zip(dec, frames)
+        for a, b in zip(px, org)
+    )
+    assert err < 40
+
+    feats = video_features(avi)
+    assert len(feats) == 8
+    assert feats[2] == math.log1p(N)
+    assert feats[3] == N / 30          # duration from strh dwRate/dwScale
+    assert feats[6] > 0.0              # the gradient moves between frames
+
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(avi[: len(avi) // 2])  # truncated chunk tree
+
+
+def test_extract_features_video_dispatches_y4m_and_mjpeg(spark):
+    """fake=False video branch dispatches on container signature: one
+    batch carrying a Y4M clip and an MJPEG clip yields each container's
+    real features."""
+    from daily_top_songs_etl_spark.extensions.multimodal import (
+        MEDIA_SCHEMA,
+        encode_avi_mjpeg,
+        encode_y4m,
+        extract_features,
+        video_features,
+    )
+
+    W, H = 8, 8
+    y4m = encode_y4m(W, H, [bytes([40] * (W * H * 3 // 2))] * 2,
+                     colorspace="420")
+    gray = [bytes([60] * (W * H)), bytes([200] * (W * H))]
+    avi = encode_avi_mjpeg(W, H, 10, 1, gray, channels=1)
+    meta = {"width": None, "height": None, "sample_rate": None,
+            "n_frames": None, "mime": "video/*"}
+    media = spark.createDataFrame(
+        [(0, "video", y4m, meta), (1, "video", avi, meta)], MEDIA_SCHEMA
+    )
+    rows = {r.media_id: r for r in extract_features(media, fake=False).collect()}
+    assert rows[0].feat == video_features(y4m)
+    assert rows[1].feat == video_features(avi)
+    assert rows[1].feat[6] > 0.3  # big luma jump between the two frames
+
+
 def test_decode_jpeg_tolerates_fill_bytes_before_markers():
     """T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
     bytes — a filled stream must decode byte-identically to the
