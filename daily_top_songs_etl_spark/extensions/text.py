@@ -1237,10 +1237,15 @@ def append_to_text_index(
     if batch_id is not None and ledger_seen(led, batch_id):
         return  # replay arriving after the stats flip: already folded
     srow = catalog.read(f"{name}__stats").first()
-    drow = batch.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(tokens())).alias("sum_dl"),
-    ).first()
+    # batch stats come from the CHECKPOINTED postings (sum(tf) over its
+    # rows IS the batch token count — no third tokenize pass) plus a
+    # tokenization-free count for n_docs (zero-token docs carry no
+    # postings rows but still count), mirroring build_text_index's
+    # observe-on-write contract: stats derive from what was stored.
+    drow = {
+        "n_docs": batch.count(),
+        "sum_dl": postings.agg(F.sum("tf")).first()[0],
+    }
     spark = batch.sparkSession
     new_meta = {
         k: v
