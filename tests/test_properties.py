@@ -461,3 +461,129 @@ def test_append_once_converges_under_crash_at_any_rename(spark, tmp_path):
             crashed,
             got,
         )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 surfaces: ledger refusal-kind soundness; boilerplate-strip
+# reference model
+# ---------------------------------------------------------------------------
+@settings(max_examples=200, deadline=None)
+@given(
+    stream=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 200)),
+        min_size=0,
+        max_size=120,
+    )
+)
+def test_ledger_refusal_kind_sound_against_exact_model(stream):
+    """Pure-Python model equivalence for the compacted ledger under
+    ARBITRARY (unbounded-reorder, duplicate-bearing) delivery:
+
+    - every id ever applied is refused afterwards (no double-apply);
+    - ledger_refusal_kind's claims are SOUND: "replay" only for ids
+      provably applied, "new" only for ids never applied — the
+      ambiguous class ("beyond_window") is the only place the compact
+      representation is allowed to be lossy;
+    - the state survives a meta round-trip;
+    - meta stays bounded regardless of stream length.
+    """
+    import json
+
+    from daily_top_songs_etl_spark.operators.ledger import (
+        RECENT_CAP,
+        ledger_add,
+        ledger_load,
+        ledger_meta,
+        ledger_refusal_kind,
+        ledger_seen,
+    )
+
+    led = ledger_load(None)
+    applied: set[str] = set()
+    for pre, seq in stream:
+        bid = f"{pre}{seq}"
+        if not ledger_seen(led, bid):
+            ledger_add(led, bid)
+            applied.add(bid)
+    for led_probe in (led, ledger_load(ledger_meta(led))):
+        for pre in ("a", "b"):
+            for seq in range(0, 201):
+                bid = f"{pre}{seq}"
+                kind = ledger_refusal_kind(led_probe, bid)
+                if bid in applied:
+                    assert ledger_seen(led_probe, bid), bid
+                    assert kind != "new", (bid, kind)
+                if kind == "replay":
+                    assert bid in applied, bid
+                elif kind == "new":
+                    assert bid not in applied, bid
+    # bounded meta: marks for <=2 prefixes + <=RECENT_CAP ids each
+    assert len(led["recent"]) <= 2 * (RECENT_CAP + 1)
+    assert len(json.dumps(ledger_meta(led))) < 4000
+
+
+@st.composite
+def _tiny_corpus(draw):
+    vocab = ["tok%d" % i for i in range(8)]
+    n_docs = draw(st.integers(min_value=2, max_value=8))
+    docs = []
+    for i in range(n_docs):
+        toks = draw(
+            st.lists(st.sampled_from(vocab), min_size=0, max_size=12)
+        )
+        docs.append((i, " ".join(toks)))
+    return docs
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_tiny_corpus())
+def test_stripped_jaccard_matches_python_reference(spark, docs):
+    """ngram_jaccard_pairs with the strip knobs reproduces a direct
+    Python computation: dominant set = (df > ratio·n_docs) ∪ top-k by
+    (df desc, shingle asc); sizes and intersections over the STRIPPED
+    per-doc shingle sets."""
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    ratio, k, thr = 0.5, 2, 0.2
+
+    def shingle_set(text):
+        toks = text.lower().split()
+        if len(toks) < 3:
+            return set()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: shingle_set(t) for i, t in docs}
+    n = len(docs)
+    df = {}
+    for s in sets.values():
+        for sh in s:
+            df[sh] = df.get(sh, 0) + 1
+    hot = {sh for sh, d in df.items() if d > ratio * n}
+    hot |= set(
+        sh for sh, _ in sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    )
+    stripped = {i: s - hot for i, s in sets.items()}
+    expect = {}
+    ids = sorted(stripped)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(stripped[a] & stripped[b])
+            union = len(stripped[a] | stripped[b])
+            if inter and union and round(inter / union, 6) >= thr:
+                expect[(a, b)] = round(inter / union, 6)
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            sdf, thr, max_df_ratio=ratio, top_k=k
+        ).collect()
+    }
+    assert got == expect
