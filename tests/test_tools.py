@@ -37,5 +37,17 @@ def test_checksum_compare_matches_and_detects_mismatch(spark):
     fewer = "SELECT * FROM (VALUES (1, 'a'), (2, NULL)) t(k, v)"
     assert _checksum_compare(df, con, fewer, 3) is False
 
-    floaty = spark.createDataFrame([(1, 0.5)], ["k", "x"])
-    assert _checksum_compare(floaty, con, "SELECT 1, 0.5", 1) is None
+    # doubles are eligible since round 8: canonicalized on both sides as
+    # CAST(round(x*1e6, 0) AS BIGINT) — every engine face emits
+    # round(x, 6) doubles, so micro-scaling is lossless
+    floaty = spark.createDataFrame([(1, 0.123457), (2, -0.5)], ["k", "x"])
+    f_same = "SELECT * FROM (VALUES (2, -0.5), (1, 0.123457)) t(k, x)"
+    assert _checksum_compare(floaty, con, f_same, 2) is True
+    f_diff = "SELECT * FROM (VALUES (2, -0.5), (1, 0.123458)) t(k, x)"
+    assert _checksum_compare(floaty, con, f_diff, 2) is False
+
+    # dates remain ineligible (stringification differs across engines)
+    import datetime as dt
+
+    datey = spark.createDataFrame([(1, dt.date(2026, 1, 1))], ["k", "d"])
+    assert _checksum_compare(datey, con, "SELECT 1 AS k", 1) is None

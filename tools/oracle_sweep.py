@@ -61,43 +61,66 @@ def _checksum_compare(sdf, con, oracle_sql: str, n_rows: int):
     result: both engines reduce each row to a 60-bit integer (the first
     15 hex digits of md5 over the '|'-joined, name-sorted, N-for-NULL
     stringified columns — the same canonical form the full compare
-    uses) and sum those modulo 10^12; counts and checksum sums must
-    match. Only integral/string outputs are eligible (float/date
-    stringification differs between engines), and only below 8M rows
-    (the modular sum must stay inside BIGINT on the Spark side).
-    Returns True/False, or None if the query is not eligible."""
+    uses) and sum those with EXACT accumulators (decimal(38) on the
+    Spark side, HUGEINT in DuckDB — no row cap needed); counts and
+    checksum sums must match.
+
+    Eligible columns: integral, string, and DOUBLE — doubles are
+    canonicalized as CAST(round(x*1e6, 0) AS BIGINT) on BOTH sides
+    (every engine face emits round(x, 6) doubles by convention, so the
+    micro-scaling is lossless; the never-exactly-.5 argument: a
+    round(,6) value times 1e6 is integral up to representation epsilon,
+    so the final round never lands on a half). Dates/timestamps remain
+    ineligible (stringification differs). Returns True/False, or None
+    if the query is not eligible."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     ok_types = (
         T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType,
+        T.DoubleType, T.FloatType,
     )
-    if n_rows > 8_000_000 or not all(
+    if not all(
         isinstance(f.dataType, ok_types) for f in sdf.schema.fields
     ):
         return None
     cols = sorted(sdf.columns)
-    parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit("N")) for c in cols
-    ]
+    fdict = {f.name: f.dataType for f in sdf.schema.fields}
+
+    def scanon(c):
+        if isinstance(fdict[c], (T.DoubleType, T.FloatType)):
+            return F.round(F.col(c).cast("double") * 1e6, 0).cast(
+                "bigint"
+            ).cast("string")
+        return F.col(c).cast("string")
+
+    parts = [F.coalesce(scanon(c), F.lit("N")) for c in cols]
     h = (
         F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 15), 16, 10)
         .cast("bigint") % F.lit(1_000_000_000_000)
     )
     srow = sdf.select(h.alias("h")).agg(
-        F.count(F.lit(1)).alias("n"), F.sum("h").alias("s")
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
     ).first()
-    dparts = ", ".join(
-        f"coalesce(CAST({c} AS VARCHAR), 'N')" for c in cols
-    )
+
+    def dcanon(c):
+        if isinstance(fdict[c], (T.DoubleType, T.FloatType)):
+            return (
+                f"CAST(CAST(round(CAST({c} AS DOUBLE)*1e6, 0) AS BIGINT)"
+                f" AS VARCHAR)"
+            )
+        return f"CAST({c} AS VARCHAR)"
+
+    dparts = ", ".join(f"coalesce({dcanon(c)}, 'N')" for c in cols)
     drow = con.execute(
         f"SELECT CAST(count(*) AS BIGINT), "
         f"CAST(sum(CAST(concat('0x', substring(md5(rowstr), 1, 15)) "
-        f"AS BIGINT) % 1000000000000) AS BIGINT) "
+        f"AS BIGINT) % 1000000000000) AS HUGEINT) "
         f"FROM (SELECT concat_ws('|', {dparts}) AS rowstr "
         f"FROM ({oracle_sql})) _q"
     ).fetchone()
-    return (srow["n"], srow["s"]) == (drow[0], drow[1])
+    return (int(srow["n"]), int(srow["s"])) == (int(drow[0]), int(drow[1]))
 
 
 def main() -> int:
