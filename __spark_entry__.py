@@ -1580,6 +1580,73 @@ SELECT * FROM (
 """
 
 
+def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate benchmark decontamination: train docs (even ids)
+    that are MinHash-LSH candidates of an eval doc (odd ids) AND clear
+    exact shingle-Jaccard ≥ 0.2 — the fuzzy upgrade of the exact
+    n-gram `decontaminate` rule, catching reworded eval items. Emits
+    the drop list with evidence (matches + max jaccard)."""
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        fuzzy_decontaminate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return fuzzy_decontaminate(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        min_jaccard=0.2,
+    )
+
+
+_BAND_SELECTS_C = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(mh_{2*b} || '|' || mh_{2*b+1})"
+    f" AS bucket FROM c_sig"
+    for b in range(4)
+)
+_BAND_SELECTS_B = _BAND_SELECTS_C.replace("FROM c_sig", "FROM b_sig")
+
+ORACLE_FUZZY_DECONTAMINATE = f"""{_SQL_SHINGLES}
+, c_sh AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+b_sh AS (SELECT * FROM sh WHERE doc_id % 2 = 1),
+c_sig AS (
+  SELECT doc_id,
+         {_SIG_COLS}
+  FROM c_sh GROUP BY doc_id
+), b_sig AS (
+  SELECT doc_id,
+         {_SIG_COLS}
+  FROM b_sh GROUP BY doc_id
+), c_bands AS (
+  {_BAND_SELECTS_C}
+), b_bands AS (
+  {_BAND_SELECTS_B}
+), cand AS (
+  SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid
+  FROM c_bands c
+  JOIN b_bands b ON c.band = b.band AND c.bucket = b.bucket
+), c_sizes AS (SELECT doc_id, count(*) AS n FROM c_sh GROUP BY doc_id),
+b_sizes AS (SELECT doc_id, count(*) AS n FROM b_sh GROUP BY doc_id),
+inter AS (
+  SELECT cand.cid, cand.bid, CAST(count(*) AS BIGINT) AS nc
+  FROM cand
+  JOIN c_sh a ON a.doc_id = cand.cid
+  JOIN b_sh bb ON bb.doc_id = cand.bid AND bb.shingle = a.shingle
+  GROUP BY 1, 2
+), jac AS (
+  SELECT cid, bid,
+         round(CAST(nc AS DOUBLE)
+               / CAST(sc.n + sb.n - nc AS DOUBLE), 6) AS j
+  FROM inter
+  JOIN c_sizes sc ON sc.doc_id = cid
+  JOIN b_sizes sb ON sb.doc_id = bid
+)
+SELECT cid AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_eval_matches,
+       max(j) AS max_jaccard
+FROM jac WHERE j >= 0.2 GROUP BY cid
+"""
+
+
 # Residual-quantized embeddings: _SQL_QUANT with the dominant-direction
 # (common-component) removal applied — the vector-space face of the
 # boilerplate strip. Ends with a CTE named `q`(vec_id, v) so every
@@ -9655,6 +9722,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_stripped": q_dedup_simhash_stripped,
     "dedup_cosine_stripped": q_dedup_cosine_stripped,
     # --- end of driver correctness window (slot 50) ---
+    # --- new in round 8, past slot 50 (r9 window candidate) ---
+    "fuzzy_decontaminate": q_fuzzy_decontaminate,
     # Displaced round-7 head and continuation (every entry below has a
     # driver-verified green row in CORRECTNESS_r01..r07); old relative
     # order kept so build entries stay before their steady-state
@@ -9862,6 +9931,7 @@ _ORACLES: dict[str, str] = {
     "dedup_containment_stripped": ORACLE_DEDUP_CONTAINMENT_STRIPPED,
     "dedup_simhash_stripped": ORACLE_DEDUP_SIMHASH_STRIPPED,
     "dedup_cosine_stripped": ORACLE_DEDUP_COSINE_STRIPPED,
+    "fuzzy_decontaminate": ORACLE_FUZZY_DECONTAMINATE,
     "sim_topk_bruteforce": ORACLE_SIM_TOPK,
     "stream_tumbling_window": ORACLE_TUMBLING,
     "stream_session_window": ORACLE_SESSION,

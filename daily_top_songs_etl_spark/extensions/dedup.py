@@ -157,10 +157,14 @@ def dominant_tokens(documents: DataFrame,
 
 def _shingled_stripped(documents: DataFrame,
                        max_df_ratio: float | None,
-                       top_k: int | None) -> DataFrame:
+                       top_k: int | None,
+                       hot: DataFrame | None = None) -> DataFrame:
     """The (doc_id, shingle) stream with dominant shingles removed —
     the composable pre-pass every pair generator threads through its
     ``max_df_ratio``/``top_k`` knobs. Identity when both are None.
+    ``hot`` overrides the dominant set (cross-corpus consumers like
+    :func:`fuzzy_decontaminate` must strip BOTH sides with the SAME
+    set or their signatures stop being comparable).
 
     The dominant set is recomputed from the stream's own lineage (a
     second tokenize pass) rather than checkpointing the exploded
@@ -168,9 +172,10 @@ def _shingled_stripped(documents: DataFrame,
     materializing the full (doc, shingle) explosion, and the df
     aggregation itself collapses map-side to vocabulary size."""
     sh = _shingled(documents)
-    if max_df_ratio is None and top_k is None:
-        return sh
-    hot = _dominant_units(sh, documents, "shingle", max_df_ratio, top_k)
+    if hot is None:
+        if max_df_ratio is None and top_k is None:
+            return sh
+        hot = _dominant_units(sh, documents, "shingle", max_df_ratio, top_k)
     return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
@@ -237,7 +242,8 @@ def duplicated_span_stats(documents: DataFrame) -> DataFrame:
 
 def minhash_signatures(documents: DataFrame, n_hashes: int = N_HASHES,
                        max_df_ratio: float | None = None,
-                       top_k: int | None = None) -> DataFrame:
+                       top_k: int | None = None,
+                       hot: DataFrame | None = None) -> DataFrame:
     """MinHash signature per document.
 
     Hash family i = md5(i || ' ' || shingle); the signature component is the
@@ -249,7 +255,7 @@ def minhash_signatures(documents: DataFrame, n_hashes: int = N_HASHES,
     (:func:`dominant_shingles`) before signing, so signatures measure
     content similarity, not shared boilerplate.
     """
-    sh = _shingled_stripped(documents, max_df_ratio, top_k)
+    sh = _shingled_stripped(documents, max_df_ratio, top_k, hot)
     aggs = [
         F.min(F.md5(F.concat_ws(" ", F.lit(str(i)), F.col("shingle")))).alias(
             f"mh_{i}"
@@ -257,6 +263,32 @@ def minhash_signatures(documents: DataFrame, n_hashes: int = N_HASHES,
         for i in range(n_hashes)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _band_rel(sig: DataFrame, n_bands: int, band_size: int) -> DataFrame:
+    """(doc_id, bucket) band relation from a signature relation. The
+    band id is folded into one 8-byte xxhash64 bucket key, so band
+    joins shuffle on a single bigint instead of (int, 32-char md5).
+    Bucket equality ⟺ full-band signature equality (modulo 2⁻⁶⁴
+    collisions); the emitted pair set is identical to the md5-bucket
+    formulation the DuckDB oracles use."""
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.col(f"mh_{b * band_size + j}")
+                            for j in range(band_size)
+                        ],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -277,28 +309,7 @@ def minhash_lsh_pairs(
         documents, n_hashes, max_df_ratio, top_k
     ).localCheckpoint(eager=False)
     n_bands = n_hashes // band_size
-    # The band id is folded into one 8-byte xxhash64 bucket key, so the
-    # self-join shuffles on a single bigint instead of (int, 32-char md5).
-    # Bucket equality ⟺ full-band signature equality (modulo 2⁻⁶⁴
-    # collisions); the emitted pair set is identical to the md5-bucket
-    # formulation the DuckDB oracle uses.
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b),
-                        *[
-                            F.col(f"mh_{b * band_size + j}")
-                            for j in range(band_size)
-                        ],
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bucket"),
-    )
+    bands = _band_rel(sig, n_bands, band_size)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -336,23 +347,7 @@ def minhash_lsh_star_edges(
     product (similarity reporting); use this for clustering/dedup."""
     sig = minhash_signatures(documents, n_hashes).localCheckpoint(eager=False)
     n_bands = n_hashes // band_size
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b),
-                        *[
-                            F.col(f"mh_{b * band_size + j}")
-                            for j in range(band_size)
-                        ],
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bucket"),
-    )
+    bands = _band_rel(sig, n_bands, band_size)
     reps = bands.groupBy("bucket").agg(F.min("doc_id").alias("rep"))
     return (
         bands.join(reps, "bucket")
@@ -603,6 +598,96 @@ def ngram_jaccard_lsh(
             "doc_id_a", "doc_id_b", "n_common", F.round(jac, 6).alias("jaccard")
         )
         .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    min_jaccard: float = 0.2,
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+    max_df_ratio: float | None = None,
+    top_k: int | None = None,
+) -> DataFrame:
+    """NEAR-DUPLICATE benchmark decontamination — the fuzzy upgrade of
+    :func:`extensions.text.decontaminate`'s exact n-gram rule: a
+    training document is contaminated when it is a MinHash-LSH
+    candidate of any eval document AND clears an exact shingle-Jaccard
+    threshold. Exact n-gram overlap misses reworded eval items
+    (paraphrased questions, renumbered answers); near-dup matching is
+    the standard second pass (GPT-3 appendix C dedups eval overlap at
+    the document level the same way).
+
+    Returns one row per CONTAMINATED corpus doc: ``(doc_id,
+    n_eval_matches, max_jaccard)`` — the drop list plus the evidence.
+
+    Scale shape: the benchmark side is tiny relative to the corpus
+    (eval suites are KBs against TBs), so its band relation, shingle
+    relation and sizes are all BROADCAST — the corpus side never
+    shuffles for the candidate join; exact verification is
+    candidate-scoped (never all-pairs), and the final per-doc
+    aggregate partial-aggregates map-side. The strip knobs
+    (``max_df_ratio``/``top_k``, computed over the corpus side) apply
+    to BOTH sides so boilerplate shared with the benchmark can't
+    produce false contamination flags."""
+    n_bands = n_hashes // band_size
+    # ONE dominant set, computed over the corpus (the side with the
+    # boilerplate mass), stripping BOTH sides — asymmetric stripping
+    # would make the two signature universes incomparable
+    hot = None
+    if max_df_ratio is not None or top_k is not None:
+        hot = _dominant_units(
+            _shingled(corpus), corpus, "shingle", max_df_ratio, top_k
+        ).localCheckpoint(eager=True)  # tiny by definition
+    sig_c = minhash_signatures(corpus, n_hashes, hot=hot).localCheckpoint(
+        eager=False
+    )
+    sig_b = minhash_signatures(benchmark, n_hashes, hot=hot).localCheckpoint(
+        eager=False
+    )
+    bands_c = _band_rel(sig_c, n_bands, band_size).select(
+        F.col("doc_id").alias("cid"), "bucket"
+    )
+    bands_b = _band_rel(sig_b, n_bands, band_size).select(
+        F.col("doc_id").alias("bid"), "bucket"
+    )
+    cand = (
+        bands_c.join(F.broadcast(bands_b), "bucket")
+        .select("cid", "bid")
+        .distinct()
+    )
+    sh_c = _shingled_stripped(corpus, None, None, hot).select(
+        F.col("doc_id").alias("cid"), F.xxhash64("shingle").alias("sh")
+    )
+    sh_b = _shingled_stripped(benchmark, None, None, hot).select(
+        F.col("doc_id").alias("bid"), F.xxhash64("shingle").alias("sh")
+    )
+    sizes_c = sh_c.groupBy("cid").agg(F.count(F.lit(1)).alias("size_c"))
+    sizes_b = sh_b.groupBy("bid").agg(F.count(F.lit(1)).alias("size_b"))
+    inter = (
+        cand.join(sh_c, "cid")
+        .join(F.broadcast(sh_b), ["bid", "sh"])
+        .groupBy("cid", "bid")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.round(
+        F.col("n_common").cast("double")
+        / (F.col("size_c") + F.col("size_b") - F.col("n_common")).cast(
+            "double"
+        ),
+        6,
+    )
+    return (
+        inter.join(sizes_c, "cid")
+        .join(F.broadcast(sizes_b), "bid")
+        .withColumn("__j", jac)
+        .filter(F.col("__j") >= min_jaccard)
+        .groupBy(F.col("cid").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval_matches"),
+            F.max("__j").alias("max_jaccard"),
+        )
     )
 
 

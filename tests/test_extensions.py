@@ -3257,6 +3257,54 @@ def test_remove_dominant_direction_breaks_template_clique(spark):
     assert res.count() == n_t + 2
 
 
+def test_fuzzy_decontaminate_catches_paraphrase_not_exact_only(spark):
+    """Near-dup decontamination: a training doc that PARAPHRASES an
+    eval item (shares most but not all shingles) is flagged, clean
+    docs are not, and the strip knob prevents boilerplate shared with
+    the benchmark from producing false flags."""
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        fuzzy_decontaminate,
+    )
+
+    eval_q = ("what is the capital of france the answer is paris the "
+              "city of light on the seine river in europe")
+    train = spark.createDataFrame(
+        [
+            # reworded eval item: one token changed -> near-dup, not exact
+            (0, eval_q.replace("answer is", "answer was")),
+            (2, "completely unrelated text about spark shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, eval_q)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in fuzzy_decontaminate(
+        train, bench, min_jaccard=0.3
+    ).collect()}
+    assert set(got) == {0}
+    assert got[0].n_eval_matches == 1
+    assert 0.3 <= got[0].max_jaccard < 1.0  # near-dup, not identical
+
+    # boilerplate shared with the benchmark must not flag by itself:
+    # every doc (train AND eval) carries the same prefix; with the
+    # strip on, only genuine content overlap survives
+    boiler = "generated by the export tool all rights reserved"
+    train2 = spark.createDataFrame(
+        [(0, f"{boiler} the quick brown fox jumps over dogs"),
+         (2, f"{boiler} an entirely different subject matter here")],
+        "doc_id long, text string",
+    )
+    bench2 = spark.createDataFrame(
+        [(100, f"{boiler} the quick brown fox leaps over dogs")],
+        "doc_id long, text string",
+    )
+    flagged = fuzzy_decontaminate(
+        train2, bench2, min_jaccard=0.3, max_df_ratio=0.5
+    ).collect()
+    assert [r.doc_id for r in flagged] == [0]  # doc 2 shares ONLY boiler
+
+
 def test_dominant_tokens_strip_dedups_simhash(spark):
     """Token-domain strip for simhash: docs differing only in dominant
     tokens collapse to identical fingerprints after the strip; the
