@@ -1580,6 +1580,63 @@ SELECT * FROM (
 """
 
 
+def q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned distribution drift between two corpus snapshots (even vs
+    odd doc ids) over document length — the per-crawl-batch monitor
+    that catches a source going bad before it pollutes a training mix.
+    Fixed bin edges; shares are UNROUNDED single divisions of exact
+    counts (the bigram_lm_score determinism argument)."""
+    from daily_top_songs_etl_spark.operators.diff import histogram_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return histogram_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "n_chars",
+        [150.0, 250.0, 350.0],
+    )
+
+
+ORACLE_QUALITY_DRIFT = """
+WITH o AS (
+  SELECT n_chars FROM documents
+  WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+), nn AS (
+  SELECT n_chars FROM documents
+  WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+), ob AS (
+  SELECT CASE WHEN n_chars < 150.0 THEN 0
+              WHEN n_chars < 250.0 THEN 1
+              WHEN n_chars < 350.0 THEN 2
+              ELSE 3 END AS bin,
+         CAST(count(*) AS BIGINT) AS n_old
+  FROM o GROUP BY 1
+), nb AS (
+  SELECT CASE WHEN n_chars < 150.0 THEN 0
+              WHEN n_chars < 250.0 THEN 1
+              WHEN n_chars < 350.0 THEN 2
+              ELSE 3 END AS bin,
+         CAST(count(*) AS BIGINT) AS n_new
+  FROM nn GROUP BY 1
+), t AS (
+  SELECT (SELECT count(*) FROM o) AS t_old,
+         (SELECT count(*) FROM nn) AS t_new
+)
+SELECT CAST(coalesce(ob.bin, nb.bin) AS INTEGER) AS bin,
+       coalesce(n_old, 0) AS n_old,
+       coalesce(n_new, 0) AS n_new,
+       CAST(coalesce(n_old, 0) AS DOUBLE) / CAST(t_old AS DOUBLE)
+           AS share_old,
+       CAST(coalesce(n_new, 0) AS DOUBLE) / CAST(t_new AS DOUBLE)
+           AS share_new,
+       CAST(coalesce(n_new, 0) AS DOUBLE) / CAST(t_new AS DOUBLE)
+       - CAST(coalesce(n_old, 0) AS DOUBLE) / CAST(t_old AS DOUBLE)
+           AS share_delta
+FROM ob FULL OUTER JOIN nb ON ob.bin = nb.bin
+CROSS JOIN t
+"""
+
+
 def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate benchmark decontamination: train docs (even ids)
     that are MinHash-LSH candidates of an eval doc (odd ids) AND clear
@@ -9722,8 +9779,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_stripped": q_dedup_simhash_stripped,
     "dedup_cosine_stripped": q_dedup_cosine_stripped,
     # --- end of driver correctness window (slot 50) ---
-    # --- new in round 8, past slot 50 (r9 window candidate) ---
+    # --- new in round 8, past slot 50 (r9 window candidates) ---
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
+    "quality_drift": q_quality_drift,
     # Displaced round-7 head and continuation (every entry below has a
     # driver-verified green row in CORRECTNESS_r01..r07); old relative
     # order kept so build entries stay before their steady-state
@@ -9932,6 +9990,7 @@ _ORACLES: dict[str, str] = {
     "dedup_simhash_stripped": ORACLE_DEDUP_SIMHASH_STRIPPED,
     "dedup_cosine_stripped": ORACLE_DEDUP_COSINE_STRIPPED,
     "fuzzy_decontaminate": ORACLE_FUZZY_DECONTAMINATE,
+    "quality_drift": ORACLE_QUALITY_DRIFT,
     "sim_topk_bruteforce": ORACLE_SIM_TOPK,
     "stream_tumbling_window": ORACLE_TUMBLING,
     "stream_session_window": ORACLE_SESSION,

@@ -3257,6 +3257,30 @@ def test_remove_dominant_direction_breaks_template_clique(spark):
     assert res.count() == n_t + 2
 
 
+def test_histogram_drift_exact_shares_and_alignment(spark):
+    """The drift monitor bins on FIXED edges, aligns bins present in
+    either snapshot, excludes NULLs from both counts and totals, and
+    emits shares as exact single divisions."""
+    from daily_top_songs_etl_spark.operators.diff import histogram_drift
+
+    old = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 25), (4, None)], "id long, x int"
+    )
+    new = spark.createDataFrame(
+        [(1, 25), (2, 99), (3, 99), (4, 99)], "id long, x int"
+    )
+    rows = {r.bin: r for r in histogram_drift(
+        old, new, "x", [20.0, 50.0]
+    ).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert (rows[0].n_old, rows[0].n_new) == (2, 0)   # x < 20
+    assert (rows[1].n_old, rows[1].n_new) == (1, 1)   # 20 <= x < 50
+    assert (rows[2].n_old, rows[2].n_new) == (0, 3)   # x >= 50
+    assert rows[0].share_old == 2 / 3                 # NULL excluded
+    assert rows[2].share_new == 3 / 4
+    assert rows[2].share_delta == 3 / 4 - 0.0
+
+
 def test_fuzzy_decontaminate_catches_paraphrase_not_exact_only(spark):
     """Near-dup decontamination: a training doc that PARAPHRASES an
     eval item (shares most but not all shingles) is flagged, clean
