@@ -1704,6 +1704,94 @@ FROM jac WHERE j >= 0.2 GROUP BY cid
 """
 
 
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (domain balancing): keep at most 15 docs
+    per source, chosen by portable md5-bucket order so the kept subset
+    is a reproducible uniform sample of each source. Exact two-level
+    top-k merge — a hot domain never funnels through one window task."""
+    from daily_top_songs_etl_spark.extensions.mixture import source_quota
+
+    return source_quota(_t(spark, sf_dir, "documents"), cap=15)
+
+
+def _sql_nib4() -> str:
+    """4-nibble md5 bucket (0-65535) of doc_id — built by folding so the
+    parenthesization is balanced by construction (mirrors
+    mixture._md5_bucket64k exactly)."""
+    nib = lambda i: (  # noqa: E731
+        "(instr('0123456789abcdef', "
+        f"substring(md5(CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
+    )
+    expr = nib(1)
+    for i in (2, 3, 4):
+        expr = f"({expr} * 16 + {nib(i)})"
+    return expr
+
+
+_SQL_NIB4 = _sql_nib4()
+
+ORACLE_SOURCE_QUOTA = f"""
+WITH h AS (
+  SELECT source, doc_id, {_SQL_NIB4} AS hash_bucket
+  FROM documents
+)
+SELECT source, doc_id, CAST(hash_bucket AS INTEGER) AS hash_bucket,
+       CAST(row_number() OVER (
+           PARTITION BY source ORDER BY hash_bucket, doc_id
+       ) AS INTEGER) AS quota_rank
+FROM h
+QUALIFY quota_rank <= 15
+"""
+
+
+def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: rank every document by the ratio of
+    its token mass under the target corpus' unigram counts (lang='en',
+    the trusted-corpus stand-in) vs the raw pool's, keep the top 100.
+    Exact BIGINT mass sums + one double division (the bigram_lm_score
+    determinism argument applied to DSIR's log-ratio, which libm ln
+    would make engine-divergent)."""
+    from daily_top_songs_etl_spark.extensions.text import (
+        importance_resample,
+    )
+
+    return importance_resample(
+        _t(spark, sf_dir, "documents"), target_lang="en", n=100
+    )
+
+
+ORACLE_IMPORTANCE_RESAMPLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_target,
+         string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, is_target, unnest(t) AS tok FROM tok
+), vocab AS (
+  SELECT tok,
+         CAST(count(*) AS BIGINT) AS raw_count,
+         CAST(sum(is_target) AS BIGINT) AS target_count
+  FROM toks GROUP BY tok
+), scored AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(target_count) AS BIGINT) AS target_mass,
+         CAST(sum(raw_count) AS BIGINT) AS raw_mass,
+         CAST(sum(target_count) AS DOUBLE)
+             / CAST(sum(raw_count) AS DOUBLE) AS imp
+  FROM toks JOIN vocab USING (tok)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, target_mass, raw_mass,
+       round(imp, 6) AS importance,
+       CAST(row_number() OVER (ORDER BY imp DESC, doc_id) AS INTEGER)
+           AS sel_rank
+FROM scored
+QUALIFY sel_rank <= 100
+"""
+
+
 # Residual-quantized embeddings: _SQL_QUANT with the dominant-direction
 # (common-component) removal applied — the vector-space face of the
 # boilerplate strip. Ends with a CTE named `q`(vec_id, v) so every
@@ -9782,6 +9870,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 8, past slot 50 (r9 window candidates) ---
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
     "quality_drift": q_quality_drift,
+    "source_quota": q_source_quota,
+    "importance_resample": q_importance_resample,
     # Displaced round-7 head and continuation (every entry below has a
     # driver-verified green row in CORRECTNESS_r01..r07); old relative
     # order kept so build entries stay before their steady-state
@@ -9991,6 +10081,8 @@ _ORACLES: dict[str, str] = {
     "dedup_cosine_stripped": ORACLE_DEDUP_COSINE_STRIPPED,
     "fuzzy_decontaminate": ORACLE_FUZZY_DECONTAMINATE,
     "quality_drift": ORACLE_QUALITY_DRIFT,
+    "source_quota": ORACLE_SOURCE_QUOTA,
+    "importance_resample": ORACLE_IMPORTANCE_RESAMPLE,
     "sim_topk_bruteforce": ORACLE_SIM_TOPK,
     "stream_tumbling_window": ORACLE_TUMBLING,
     "stream_session_window": ORACLE_SESSION,

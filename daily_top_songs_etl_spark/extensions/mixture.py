@@ -441,3 +441,68 @@ def budget_allocation(
             .alias("alloc"),
         )
     )
+
+
+def _md5_bucket64k(col: str) -> Column:
+    """Deterministic engine-portable bucket 0-65535: first four md5 hex
+    nibbles of the stringified key (the 2-nibble :func:`_md5_bucket256`
+    widened so per-group hash order has few ties to break by id)."""
+    nib = lambda i: F.expr(  # noqa: E731
+        f"instr('0123456789abcdef', substring(md5(cast({col} as string)), {i}, 1)) - 1"
+    )
+    return (
+        ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
+    ).cast("int")
+
+
+def source_quota(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 20,
+    fanout: int = 32,
+) -> DataFrame:
+    """Per-source document cap — the domain-balancing pre-pass every web
+    corpus needs (C4/RefinedWeb cap pages per host so one crawler-friendly
+    domain cannot dominate the mixture): keep at most ``cap`` documents per
+    ``group_col``, chosen by content-independent key-hash order so the kept
+    subset is a reproducible uniform sample of the group, not its first
+    ``cap`` ids.
+
+    Determinism: the order key is the 4-nibble md5 bucket of the id (ties
+    broken by the id itself) — the same portable-hash family as
+    ``hash_split`` / ``mixture_sample``, identical on any engine.
+
+    Scale shape — the exact two-level top-k merge, NOT one window over the
+    raw group: a hot domain with 10^8 pages would otherwise funnel through
+    a single row_number task. Level 1 ranks within (group, id % fanout) —
+    each salted slice holds ~1/fanout of the group — and truncates at
+    ``cap``; level 2 ranks the ≤ fanout·cap survivors per group. Exact
+    because a group's true top-``cap`` by (bucket, id) is contained in the
+    union of its per-slice top-``cap``s. Both windows shuffle once; the
+    second one moves at most fanout·cap rows per group regardless of group
+    size.
+    """
+    bucket = _md5_bucket64k(id_col)
+    salted = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        bucket.alias("hash_bucket"),
+        F.pmod(F.col(id_col).cast("bigint"), F.lit(fanout)).alias("__slice"),
+    )
+    w1 = Window.partitionBy(group_col, "__slice").orderBy(
+        "hash_bucket", id_col
+    )
+    survivors = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= cap)
+        .drop("__slice", "__r1")
+    )
+    w2 = Window.partitionBy(group_col).orderBy("hash_bucket", id_col)
+    return (
+        survivors.withColumn(
+            "quota_rank", F.row_number().over(w2).cast("int")
+        )
+        .filter(F.col("quota_rank") <= cap)
+        .select(group_col, id_col, "hash_bucket", "quota_rank")
+    )

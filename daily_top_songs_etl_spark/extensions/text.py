@@ -1653,3 +1653,77 @@ def adjacent_pairs(
             "positive",
         )
     )
+
+
+def importance_resample(
+    documents: DataFrame,
+    target_lang: str = "en",
+    n: int = 100,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how much its token mass looks like a *target* corpus relative to the
+    raw pool, keep the top ``n``. The target here is the subset matching
+    ``target_lang`` — the stand-in for "a small trusted corpus" (DSIR uses
+    Wikipedia+books); the features are corpus unigram counts, the
+    stdlib-portable analogue of DSIR's hashed n-grams.
+
+    Determinism: DSIR's log-ratio Σ c(w)·ln(p_t(w)/p_r(w)) is not
+    bit-reproducible across engines (libm ln), so the score is the
+    mass-ratio form: ``target_mass = Σ_occ cnt_target(tok)`` and
+    ``raw_mass = Σ_occ cnt_raw(tok)`` are exact BIGINT sums of exact
+    corpus counts (reduction-order independent), and the importance is
+    ONE double division of the two — identical IEEE op on identical ints
+    on both engines, so even the top-n cut orders identically. The
+    Gumbel-noise resampling variant is deliberately not reproduced;
+    deterministic hash-jitter sampling already exists as
+    ``mixture.priority_sample``.
+
+    Plan shape: tokenize once with a per-doc target flag, one map-side
+    combinable unigram aggregate (bounded by |vocab| × partitions), a
+    token-keyed join back onto the exploded stream (both sides exchange
+    on the token — NOT broadcast: a corpus vocabulary is not small), a
+    per-doc aggregate whose partials combine map-side, then a global
+    top-n that is TakeOrderedAndProject (each partition keeps n rows; no
+    global sort).
+    """
+    from .fanout import fan_out_small_scan
+
+    toks = fan_out_small_scan(documents).select(
+        "doc_id",
+        F.when(F.col("lang") == target_lang, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_target"),
+        F.explode(tokens()).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("raw_count"),
+        F.sum("is_target").cast("bigint").alias("target_count"),
+    )
+    scored = (
+        toks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("target_count").cast("bigint").alias("target_mass"),
+            F.sum("raw_count").cast("bigint").alias("raw_mass"),
+        )
+        .withColumn(
+            "importance",
+            F.col("target_mass").cast("double")
+            / F.col("raw_mass").cast("double"),
+        )
+    )
+    top = scored.orderBy(F.desc("importance"), F.asc("doc_id")).limit(n)
+    w = Window.orderBy(F.desc("importance"), F.asc("doc_id"))
+    return (
+        top.withColumn("sel_rank", F.row_number().over(w).cast("int"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "target_mass",
+            "raw_mass",
+            F.round("importance", 6).alias("importance"),
+            "sel_rank",
+        )
+    )

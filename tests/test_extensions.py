@@ -3531,3 +3531,86 @@ def test_compact_text_index_preserves_content_and_layout(spark, tmp_path):
         map(tuple, query_text_index(cat, "tx", ["the", "data"], k=10).collect())
     )
     assert after_rows == before_rows
+
+
+def test_source_quota_exact_cap_and_hash_order(spark):
+    """Reference-model check of the two-level top-k merge: the kept set
+    per source must equal the naive top-cap by (md5 4-nibble bucket, id),
+    including a hot group far larger than cap and a group under cap."""
+    import hashlib
+
+    from daily_top_songs_etl_spark.extensions.mixture import source_quota
+
+    rows = [(i, "hot") for i in range(300)] + [
+        (1000 + i, "cold") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = source_quota(df, cap=5, fanout=4).collect()
+
+    def bucket(i):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        return int(h[:4], 16)
+
+    want_hot = sorted(range(300), key=lambda i: (bucket(i), i))[:5]
+    want_cold = sorted([1000, 1001, 1002], key=lambda i: (bucket(i), i))
+    by_src = {}
+    for r in sorted(out, key=lambda r: (r.source, r.quota_rank)):
+        by_src.setdefault(r.source, []).append(r)
+    assert [r.doc_id for r in by_src["hot"]] == want_hot
+    assert [r.doc_id for r in by_src["cold"]] == want_cold
+    for rs in by_src.values():
+        assert [r.quota_rank for r in rs] == list(range(1, len(rs) + 1))
+        for r in rs:
+            assert r.hash_bucket == bucket(r.doc_id)
+
+
+def test_importance_resample_reference_model(spark):
+    """Exact-mass check against a pure-Python unigram model: target and
+    raw masses are integer sums of corpus occurrence counts; selection is
+    top-n by the single-division ratio with id tie-break."""
+    from collections import Counter
+
+    from daily_top_songs_etl_spark.extensions.text import (
+        importance_resample,
+    )
+
+    rows = [
+        (1, "alpha beta gamma", "en"),
+        (2, "alpha alpha delta", "en"),
+        (3, "beta beta beta", "fr"),
+        (4, "gamma delta epsilon", "fr"),
+        (5, "alpha beta", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in importance_resample(df, "en", n=3).collect()}
+
+    raw, tgt = Counter(), Counter()
+    docs = {}
+    for doc_id, text, lang in rows:
+        toks = text.lower().strip().split()
+        docs[doc_id] = toks
+        raw.update(toks)
+        if lang == "en":
+            tgt.update(toks)
+    scored = {
+        d: (
+            sum(tgt[t] for t in toks),
+            sum(raw[t] for t in toks),
+            len(toks),
+        )
+        for d, toks in docs.items()
+    }
+    want = sorted(
+        scored, key=lambda d: (-scored[d][0] / scored[d][1], d)
+    )[:3]
+    assert sorted(out) == sorted(want)
+    for rank, d in enumerate(want, start=1):
+        r = out[d]
+        t_mass, r_mass, n_tok = scored[d]
+        assert (r.target_mass, r.raw_mass, r.n_tokens) == (
+            t_mass,
+            r_mass,
+            n_tok,
+        )
+        assert r.sel_rank == rank
+        assert r.importance == round(t_mass / r_mass, 6)
