@@ -1792,6 +1792,82 @@ QUALIFY sel_rank <= 100
 """
 
 
+def q_stream_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming admission control: the per-source cap enforced
+    first-come-first-served across THREE micro-batches (doc_id % 3
+    slices applied in order) with exactly-once state — including an
+    OUT-OF-ORDER replay of batch 1 after batch 2, which the applied-
+    batch ledger must refuse (an admitted double-apply would blow a
+    group past its cap). The oracle replays the whole history as one
+    statement: rank per source over (batch, bucket, id) ≤ cap — batch
+    boundaries ARE the semantics (FCFS), so they appear in the order
+    key, unlike the boundary-invariant ingest faces. In-face assert:
+    per-source admitted count == min(cap, group size) over the stream.
+    Extension family (no reference analogue)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.streaming.quota_stream import (
+        admit_quota_batch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="spark_graft_quotastream_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    cat = Catalog(spark, d)
+    for i in range(3):
+        assert admit_quota_batch(
+            cat, "q", docs.filter(F.col("doc_id") % 3 == i), batch_id=i,
+            cap=10,
+        )
+    # out-of-order replay: batch 1 re-delivered after batch 2 was
+    # applied — the ledger must refuse it outright (state untouched).
+    assert not admit_quota_batch(
+        cat, "q", docs.filter(F.col("doc_id") % 3 == 1), batch_id=1,
+        cap=10,
+    )
+    # quota invariant, driver-visible: admitted per source must equal
+    # min(cap, #docs of that source) — FCFS never strands quota while
+    # candidates exist, and never exceeds the cap (bounded collect:
+    # one row per source).
+    admitted_counts = {
+        r["source"]: r["n"]
+        for r in cat.read("q__admitted")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for src, tot in totals.items():
+        want = min(10, tot)
+        got = admitted_counts.get(src, 0)
+        assert got == want, f"source {src}: admitted {got} != {want}"
+    return cat.read("q__admitted").select(
+        "source", "doc_id", "hash_bucket", "admit_rank"
+    )
+
+
+ORACLE_STREAM_SOURCE_QUOTA = f"""
+WITH h AS (
+  SELECT source, doc_id, doc_id % 3 AS b, {_SQL_NIB4} AS hash_bucket
+  FROM documents
+)
+SELECT source, doc_id, CAST(hash_bucket AS INTEGER) AS hash_bucket,
+       CAST(row_number() OVER (
+           PARTITION BY source ORDER BY b, hash_bucket, doc_id
+       ) AS INTEGER) AS admit_rank
+FROM h
+QUALIFY admit_rank <= 10
+"""
+
+
 # Residual-quantized embeddings: _SQL_QUANT with the dominant-direction
 # (common-component) removal applied — the vector-space face of the
 # boilerplate strip. Ends with a CTE named `q`(vec_id, v) so every
@@ -9872,6 +9948,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_drift": q_quality_drift,
     "source_quota": q_source_quota,
     "importance_resample": q_importance_resample,
+    "stream_source_quota": q_stream_source_quota,
     # Displaced round-7 head and continuation (every entry below has a
     # driver-verified green row in CORRECTNESS_r01..r07); old relative
     # order kept so build entries stay before their steady-state
@@ -10083,6 +10160,7 @@ _ORACLES: dict[str, str] = {
     "quality_drift": ORACLE_QUALITY_DRIFT,
     "source_quota": ORACLE_SOURCE_QUOTA,
     "importance_resample": ORACLE_IMPORTANCE_RESAMPLE,
+    "stream_source_quota": ORACLE_STREAM_SOURCE_QUOTA,
     "sim_topk_bruteforce": ORACLE_SIM_TOPK,
     "stream_tumbling_window": ORACLE_TUMBLING,
     "stream_session_window": ORACLE_SESSION,

@@ -933,3 +933,90 @@ def test_sketch_stream_end_to_end(spark, tmp_path):
         for r in cms_build(whole, "k", width=256, depth=4).collect()
     }
     assert got == want
+
+
+def test_quota_stream_fcfs_exactly_once(spark, tmp_path):
+    """Streaming per-source quota: FCFS admission across micro-batches
+    matches the one-shot (batch, bucket, id) ranking; a drained-stream
+    re-run and an out-of-order replay change nothing; the crash window
+    between the admitted append and the counts flip converges."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.streaming.quota_stream import (
+        admit_quota_batch,
+        run_quota_admission_stream,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source")
+    b = [docs.filter(F.col("doc_id") % 2 == i) for i in range(2)]
+
+    landing = str(tmp_path / "landing")
+    b[0].coalesce(1).write.parquet(landing)
+    b[1].coalesce(1).write.mode("append").parquet(landing)
+    cat = Catalog(spark, str(tmp_path / "quota"))
+    ckpt = str(tmp_path / "ckpt")
+    run_quota_admission_stream(
+        spark, landing, b[0].schema, cat, "q", ckpt, cap=4
+    )
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+
+    rows = [(r.doc_id, r.source) for r in docs.collect()]
+    want = {}
+    for src in {s for _, s in rows}:
+        cand = sorted(
+            (d for d, s in rows if s == src),
+            key=lambda d: (d % 2, bucket(d), d),
+        )
+        want[src] = cand[:4]
+    got = {}
+    for r in cat.read("q__admitted").collect():
+        got.setdefault(r.source, []).append((r.admit_rank, r.doc_id))
+    got = {s: [d for _, d in sorted(v)] for s, v in got.items()}
+    assert got == want
+
+    # drained re-run: no-op (checkpoint replays nothing; state intact)
+    run_quota_admission_stream(
+        spark, landing, b[0].schema, cat, "q", ckpt, cap=4
+    )
+    assert cat.read("q__admitted").count() == sum(map(len, want.values()))
+
+    # out-of-order manual replay of batch 0: ledger refuses
+    assert not admit_quota_batch(cat, "q", b[0], batch_id=0, cap=4)
+
+    # crash window: a batch whose admitted rows were appended but whose
+    # counts pointer never flipped — replaying the SAME batch id must
+    # converge (append_once dedupes the rows; counts flip once).
+    extra = spark.createDataFrame(
+        [(100000 + i, "srcX") for i in range(6)], "doc_id long, source string"
+    )
+    from daily_top_songs_etl_spark.extensions.mixture import _md5_bucket64k
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy("hash_bucket", "doc_id")
+    pre = (
+        extra.select(
+            "source", "doc_id", _md5_bucket64k("doc_id").alias("hash_bucket")
+        )
+        .withColumn("admit_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("admit_rank") <= 4)
+        .select("source", "doc_id", "hash_bucket", "admit_rank")
+    )
+    cat.append_once(pre, "q__admitted", 2)  # crashed attempt's append
+    assert admit_quota_batch(cat, "q", extra, batch_id=2, cap=4)
+    srcx = [
+        r
+        for r in cat.read("q__admitted").collect()
+        if r.source == "srcX"
+    ]
+    assert len(srcx) == 4  # no doubled rows from the crashed append
+    counts = {
+        r.source: r.n_admitted for r in cat.read("q__counts").collect()
+    }
+    assert counts["srcX"] == 4
