@@ -3108,6 +3108,42 @@ WHERE m.doc_id IS NULL OR d.doc_id = w.rep
 """
 
 
+def q_dedup_apply_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup: keep up to 2 members per near-dup cluster ranked by
+    (n_chars DESC, id) — the SemDeDup/D4-style keep-fraction policy
+    between hard dedup (k=1) and none; bounded near-duplication keeps
+    natural popularity in the mix without letting a template dominate.
+    Same star-edge transitive closure as dedup_apply_best; keep_rank 0
+    marks unclustered docs."""
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        dedup_apply_soft,
+        minhash_lsh_star_edges,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_apply_soft(
+        docs, minhash_lsh_star_edges(docs), priority_col="n_chars", keep_k=2
+    )
+
+
+ORACLE_DEDUP_APPLY_SOFT = f"""{_DEDUP_CLUSTER_CTES}
+, memb AS (
+  SELECT c.doc_id, c.cluster_id, d.n_chars
+  FROM cl c JOIN documents d USING (doc_id)
+), rk AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM memb
+)
+SELECT d.doc_id,
+       CAST(coalesce(rk.rn, 0) AS INTEGER) AS keep_rank
+FROM documents d
+LEFT JOIN rk ON d.doc_id = rk.doc_id
+WHERE rk.doc_id IS NULL OR rk.rn <= 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Stream/batch-symmetric event dedup + stream-stream interval join
 # --------------------------------------------------------------------------
@@ -9949,6 +9985,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_quota": q_source_quota,
     "importance_resample": q_importance_resample,
     "stream_source_quota": q_stream_source_quota,
+    "dedup_apply_soft": q_dedup_apply_soft,
     # Displaced round-7 head and continuation (every entry below has a
     # driver-verified green row in CORRECTNESS_r01..r07); old relative
     # order kept so build entries stay before their steady-state
@@ -10161,6 +10198,7 @@ _ORACLES: dict[str, str] = {
     "source_quota": ORACLE_SOURCE_QUOTA,
     "importance_resample": ORACLE_IMPORTANCE_RESAMPLE,
     "stream_source_quota": ORACLE_STREAM_SOURCE_QUOTA,
+    "dedup_apply_soft": ORACLE_DEDUP_APPLY_SOFT,
     "sim_topk_bruteforce": ORACLE_SIM_TOPK,
     "stream_tumbling_window": ORACLE_TUMBLING,
     "stream_session_window": ORACLE_SESSION,

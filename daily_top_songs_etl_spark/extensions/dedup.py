@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from .text import tokens
 
@@ -1141,6 +1142,56 @@ def dedup_apply_priority(
             F.coalesce(F.col("is_cluster_rep"), F.lit(False)).alias(
                 "is_cluster_rep"
             ),
+        )
+    )
+
+
+def dedup_apply_soft(
+    documents: DataFrame,
+    pairs: DataFrame,
+    priority_col: str,
+    keep_k: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SOFT dedup: keep up to ``keep_k`` members per near-dup cluster,
+    ranked by quality — the keep-fraction policy (SemDeDup / D4 style)
+    between hard dedup (k=1, :func:`dedup_apply_priority`) and no dedup.
+    Hard dedup throws away genuinely different copies of popular content;
+    modern pretraining mixes keep a bounded number of near-duplicates so
+    natural popularity still shows up in the data without letting one
+    template dominate. Rank is (priority DESC, id ASC) — engine-portable
+    for exact integer priorities like n_chars.
+
+    Returns surviving ids with ``keep_rank``: 1..keep_k for kept cluster
+    members (1 = the cluster's best copy), 0 for unclustered docs.
+
+    Plan shape: the cluster relation is pair-bounded (tiny vs corpus), so
+    the priority lookup broadcasts the clusters INTO the corpus and the
+    per-cluster rank window runs on that tiny relation only; the corpus
+    itself never shuffles — the drop-list anti-join and the rank left
+    join are both broadcasts, exactly the dedup_apply shape.
+    """
+    clusters = connected_components(pairs)
+    members = documents.select(id_col, priority_col).join(
+        F.broadcast(clusters), id_col
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(priority_col), F.asc(id_col)
+    )
+    ranked = members.withColumn("keep_rank", F.row_number().over(w))
+    dropped = ranked.filter(F.col("keep_rank") > keep_k).select(id_col)
+    kept = ranked.filter(F.col("keep_rank") <= keep_k).select(
+        id_col, F.col("keep_rank").cast("int").alias("keep_rank")
+    )
+    return (
+        documents.select(id_col)
+        .join(F.broadcast(dropped), id_col, "left_anti")
+        .join(F.broadcast(kept), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("keep_rank"), F.lit(0))
+            .cast("int")
+            .alias("keep_rank"),
         )
     )
 

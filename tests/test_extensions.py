@@ -3614,3 +3614,32 @@ def test_importance_resample_reference_model(spark):
         )
         assert r.sel_rank == rank
         assert r.importance == round(t_mass / r_mass, 6)
+
+
+def test_dedup_apply_soft_keep_k_policy(spark):
+    """Planted clusters: a 4-member cluster keeps its top-2 by
+    (priority DESC, id), a pair keeps both, singletons pass with
+    keep_rank 0 — the bounded keep-fraction between hard dedup and
+    none."""
+    from daily_top_songs_etl_spark.extensions.dedup import dedup_apply_soft
+
+    docs = spark.createDataFrame(
+        [
+            (1, 100), (2, 300), (3, 200), (4, 300),  # cluster {1,2,3,4}
+            (5, 50), (6, 60),                        # cluster {5,6}
+            (7, 10),                                 # singleton
+        ],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "doc_id_a long, doc_id_b long"
+    )
+    out = {
+        r.doc_id: r.keep_rank
+        for r in dedup_apply_soft(
+            docs, pairs, priority_col="n_chars", keep_k=2
+        ).collect()
+    }
+    # top-2 of {1,2,3,4} by (n_chars desc, id): 2 (300), 4 (300) -> ranks
+    # 1, 2; docs 1 and 3 dropped entirely.
+    assert out == {2: 1, 4: 2, 5: 2, 6: 1, 7: 0}
