@@ -587,3 +587,108 @@ def test_stripped_jaccard_matches_python_reference(spark, docs):
         ).collect()
     }
     assert got == expect
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    n_groups=st.integers(min_value=1, max_value=5),
+    cap=st.integers(min_value=1, max_value=6),
+    fanout=st.integers(min_value=1, max_value=8),
+)
+def test_source_quota_matches_reference_model(
+    spark, ids, n_groups, cap, fanout
+):
+    """For ANY id set / group count / cap / fanout: the two-level top-k
+    merge equals the naive per-group top-cap by (md5 4-nibble bucket,
+    id) — fanout is a physical knob, never a semantic one."""
+    import hashlib
+
+    from daily_top_songs_etl_spark.extensions.mixture import source_quota
+
+    rows = [(i, f"g{i % n_groups}") for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {}
+    for r in source_quota(df, cap=cap, fanout=fanout).collect():
+        out.setdefault(r.source, []).append((r.quota_rank, r.doc_id))
+    out = {s: [d for _, d in sorted(v)] for s, v in out.items()}
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+
+    want = {}
+    for i, s in rows:
+        want.setdefault(s, []).append(i)
+    want = {
+        s: sorted(v, key=lambda d: (bucket(d), d))[:cap]
+        for s, v in want.items()
+    }
+    assert out == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["red", "blue", "green", "gold", "gray"]),
+                min_size=1,
+                max_size=6,
+            ),
+            st.sampled_from(["en", "fr"]),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    n=st.integers(min_value=1, max_value=10),
+)
+def test_importance_resample_matches_reference_model(spark, docs, n):
+    """For ANY corpus/target split: masses are exact integer sums of the
+    corpus unigram counts and the selected set is the top-n by the
+    single-division ratio with id tie-break."""
+    from collections import Counter
+
+    from daily_top_songs_etl_spark.extensions.text import (
+        importance_resample,
+    )
+
+    rows = [
+        (i, " ".join(words), lang) for i, (words, lang) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r.doc_id: r
+        for r in importance_resample(df, "en", n=n).collect()
+    }
+
+    raw, tgt = Counter(), Counter()
+    toks = {}
+    for i, text, lang in rows:
+        ws = text.lower().strip().split()
+        toks[i] = ws
+        raw.update(ws)
+        if lang == "en":
+            tgt.update(ws)
+    scored = {
+        i: (sum(tgt[t] for t in ws), sum(raw[t] for t in ws))
+        for i, ws in toks.items()
+    }
+    want = sorted(scored, key=lambda i: (-scored[i][0] / scored[i][1], i))[:n]
+    assert sorted(out) == sorted(want)
+    for rank, i in enumerate(want, start=1):
+        t_mass, r_mass = scored[i]
+        assert (out[i].target_mass, out[i].raw_mass) == (t_mass, r_mass)
+        assert out[i].sel_rank == rank
