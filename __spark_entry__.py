@@ -3963,6 +3963,62 @@ WHERE rn = 1
 """
 
 
+def q_cluster_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity cap (SemDeDup / D4 family): assign
+    every embedding to its nearest proto-centroid (deterministic
+    4-lowest-id init, exact BIGINT squared distances — the
+    `kmeans_assign` machinery) and keep at most 25 members per cluster,
+    PERIPHERAL-first (dist2 DESC, ties on id) so near-centroid
+    prototypes — the most redundant members of a dense semantic region
+    — are pruned before the diversity frontier. The cap itself is the
+    exact two-level top-k merge (`source_quota`'s shape): a mega-cluster
+    never funnels through a single window task. Extension family (no
+    reference analogue)."""
+    from daily_top_songs_etl_spark.extensions.similarity import (
+        cluster_quota,
+    )
+
+    return cluster_quota(
+        _t(spark, sf_dir, "embeddings"), k=4, cap=25, fanout=32
+    )
+
+
+#: Mirrors `cluster_quota(k=4, cap=25)`: the ORACLE_KMEANS_ASSIGN
+#: assignment (same quantization, init, exact d2, argmin tie-break)
+#: followed by the per-cluster peripheral-first rank-and-cap. The
+#: two-level fanout merge on the Spark side is exact, so one plain
+#: window reproduces it.
+ORACLE_CLUSTER_QUOTA = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+  FROM embeddings
+), c AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+         qv AS cv
+  FROM q ORDER BY vec_id LIMIT 4
+), d AS (
+  SELECT q.vec_id, c.cluster,
+         CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+              i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) AS d2
+  FROM q CROSS JOIN c
+), a AS (
+  SELECT vec_id, cluster, d2
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cluster) AS rn FROM d)
+  WHERE rn = 1
+)
+SELECT vec_id, cluster, dist2, keep_rank FROM (
+  SELECT vec_id, cluster, d2 AS dist2,
+         CAST(row_number() OVER (PARTITION BY cluster
+                                 ORDER BY d2 DESC, vec_id) AS INTEGER)
+             AS keep_rank
+  FROM a
+) WHERE keep_rank <= 25
+"""
+
+
 def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE Lloyd UPDATE step, oracle-verified: after the deterministic
     assignment pass (same init as `kmeans_assign`), recompute the
@@ -4361,6 +4417,83 @@ def _oracle_ann_index_delete() -> str:
         + _ann_cent_lists_ctes()
         + """
 SELECT vec_id, cluster FROM lists WHERE vec_id % 7 <> 3
+"""
+    )
+
+
+def q_ann_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded ANN index MERGE (FAISS ``merge_from`` / the sharded-IVF
+    consolidation flow): train the coarse quantizer ONCE on the corpus,
+    build one index per shard (vec_id parity) under the SHARED quantizer
+    — the `build_ann_index(centroids=...)` path, embarrassingly parallel
+    at 100 TB — then `merge_ann_index` folds shard B's lists into shard
+    A: a partition-aligned file append (no shuffle, neither corpus
+    re-read) plus an O(k) occupancy sum. REPLAYS the merge (must be
+    refused by the applied-batch ledger) and asserts merged occupancy ==
+    stored-list recount. The oracle is the one-shot full-corpus
+    assignment under the same quantizer: per-vector assignment depends
+    only on (vector, centroids), so shard boundaries must not change
+    the merged lists — a dropped shard, doubled merge, or geometry
+    mismatch diverges rows or hash. Extension family (no reference
+    analogue)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.ann_index import (
+        build_ann_index,
+        merge_ann_index,
+    )
+    from daily_top_songs_etl_spark.extensions.similarity import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = tempfile.mkdtemp(prefix="spark_graft_annmrg_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    cat = Catalog(spark, d)
+    # the shared quantizer: k=8 rows, referenced by both shard builds
+    quantizer = kmeans_fit(emb, k=8, iters=2).localCheckpoint(eager=True)
+    build_ann_index(
+        cat, "m", emb.filter(F.col("vec_id") % 2 == 0), centroids=quantizer
+    )
+    build_ann_index(
+        cat, "mb", emb.filter(F.col("vec_id") % 2 == 1), centroids=quantizer
+    )
+    merge_ann_index(cat, "m", "mb")
+    occ_after = {
+        r["cluster"]: r["n_vectors"]
+        for r in cat.read("m__centroids").collect()  # k=8 rows
+    }
+    # replayed merge: refused outright — lists and occupancy unchanged
+    merge_ann_index(cat, "m", "mb")
+    assert {
+        r["cluster"]: r["n_vectors"]
+        for r in cat.read("m__centroids").collect()
+    } == occ_after, "replayed merge re-applied (ledger failure)"
+    out = cat.read("m__lists").select("vec_id", "cluster")
+    merged = {
+        r["cluster"]: r["n"]
+        for r in out.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for c, n in occ_after.items():
+        assert n == merged.get(c, 0), (
+            f"cluster {c}: occupancy {n} != merged lists {merged.get(c, 0)}"
+        )
+    return out
+
+
+#: Shard-merge invariance: two parity-shard indexes built under ONE
+#: quantizer (kmeans on the FULL corpus, k=8, iters=2) and merged must
+#: equal the one-shot full-corpus assignment — the same lists relation
+#: as the build oracle, projected to (vec_id, cluster).
+def _oracle_ann_index_merge() -> str:
+    return (
+        _kmeans_cte_prefix(8, 2)
+        + _ann_cent_lists_ctes()
+        + """
+SELECT vec_id, cluster FROM lists
 """
     )
 
@@ -9986,6 +10119,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "importance_resample": q_importance_resample,
     "stream_source_quota": q_stream_source_quota,
     "dedup_apply_soft": q_dedup_apply_soft,
+    "cluster_quota": q_cluster_quota,
+    "ann_index_merge": q_ann_index_merge,
     # Displaced round-7 head and continuation (every entry below has a
     # driver-verified green row in CORRECTNESS_r01..r07); old relative
     # order kept so build entries stay before their steady-state
@@ -10199,6 +10334,8 @@ _ORACLES: dict[str, str] = {
     "importance_resample": ORACLE_IMPORTANCE_RESAMPLE,
     "stream_source_quota": ORACLE_STREAM_SOURCE_QUOTA,
     "dedup_apply_soft": ORACLE_DEDUP_APPLY_SOFT,
+    "cluster_quota": ORACLE_CLUSTER_QUOTA,
+    "ann_index_merge": _oracle_ann_index_merge(),
     "sim_topk_bruteforce": ORACLE_SIM_TOPK,
     "stream_tumbling_window": ORACLE_TUMBLING,
     "stream_session_window": ORACLE_SESSION,

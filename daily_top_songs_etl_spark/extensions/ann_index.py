@@ -62,6 +62,7 @@ def build_ann_index(
     n_centroids: int = 8,
     iters: int = 3,
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> None:
     """Fit the coarse quantizer and materialize centroids + inverted
     lists as catalog tables ``{name}__centroids`` / ``{name}__lists``.
@@ -71,10 +72,21 @@ def build_ann_index(
     two can differ by a few boundary vectors, and occupancy must
     describe the artifact it rides with so the append/delete O(k)
     bookkeeping stays exactly consistent with actual list contents
-    (round-7 invariant; the delete face asserts it absolutely)."""
-    centroids = kmeans_fit(
-        embeddings, k=n_centroids, iters=iters, id_col=id_col
-    )
+    (round-7 invariant; the delete face asserts it absolutely).
+
+    ``centroids`` — a pre-trained (cluster, centroid float array)
+    quantizer — skips the kmeans fit and builds the lists under the
+    GIVEN geometry. This is the sharded-build half of the production
+    IVF flow (train the coarse quantizer once on a sample, build one
+    index per corpus shard in parallel under the SHARED quantizer, then
+    :func:`merge_ann_index` the shards): per-shard builds never see
+    each other, and because per-vector assignment depends only on
+    (vector, centroids), the merged lists are bit-identical to a
+    one-shot build of the union."""
+    if centroids is None:
+        centroids = kmeans_fit(
+            embeddings, k=n_centroids, iters=iters, id_col=id_col
+        )
     cent = _centroid_rel(centroids)
     base = quantize_embeddings(embeddings).select(
         F.col(id_col).alias("vec_id"),
@@ -203,6 +215,119 @@ def append_to_ann_index(
     # the ledger commits WITH the counts under one pointer flip,
     # AFTER the (idempotent) list append — a crash anywhere replays to
     # the same final state
+    catalog.write(updated, cent_table, meta=meta or None)
+
+
+def merge_ann_index(
+    catalog: Catalog,
+    dst: str,
+    src: str,
+    batch_id: int | str | None = None,
+) -> None:
+    """Fold index ``src``'s inverted lists into index ``dst`` — the
+    FAISS ``merge_from`` / sharded-IVF consolidation step. The intended
+    flow at scale: train the coarse quantizer ONCE (on a sample), build
+    one index per corpus shard in parallel under the shared quantizer
+    (:func:`build_ann_index` with ``centroids=``), then merge. Because
+    per-vector assignment depends only on (vector, centroids), a merge
+    of shard indexes is bit-identical to a one-shot build of the union
+    corpus — the invariance ``q_ann_index_merge``'s oracle hash-checks.
+
+    Physical shape: the lists union is a partition-aligned file append
+    (``append_once`` moves staged files into the per-cluster partition
+    directories — no shuffle, no read of ``dst``'s existing lists) and
+    the occupancy update is O(k): merged ``n_vectors`` = dst stored +
+    src stored, both already truthful for their own lists. Nothing
+    scans either corpus.
+
+    Guards: both indexes must share centroid geometry (compared on the
+    QUANTIZED components — the exact values assignment used), and PQ
+    layouts must additionally share the codebook; a mismatch raises
+    rather than silently producing an index whose lists disagree with
+    its quantizer.
+
+    Crash/replay safety (same contract as :func:`append_to_ann_index`):
+    list growth goes through ``append_once`` keyed by ``batch_id``
+    (default ``"merge-{src}"`` — batch ids become snapshot file
+    names, so no URI-reserved characters) and the occupancy increment
+    commits WITH
+    the applied-batch ledger under the centroid table's pointer flip.
+    The increment is read from ``src``'s STORED occupancy — immutable
+    across replays (``src`` is never mutated), so any crash window
+    replays to the same final state."""
+    from ..operators.ledger import (
+        ledger_add,
+        ledger_load,
+        ledger_meta,
+        ledger_seen,
+    )
+
+    cent_table = f"{dst}__centroids"
+    cent_meta = catalog.read_meta(cent_table) or {}
+    led = ledger_load(cent_meta)
+    if batch_id is None:
+        batch_id = f"merge-{src}"
+    if ledger_seen(led, batch_id):
+        return
+    dst_cent = catalog.read(cent_table)
+    src_cent = catalog.read(f"{src}__centroids")
+
+    def _geom(cent_df: DataFrame) -> dict:
+        rel = _centroid_rel(cent_df)
+        return {
+            int(r["cent_id"]): [int(x) for x in r["cv"]]
+            for r in rel.select("cent_id", "cv").collect()
+        }
+
+    if _geom(dst_cent) != _geom(src_cent):
+        raise ValueError(
+            f"merge_ann_index: {src!r} was not built under {dst!r}'s "
+            "coarse quantizer — shard indexes must share centroid "
+            "geometry (build shards with build_ann_index(centroids=...))"
+        )
+    if catalog.exists(f"{dst}__pqlists") or catalog.exists(f"{src}__pqlists"):
+        if not (
+            catalog.exists(f"{dst}__pqlists")
+            and catalog.exists(f"{src}__pqlists")
+        ):
+            raise ValueError(
+                "merge_ann_index: cannot merge a PQ-coded index with a "
+                "flat-list index"
+            )
+
+        def _cb(cb: DataFrame) -> dict:
+            return {
+                (int(r["subspace"]), int(r["code"])): [
+                    int(round(float(x) * QUANT_SCALE)) for x in r["centroid"]
+                ]
+                for r in cb.collect()
+            }
+
+        if _cb(catalog.read(f"{dst}__codebook")) != _cb(
+            catalog.read(f"{src}__codebook")
+        ):
+            raise ValueError(
+                f"merge_ann_index: {src!r} and {dst!r} have different PQ "
+                "codebooks — codes are not comparable across codebooks"
+            )
+        table, src_rows = f"{dst}__pqlists", catalog.read(f"{src}__pqlists")
+    else:
+        table, src_rows = f"{dst}__lists", catalog.read(f"{src}__lists")
+    catalog.append_once(src_rows, table, batch_id, partition_by=["cluster"])
+    updated = dst_cent.join(
+        src_cent.select("cluster", F.col("n_vectors").alias("__s")),
+        "cluster",
+        "left",
+    ).select(
+        "cluster",
+        "centroid",
+        (F.col("n_vectors") + F.coalesce("__s", F.lit(0))).alias(
+            "n_vectors"
+        ),
+    )
+    ledger_add(led, batch_id)
+    meta = {k: v for k, v in cent_meta.items() if k != "last_appended_batch"}
+    meta.update(ledger_meta(led))
     catalog.write(updated, cent_table, meta=meta or None)
 
 

@@ -1160,3 +1160,89 @@ def srp_neighbor_recall(
     )
     truth = brute_force_topk(embeddings, queries, k=k, id_col=id_col)
     return recall_at_k(approx, truth)
+
+
+def cluster_quota(
+    embeddings: DataFrame,
+    centroids: DataFrame | None = None,
+    k: int = 4,
+    cap: int = 25,
+    fanout: int = 32,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-cluster diversity cap — the cluster-balanced pruning step of
+    embedding-space data selection (SemDeDup / D4 family: cluster the
+    corpus, then thin each cluster instead of sampling globally, so one
+    dense semantic region cannot dominate the kept set the way one hot
+    domain dominates a crawl). Keeps at most ``cap`` members per
+    cluster, ranked PERIPHERAL-first (exact squared distance to the
+    centroid, DESC, ties on id): near-centroid prototypes — the most
+    redundant members — are pruned first, preserving each cluster's
+    diversity frontier.
+
+    ``centroids``: a (cluster, cvec array<bigint>) relation, e.g. a
+    stored index's quantized quantizer. ``None`` derives the
+    deterministic k-lowest-id proto-centroids — the same init as
+    ``kmeans_fit`` / the `kmeans_assign` face, so the whole face is
+    engine-portable and oracle-checkable end to end.
+
+    Scale shape: assignment is the broadcast k-row nested loop over
+    exact-BIGINT components (no corpus shuffle — `_assign`'s shape);
+    the cap is the exact two-level top-k merge (`mixture.source_quota`'s
+    shape): rank within (cluster, id % fanout) truncating at ``cap``,
+    then rank the ≤ fanout·cap survivors — a mega-cluster never funnels
+    through one window task. Exact because a cluster's true top-``cap``
+    by (dist2 DESC, id) is contained in the union of its per-slice
+    top-``cap``s. Returns (vec_id, cluster, dist2, keep_rank).
+    """
+    q = quantize_embeddings(embeddings).select(
+        F.col(id_col).alias("vec_id"), "qvec"
+    )
+    if centroids is None:
+        centroids = (
+            q.orderBy("vec_id")
+            .limit(k)
+            .select(
+                (
+                    F.row_number().over(Window.orderBy("vec_id")) - 1
+                ).alias("cluster"),
+                F.col("qvec").alias("cvec"),
+            )
+        )
+    d2 = F.aggregate(
+        F.zip_with("qvec", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    assigned = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("d2", d2)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cluster")).alias("best"))
+        .select(
+            "vec_id",
+            F.col("best.cluster").cast("int").alias("cluster"),
+            F.col("best.d2").cast("bigint").alias("dist2"),
+            F.pmod(F.col("vec_id").cast("bigint"), F.lit(fanout)).alias(
+                "__slice"
+            ),
+        )
+    )
+    w1 = Window.partitionBy("cluster", "__slice").orderBy(
+        F.col("dist2").desc(), "vec_id"
+    )
+    survivors = (
+        assigned.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= cap)
+        .drop("__slice", "__r1")
+    )
+    w2 = Window.partitionBy("cluster").orderBy(
+        F.col("dist2").desc(), "vec_id"
+    )
+    return (
+        survivors.withColumn(
+            "keep_rank", F.row_number().over(w2).cast("int")
+        )
+        .filter(F.col("keep_rank") <= cap)
+        .select("vec_id", "cluster", "dist2", "keep_rank")
+    )

@@ -3643,3 +3643,189 @@ def test_dedup_apply_soft_keep_k_policy(spark):
     # top-2 of {1,2,3,4} by (n_chars desc, id): 2 (300), 4 (300) -> ranks
     # 1, 2; docs 1 and 3 dropped entirely.
     assert out == {2: 1, 4: 2, 5: 2, 6: 1, 7: 0}
+
+
+def test_merge_ann_index_sharded_equals_oneshot(spark, embeddings, tmp_path):
+    """Shard-merge invariance (the FAISS ``merge_from`` flow): two
+    parity-shard indexes built under ONE shared quantizer and merged
+    are identical — lists AND occupancy — to a one-shot build of the
+    full corpus under the same quantizer; a replayed merge is refused
+    by the applied-batch ledger."""
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.ann_index import (
+        build_ann_index,
+        merge_ann_index,
+    )
+    from daily_top_songs_etl_spark.extensions.similarity import kmeans_fit
+
+    cat = Catalog(spark, str(tmp_path / "mrg"))
+    quant = kmeans_fit(embeddings, k=4, iters=2).localCheckpoint(eager=True)
+    even = embeddings.filter(F.col("vec_id") % 2 == 0)
+    odd = embeddings.filter(F.col("vec_id") % 2 == 1)
+    build_ann_index(cat, "a", even, centroids=quant)
+    build_ann_index(cat, "b", odd, centroids=quant)
+    build_ann_index(cat, "full", embeddings, centroids=quant)
+
+    merge_ann_index(cat, "a", "b")
+    merged = {
+        (r.vec_id, r.cluster)
+        for r in cat.read("a__lists").select("vec_id", "cluster").collect()
+    }
+    oneshot = {
+        (r.vec_id, r.cluster)
+        for r in cat.read("full__lists")
+        .select("vec_id", "cluster")
+        .collect()
+    }
+    assert merged == oneshot
+    occ = {
+        r.cluster: r.n_vectors for r in cat.read("a__centroids").collect()
+    }
+    assert occ == {
+        r.cluster: r.n_vectors
+        for r in cat.read("full__centroids").collect()
+    }
+
+    # replay: refused outright — same lists snapshot, same occupancy
+    v = cat.current_version("a__lists")
+    merge_ann_index(cat, "a", "b")
+    assert cat.current_version("a__lists") == v
+    assert occ == {
+        r.cluster: r.n_vectors for r in cat.read("a__centroids").collect()
+    }
+
+
+def test_merge_ann_index_geometry_guard(spark, embeddings, tmp_path):
+    """Merging an index built under a DIFFERENT quantizer must raise —
+    lists assigned under different centroid geometries are not
+    comparable, and a silent union would corrupt the merged index."""
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.ann_index import (
+        build_ann_index,
+        merge_ann_index,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "geo"))
+    build_ann_index(
+        cat, "a", embeddings.filter(F.col("vec_id") % 2 == 0),
+        n_centroids=4, iters=2,
+    )
+    build_ann_index(
+        cat, "b", embeddings.filter(F.col("vec_id") % 2 == 1),
+        n_centroids=4, iters=1,
+    )
+    with pytest.raises(ValueError, match="quantizer"):
+        merge_ann_index(cat, "a", "b")
+
+
+def test_merge_ann_index_crash_replay_converges(spark, embeddings, tmp_path):
+    """Crash window: the lists ``append_once`` committed but the
+    centroid/ledger pointer flip did not. The replayed merge must
+    converge — one copy of src's rows (append_once refuses the
+    duplicate batch) and ONE occupancy increment (the increment reads
+    src's immutable STORED occupancy, never delete-time state)."""
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.ann_index import (
+        build_ann_index,
+        merge_ann_index,
+    )
+    from daily_top_songs_etl_spark.extensions.similarity import kmeans_fit
+
+    cat = Catalog(spark, str(tmp_path / "crash"))
+    quant = kmeans_fit(embeddings, k=4, iters=2).localCheckpoint(eager=True)
+    build_ann_index(
+        cat, "a", embeddings.filter(F.col("vec_id") % 2 == 0),
+        centroids=quant,
+    )
+    build_ann_index(
+        cat, "b", embeddings.filter(F.col("vec_id") % 2 == 1),
+        centroids=quant,
+    )
+    # simulate the crash: ONLY the idempotent lists append happened
+    cat.append_once(
+        cat.read("b__lists"), "a__lists", "merge-b",
+        partition_by=["cluster"],
+    )
+    # replay the full merge — must converge, not double anything
+    merge_ann_index(cat, "a", "b")
+    lists = cat.read("a__lists")
+    assert lists.count() == embeddings.count()
+    assert lists.select("vec_id").distinct().count() == embeddings.count()
+    occ = {
+        r.cluster: r.n_vectors for r in cat.read("a__centroids").collect()
+    }
+    surv = {
+        r.cluster: r.n
+        for r in lists.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert occ == {c: surv.get(c, 0) for c in occ}
+
+
+def test_cluster_quota_matches_python_reference(spark, embeddings):
+    """cluster_quota vs a direct Python model: quantize (round-half-up
+    ×1000), assign to the 4-lowest-id proto-centroids by exact integer
+    squared distance (ties to the lower cluster id), rank each cluster
+    peripheral-first (d2 DESC, id ASC), keep the top cap."""
+    import decimal
+
+    from daily_top_songs_etl_spark.extensions.similarity import (
+        cluster_quota,
+    )
+
+    def q1000(x):
+        return int(
+            decimal.Decimal(x * 1000).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    rows = sorted(
+        ((r.vec_id, [q1000(float(v)) for v in r.embedding])
+         for r in embeddings.collect()),
+    )
+    cents = [qv for _, qv in rows[:4]]
+    assigned = []
+    for vid, qv in rows:
+        d2s = [
+            sum((a - b) * (a - b) for a, b in zip(qv, cv)) for cv in cents
+        ]
+        best = min(range(4), key=lambda c: (d2s[c], c))
+        assigned.append((vid, best, d2s[best]))
+    want = set()
+    for c in range(4):
+        members = sorted(
+            ((d2, vid) for vid, cl, d2 in assigned if cl == c),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (d2, vid) in enumerate(members[:25], start=1):
+            want.add((vid, c, d2, rank))
+
+    got = {
+        (r.vec_id, r.cluster, r.dist2, r.keep_rank)
+        for r in cluster_quota(embeddings, k=4, cap=25).collect()
+    }
+    assert got == want
+
+
+def test_cluster_quota_fanout_invariant(spark, embeddings):
+    """The two-level top-k merge is EXACT: any fanout produces the same
+    kept set and ranks as the single-window formulation (fanout=1)."""
+    from daily_top_songs_etl_spark.extensions.similarity import (
+        cluster_quota,
+    )
+
+    base = {
+        tuple(r)
+        for r in cluster_quota(
+            embeddings, k=4, cap=10, fanout=1
+        ).collect()
+    }
+    for fanout in (3, 32):
+        assert {
+            tuple(r)
+            for r in cluster_quota(
+                embeddings, k=4, cap=10, fanout=fanout
+            ).collect()
+        } == base
