@@ -1215,6 +1215,56 @@ def q_text_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded lexical-index MERGE (the Lucene segment-merge shape, and
+    the `ann_index_merge` twin): tokenize each parity shard ONCE into
+    its own index — embarrassingly parallel at 100 TB — then
+    `merge_text_index` folds shard B's postings into shard A as a
+    partition-aligned file append (equal `probe_partitions` guard makes
+    stored term_mod values transferable; neither corpus re-tokenized)
+    plus a one-row stats sum from B's immutable stored stats. REPLAYS
+    the merge (refused by the applied-batch ledger — stats must not
+    double) and QUERIES the merged index. The oracle is the
+    whole-corpus BM25 SQL reused verbatim: tokenization is
+    per-document, so shard-build + merge must rank identically to the
+    one-shot build — dropped/doubled postings or stats diverge the
+    scores. Fresh temp catalog, never the session cache. Extension
+    family (no reference analogue)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.text import (
+        build_text_index,
+        merge_text_index,
+        query_text_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="spark_graft_textmrg_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    cat = Catalog(spark, d)
+    build_text_index(
+        cat, "ta", docs.filter(F.col("doc_id") % 2 == 0),
+        probe_partitions=16,
+    )
+    build_text_index(
+        cat, "tb", docs.filter(F.col("doc_id") % 2 == 1),
+        probe_partitions=16,
+    )
+    merge_text_index(cat, "ta", "tb")
+    s0 = cat.read("ta__stats").first()
+    merge_text_index(cat, "ta", "tb")  # replay: refused outright
+    s1 = cat.read("ta__stats").first()
+    assert (s0["n_docs"], s0["sum_dl"]) == (s1["n_docs"], s1["sum_dl"]), (
+        "replayed merge re-applied (ledger failure)"
+    )
+    return query_text_index(
+        cat, "ta", ["spark", "vector", "join", "stream"], k=10
+    )
+
+
 def q_text_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 QUERY against the persisted postings (steady state): the
     scan reads only the query terms' hash partitions, the corpus is
@@ -10121,6 +10171,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_apply_soft": q_dedup_apply_soft,
     "cluster_quota": q_cluster_quota,
     "ann_index_merge": q_ann_index_merge,
+    "text_index_merge": q_text_index_merge,
     # Displaced round-7 head and continuation (every entry below has a
     # driver-verified green row in CORRECTNESS_r01..r07); old relative
     # order kept so build entries stay before their steady-state
@@ -10336,6 +10387,7 @@ _ORACLES: dict[str, str] = {
     "dedup_apply_soft": ORACLE_DEDUP_APPLY_SOFT,
     "cluster_quota": ORACLE_CLUSTER_QUOTA,
     "ann_index_merge": _oracle_ann_index_merge(),
+    "text_index_merge": ORACLE_BM25_TOPK,
     "sim_topk_bruteforce": ORACLE_SIM_TOPK,
     "stream_tumbling_window": ORACLE_TUMBLING,
     "stream_session_window": ORACLE_SESSION,

@@ -1271,6 +1271,92 @@ def append_to_text_index(
     )
 
 
+def merge_text_index(
+    catalog,
+    dst: str,
+    src: str,
+    batch_id: int | str | None = None,
+) -> None:
+    """Fold index ``src``'s postings into index ``dst`` — the Lucene
+    segment-merge shape on the catalog layout, and the lexical twin of
+    ``ann_index.merge_ann_index``: tokenize each corpus shard ONCE into
+    its own index (embarrassingly parallel — per-shard builds never see
+    each other), then consolidate. Because tokenization is per-document
+    and ``term_mod`` hashing is content-deterministic, shard-build +
+    merge is row-identical to a one-shot build of the union corpus —
+    the invariance ``q_text_index_merge``'s BM25 oracle hash-checks.
+
+    Physical shape: the postings union is a partition-aligned file
+    append (``append_once`` moves src's rows into the per-``term_mod``
+    directories — src's stored ``term_mod`` values are valid in dst
+    BECAUSE the guard below pins equal ``probe_partitions``; neither
+    corpus is re-tokenized, neither index re-read beyond src's rows)
+    and the stats update is one row: dst + src's immutable STORED
+    (n_docs, sum_dl) — replay-proof by construction.
+
+    Caller contract: shards must be doc-disjoint (the same contract as
+    appending a batch of genuinely-new documents — a doc present in
+    both shards would double its postings; checking would cost an
+    index-sized anti-join, so it is a contract, not a scan).
+
+    Crash/replay: postings ``append_once`` FIRST (idempotent), then the
+    stats rewrite with the applied-batch ledger committed INSIDE its
+    meta under the same pointer flip — the ``append_to_text_index``
+    ordering; a crash anywhere replays to exactly one fold."""
+    from ..operators.ledger import (
+        LEDGER_META_KEYS,
+        ledger_add,
+        ledger_load,
+        ledger_meta,
+        ledger_seen,
+    )
+
+    if batch_id is None:
+        batch_id = f"merge-{src}"
+    dst_meta = catalog.read_meta(f"{dst}__postings") or {}
+    src_meta = catalog.read_meta(f"{src}__postings") or {}
+    if int(dst_meta["probe_partitions"]) != int(
+        src_meta["probe_partitions"]
+    ):
+        raise ValueError(
+            f"merge_text_index: {src!r} hashes terms over "
+            f"{src_meta['probe_partitions']} partitions but {dst!r} over "
+            f"{dst_meta['probe_partitions']} — stored term_mod values "
+            "are not transferable; rebuild one side"
+        )
+    stats_meta = catalog.read_meta(f"{dst}__stats") or {}
+    led = ledger_load(stats_meta)
+    if ledger_seen(led, batch_id):
+        return
+    catalog.append_once(
+        catalog.read(f"{src}__postings"),
+        f"{dst}__postings",
+        batch_id,
+        partition_by=["term_mod"],
+    )
+    drow = catalog.read(f"{dst}__stats").first()
+    srow = catalog.read(f"{src}__stats").first()
+    new_meta = {
+        k: v
+        for k, v in stats_meta.items()
+        if k not in LEDGER_META_KEYS and k != "applied_batches"
+    }
+    ledger_add(led, batch_id)
+    new_meta.update(ledger_meta(led))
+    spark = catalog.read(f"{dst}__stats").sparkSession
+    catalog.write(
+        spark.createDataFrame(
+            [(
+                int(drow["n_docs"]) + int(srow["n_docs"]),
+                int(drow["sum_dl"]) + int(srow["sum_dl"]),
+            )],
+            "n_docs long, sum_dl long",
+        ),
+        f"{dst}__stats",
+        meta=new_meta,
+    )
+
+
 def compact_text_index(
     catalog, name: str, target_file_bytes: int = 128 << 20
 ) -> None:

@@ -3829,3 +3829,92 @@ def test_cluster_quota_fanout_invariant(spark, embeddings):
                 embeddings, k=4, cap=10, fanout=fanout
             ).collect()
         } == base
+
+
+def test_merge_text_index_sharded_equals_oneshot(spark, documents, tmp_path):
+    """Lexical shard-merge invariance: two parity-shard indexes merged
+    must carry exactly the one-shot build's postings rows AND stats;
+    a replayed merge is refused (stats must not double)."""
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.text import (
+        build_text_index,
+        merge_text_index,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "tmrg"))
+    even = documents.filter(F.col("doc_id") % 2 == 0)
+    odd = documents.filter(F.col("doc_id") % 2 == 1)
+    build_text_index(cat, "a", even, probe_partitions=8)
+    build_text_index(cat, "b", odd, probe_partitions=8)
+    build_text_index(cat, "full", documents, probe_partitions=8)
+
+    merge_text_index(cat, "a", "b")
+    cols = ["doc_id", "term", "tf", "dl"]
+    merged = {tuple(r) for r in cat.read("a__postings").select(cols).collect()}
+    oneshot = {
+        tuple(r) for r in cat.read("full__postings").select(cols).collect()
+    }
+    assert merged == oneshot
+    s = cat.read("a__stats").first()
+    sf = cat.read("full__stats").first()
+    assert (s["n_docs"], s["sum_dl"]) == (sf["n_docs"], sf["sum_dl"])
+
+    # replay refused: stats unchanged, postings not doubled
+    merge_text_index(cat, "a", "b")
+    s2 = cat.read("a__stats").first()
+    assert (s2["n_docs"], s2["sum_dl"]) == (s["n_docs"], s["sum_dl"])
+    assert cat.read("a__postings").count() == len(oneshot)
+
+
+def test_merge_text_index_partitioning_guard(spark, documents, tmp_path):
+    """Merging indexes with different probe_partitions must raise —
+    stored term_mod values are not transferable across hash moduli."""
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.text import (
+        build_text_index,
+        merge_text_index,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "tguard"))
+    build_text_index(
+        cat, "a", documents.filter(F.col("doc_id") % 2 == 0),
+        probe_partitions=8,
+    )
+    build_text_index(
+        cat, "b", documents.filter(F.col("doc_id") % 2 == 1),
+        probe_partitions=16,
+    )
+    with pytest.raises(ValueError, match="term_mod"):
+        merge_text_index(cat, "a", "b")
+
+
+def test_merge_text_index_crash_replay_converges(spark, documents, tmp_path):
+    """Crash window: postings append_once committed, stats flip did
+    not. The replayed merge converges — one copy of src's postings,
+    one stats fold (the fold reads src's immutable stored stats)."""
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.text import (
+        build_text_index,
+        merge_text_index,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "tcrash"))
+    even = documents.filter(F.col("doc_id") % 2 == 0)
+    odd = documents.filter(F.col("doc_id") % 2 == 1)
+    build_text_index(cat, "a", even, probe_partitions=8)
+    build_text_index(cat, "b", odd, probe_partitions=8)
+    n_a = cat.read("a__postings").count()
+    n_b = cat.read("b__postings").count()
+    # simulate the crash: ONLY the idempotent postings append happened
+    cat.append_once(
+        cat.read("b__postings"), "a__postings", "merge-b",
+        partition_by=["term_mod"],
+    )
+    merge_text_index(cat, "a", "b")
+    assert cat.read("a__postings").count() == n_a + n_b
+    s = cat.read("a__stats").first()
+    assert s["n_docs"] == documents.count()
+    tf_sum = (
+        cat.read("a__postings").agg(F.sum("tf").alias("s")).first()["s"]
+    )
+    assert s["sum_dl"] == tf_sum
