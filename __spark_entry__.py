@@ -886,6 +886,62 @@ ORACLE_DEDUP_INDEX_BUILD = (
     + "\nSELECT * FROM c_sig\n"
 )
 
+#: Shard-merge invariance for the dedup index: MinHash signatures have
+#: no trained state, so two parity-shard indexes merged must equal the
+#: one-shot signature pass over the FULL corpus.
+ORACLE_DEDUP_INDEX_MERGE = (
+    "WITH "
+    + _sig_cte_sql("c_", "TRUE")
+    + "\nSELECT * FROM c_sig\n"
+)
+
+
+def q_dedup_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded dedup-index MERGE — the third of the three persisted
+    indexes to gain shard-parallel build + merge (`ann_index_merge`,
+    `text_index_merge`): MinHash signatures are content-deterministic
+    with NO trained state, so the merge is pure idempotent appends
+    (signatures file-level, bands partition-aligned on bucket_mod —
+    `append_once` keyed by the merge id, replay converges with no
+    ledger). Builds both parity shards WITH the partitioned probe
+    layout, merges, REPLAYS the merge (row counts must not double),
+    and returns the merged signature table — hash-checked against the
+    one-shot full-corpus signature pass. Fresh temp catalog, never the
+    session cache. Extension family (no reference analogue)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        build_dedup_index,
+        merge_dedup_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="spark_graft_ddmrg_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    cat = Catalog(spark, d)
+    build_dedup_index(
+        cat, "da", docs.filter(F.col("doc_id") % 2 == 0),
+        probe_partitions=16,
+    )
+    build_dedup_index(
+        cat, "db", docs.filter(F.col("doc_id") % 2 == 1),
+        probe_partitions=16,
+    )
+    merge_dedup_index(cat, "da", "db")
+    n_sig = cat.read("da__signatures").count()
+    n_bands = cat.read("da__bands").count()
+    merge_dedup_index(cat, "da", "db")  # replay: converges, no doubling
+    assert cat.read("da__signatures").count() == n_sig, (
+        "replayed merge doubled signatures"
+    )
+    assert cat.read("da__bands").count() == n_bands, (
+        "replayed merge doubled the band layout"
+    )
+    return cat.read("da__signatures")
+
 ORACLE_DEDUP_INDEX_QUERY = (
     "WITH "
     + _sig_cte_sql("c_", "doc_id % 5 <> 0")
@@ -10172,6 +10228,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_quota": q_cluster_quota,
     "ann_index_merge": q_ann_index_merge,
     "text_index_merge": q_text_index_merge,
+    "dedup_index_merge": q_dedup_index_merge,
     # Displaced round-7 head and continuation (every entry below has a
     # driver-verified green row in CORRECTNESS_r01..r07); old relative
     # order kept so build entries stay before their steady-state
@@ -10388,6 +10445,7 @@ _ORACLES: dict[str, str] = {
     "cluster_quota": ORACLE_CLUSTER_QUOTA,
     "ann_index_merge": _oracle_ann_index_merge(),
     "text_index_merge": ORACLE_BM25_TOPK,
+    "dedup_index_merge": ORACLE_DEDUP_INDEX_MERGE,
     "sim_topk_bruteforce": ORACLE_SIM_TOPK,
     "stream_tumbling_window": ORACLE_TUMBLING,
     "stream_session_window": ORACLE_SESSION,

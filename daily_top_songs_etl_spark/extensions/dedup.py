@@ -1554,6 +1554,58 @@ def match_against_dedup_index(
     )
 
 
+def merge_dedup_index(
+    catalog,
+    dst: str,
+    src: str,
+    batch_id: int | str | None = None,
+) -> None:
+    """Fold shard index ``src``'s signatures (and band layout, when
+    present) into ``dst`` — completing shard-parallel build + merge
+    across all three persisted indexes (`ann_index.merge_ann_index`,
+    `text.merge_text_index`). The dedup index is the EASY case:
+    MinHash signatures are content-deterministic with NO trained state
+    (no quantizer, no corpus stats), so shard-build + merge is
+    row-identical to a one-shot build of the union corpus, and the
+    whole merge reduces to idempotent appends — every write is an
+    ``append_once`` keyed by ``batch_id`` (default ``"merge-{src}"``),
+    so a replay or crash-window rerun converges with NO applied-batch
+    ledger and no ordering argument.
+
+    Guards: ``n_hashes`` / ``band_size`` / ``probe_partitions`` must
+    match — signatures hashed differently are not comparable, and
+    stored ``bucket_mod`` values only transfer between equal moduli.
+    Shards must be doc-disjoint (the append contract).
+
+    Scale shape: signature rows move as a file-level append (the
+    signature table is ~0.3% of corpus bytes); the band layout appends
+    partition-aligned on ``bucket_mod`` — no shuffle, neither corpus
+    re-shingled, neither index re-read beyond src's rows."""
+    dmeta = catalog.read_meta(f"{dst}__signatures") or {}
+    smeta = catalog.read_meta(f"{src}__signatures") or {}
+    for k in ("n_hashes", "band_size", "probe_partitions"):
+        if dmeta.get(k) != smeta.get(k):
+            raise ValueError(
+                f"merge_dedup_index: {src!r} and {dst!r} disagree on "
+                f"{k} ({smeta.get(k)!r} vs {dmeta.get(k)!r}) — "
+                "signatures/buckets are not comparable; rebuild one side"
+            )
+    if batch_id is None:
+        batch_id = f"merge-{src}"
+    catalog.append_once(
+        catalog.read(f"{src}__signatures"),
+        f"{dst}__signatures",
+        batch_id,
+    )
+    if dmeta.get("probe_partitions"):
+        catalog.append_once(
+            catalog.read(f"{src}__bands"),
+            f"{dst}__bands",
+            batch_id,
+            partition_by=["bucket_mod"],
+        )
+
+
 def compact_dedup_index(
     catalog, name: str, target_file_bytes: int = 128 << 20
 ) -> None:

@@ -3918,3 +3918,98 @@ def test_merge_text_index_crash_replay_converges(spark, documents, tmp_path):
         cat.read("a__postings").agg(F.sum("tf").alias("s")).first()["s"]
     )
     assert s["sum_dl"] == tf_sum
+
+
+def test_merge_dedup_index_sharded_equals_oneshot(spark, documents, tmp_path):
+    """Dedup-index shard-merge invariance: signatures have no trained
+    state, so merged parity shards carry exactly the one-shot build's
+    signature AND band rows; a replayed merge converges (append_once
+    idempotency — no ledger involved)."""
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        build_dedup_index,
+        merge_dedup_index,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "ddmrg"))
+    even = documents.filter(F.col("doc_id") % 2 == 0)
+    odd = documents.filter(F.col("doc_id") % 2 == 1)
+    build_dedup_index(cat, "a", even, probe_partitions=4)
+    build_dedup_index(cat, "b", odd, probe_partitions=4)
+    build_dedup_index(cat, "full", documents, probe_partitions=4)
+
+    merge_dedup_index(cat, "a", "b")
+    for table in ("signatures", "bands"):
+        merged = {
+            tuple(r) for r in cat.read(f"a__{table}").collect()
+        }
+        oneshot = {
+            tuple(r) for r in cat.read(f"full__{table}").collect()
+        }
+        assert merged == oneshot, table
+
+    n_sig = cat.read("a__signatures").count()
+    n_bands = cat.read("a__bands").count()
+    merge_dedup_index(cat, "a", "b")  # replay
+    assert cat.read("a__signatures").count() == n_sig
+    assert cat.read("a__bands").count() == n_bands
+
+
+def test_merge_dedup_index_param_guard(spark, documents, tmp_path):
+    """Merging indexes with different banding/hashing parameters must
+    raise — signatures hashed differently are not comparable."""
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        build_dedup_index,
+        merge_dedup_index,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "ddguard"))
+    build_dedup_index(
+        cat, "a", documents.filter(F.col("doc_id") % 2 == 0),
+        probe_partitions=4,
+    )
+    build_dedup_index(
+        cat, "b", documents.filter(F.col("doc_id") % 2 == 1),
+        probe_partitions=8,
+    )
+    with pytest.raises(ValueError, match="probe_partitions"):
+        merge_dedup_index(cat, "a", "b")
+
+
+def test_merge_dedup_index_queries_see_merged_corpus(
+    spark, documents, tmp_path
+):
+    """After the merge, a probe against dst matches near-dups whose
+    representatives live in EITHER shard — the operational point of
+    consolidating shard indexes."""
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.dedup import (
+        build_dedup_index,
+        match_against_dedup_index,
+        merge_dedup_index,
+    )
+
+    corpus = documents.filter(F.col("doc_id") >= 10)
+    cat = Catalog(spark, str(tmp_path / "ddprobe"))
+    build_dedup_index(
+        cat, "a", corpus.filter(F.col("doc_id") % 2 == 0),
+        probe_partitions=4,
+    )
+    build_dedup_index(
+        cat, "b", corpus.filter(F.col("doc_id") % 2 == 1),
+        probe_partitions=4,
+    )
+    merge_dedup_index(cat, "a", "b")
+    # a batch of EXACT copies of corpus docs from both parities must
+    # match their originals through the merged index
+    batch = (
+        corpus.filter(F.col("doc_id").isin(10, 11, 12, 13))
+        .select((F.col("doc_id") - 10).alias("doc_id"), "text")
+    )
+    m = match_against_dedup_index(cat, "a", batch)
+    got = {
+        (r.batch_doc_id, r.corpus_doc_id)
+        for r in m.filter(F.col("est_jaccard") == 1.0).collect()
+    }
+    assert {(0, 10), (1, 11), (2, 12), (3, 13)} <= got
