@@ -692,3 +692,59 @@ def test_importance_resample_matches_reference_model(spark, docs, n):
         t_mass, r_mass = scored[i]
         assert (out[i].target_mass, out[i].raw_mass) == (t_mass, r_mass)
         assert out[i].sel_rank == rank
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-3, 3), min_size=4, max_size=4),
+        min_size=1,
+        max_size=40,
+    ),
+    cap=st.integers(1, 6),
+)
+def test_cluster_quota_matches_model_on_random_corpora(spark, vecs, cap):
+    """For ANY integer corpus (duplicate vectors and exact distance
+    ties included, n possibly < k): cluster_quota equals the direct
+    Python model — assign to the k-lowest-id proto-centroids by exact
+    d2 (ties to the lower cluster), rank each cluster by (d2 DESC,
+    id ASC), keep the top ``cap``. Integer components × QUANT_SCALE
+    round exactly, so quantization is trivially shared with the model
+    and the property isolates the assignment/rank/cap algebra."""
+    from daily_top_songs_etl_spark.extensions.similarity import (
+        cluster_quota,
+    )
+
+    k = 3
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.vec_id, r.cluster, r.dist2, r.keep_rank)
+        for r in cluster_quota(emb, k=k, cap=cap, fanout=3).collect()
+    }
+
+    q = {i: [x * 1000 for x in v] for i, v in enumerate(vecs)}
+    cents = [q[i] for i in sorted(q)[: min(k, len(q))]]
+    assigned = []
+    for vid in sorted(q):
+        d2s = [
+            sum((a - b) * (a - b) for a, b in zip(q[vid], cv))
+            for cv in cents
+        ]
+        best = min(range(len(cents)), key=lambda c: (d2s[c], c))
+        assigned.append((vid, best, d2s[best]))
+    want = set()
+    for c in range(len(cents)):
+        members = sorted(
+            ((d2, vid) for vid, cl, d2 in assigned if cl == c),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (d2, vid) in enumerate(members[:cap], start=1):
+            want.add((vid, c, d2, rank))
+    assert got == want
