@@ -1343,9 +1343,8 @@ def merge_text_index(
     }
     ledger_add(led, batch_id)
     new_meta.update(ledger_meta(led))
-    spark = catalog.read(f"{dst}__stats").sparkSession
     catalog.write(
-        spark.createDataFrame(
+        catalog.spark.createDataFrame(
             [(
                 int(drow["n_docs"]) + int(srow["n_docs"]),
                 int(drow["sum_dl"]) + int(srow["sum_dl"]),
