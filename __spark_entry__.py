@@ -4993,6 +4993,61 @@ def q_ivfpq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded IVF-PQ index MERGE — the compressed-list variant of
+    `ann_index_merge`, exercising `merge_ann_index`'s PQ branch
+    (codebook-identity guard + pqlists partition-aligned append): train
+    the coarse quantizer AND the m=4 PQ codebooks ONCE on the corpus,
+    encode each parity shard in parallel under the shared trained index
+    (`build_ivfpq_index(centroids=..., codebook=...)` — FAISS's
+    recommended large-scale recipe), merge shard B into A, REPLAY the
+    merge (refused by the ledger), and return the merged code lists.
+    Oracle: the one-shot full-corpus build's stored lists
+    (`ORACLE_IVFPQ_INDEX_BUILD` reused verbatim) — codes depend only on
+    (vector, codebook) and routing only on (vector, centroids), so
+    shard boundaries must not change a single stored byte. Extension
+    family (no reference analogue)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.ann_index import (
+        build_ivfpq_index,
+        merge_ann_index,
+    )
+    from daily_top_songs_etl_spark.extensions.pq import pq_train
+    from daily_top_songs_etl_spark.extensions.similarity import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = tempfile.mkdtemp(prefix="spark_graft_ipqmrg_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    cat = Catalog(spark, d)
+    quantizer = kmeans_fit(emb, k=8, iters=2).localCheckpoint(eager=True)
+    codebook = pq_train(emb, m=4, k=8, iters=2).localCheckpoint(eager=True)
+    build_ivfpq_index(
+        cat, "p", emb.filter(F.col("vec_id") % 2 == 0),
+        centroids=quantizer, codebook=codebook,
+    )
+    build_ivfpq_index(
+        cat, "pb", emb.filter(F.col("vec_id") % 2 == 1),
+        centroids=quantizer, codebook=codebook,
+    )
+    merge_ann_index(cat, "p", "pb")
+    occ_after = {
+        r["cluster"]: r["n_vectors"]
+        for r in cat.read("p__centroids").collect()  # k=8 rows
+    }
+    merge_ann_index(cat, "p", "pb")  # replay: refused outright
+    assert {
+        r["cluster"]: r["n_vectors"]
+        for r in cat.read("p__centroids").collect()
+    } == occ_after, "replayed PQ merge re-applied (ledger failure)"
+    return cat.read("p__pqlists").select(
+        "vec_id", "cluster", "code_0", "code_1", "code_2", "code_3"
+    )
+
+
 def q_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ QUERY (steady state): per query, probe the 2 nearest of 8
     inverted lists (broadcast centroid table → static partition-pruned
@@ -10229,6 +10284,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_index_merge": q_ann_index_merge,
     "text_index_merge": q_text_index_merge,
     "dedup_index_merge": q_dedup_index_merge,
+    "ivfpq_merge": q_ivfpq_merge,
     # Displaced round-7 head and continuation (every entry below has a
     # driver-verified green row in CORRECTNESS_r01..r07); old relative
     # order kept so build entries stay before their steady-state
@@ -10446,6 +10502,7 @@ _ORACLES: dict[str, str] = {
     "ann_index_merge": _oracle_ann_index_merge(),
     "text_index_merge": ORACLE_BM25_TOPK,
     "dedup_index_merge": ORACLE_DEDUP_INDEX_MERGE,
+    "ivfpq_merge": ORACLE_IVFPQ_INDEX_BUILD,
     "sim_topk_bruteforce": ORACLE_SIM_TOPK,
     "stream_tumbling_window": ORACLE_TUMBLING,
     "stream_session_window": ORACLE_SESSION,

@@ -497,6 +497,8 @@ def build_ivfpq_index(
     m: int = 4,
     k_codes: int = 8,
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
 ) -> None:
     """Build the combined IVF-PQ index (Jégou et al. 2011's IVFADC
     layout, encoding raw vectors rather than residuals — the
@@ -518,15 +520,30 @@ def build_ivfpq_index(
     Scale shape: two independent trainings (coarse kmeans + m subspace
     kmeans — all broadcast-centroid Lloyd loops), then ONE corpus pass
     joining the cosine cluster assignment with the PQ encode (both are
-    broadcast joins + a hash aggregate keyed on vec_id)."""
+    broadcast joins + a hash aggregate keyed on vec_id).
+
+    ``centroids`` + ``codebook`` — a pre-trained coarse quantizer and
+    PQ codebook — skip BOTH trainings and encode this corpus shard
+    under the GIVEN geometry: the sharded-build half of the production
+    IVF-PQ flow (FAISS's recommended large-scale recipe — train on a
+    sample, encode shards in parallel with the SAME trained index,
+    consolidate with :func:`merge_ann_index`). Supplied together or
+    not at all: codes under one codebook are meaningless against
+    another's centroids."""
     from .pq import pq_encode, pq_train
 
-    centroids = kmeans_fit(
-        embeddings, k=n_centroids, iters=iters, id_col=id_col
-    )
-    codebook = pq_train(
-        embeddings, m=m, k=k_codes, iters=iters, id_col=id_col
-    )
+    if (centroids is None) != (codebook is None):
+        raise ValueError(
+            "build_ivfpq_index: supply centroids AND codebook together "
+            "(codes under one codebook are not comparable under another)"
+        )
+    if centroids is None:
+        centroids = kmeans_fit(
+            embeddings, k=n_centroids, iters=iters, id_col=id_col
+        )
+        codebook = pq_train(
+            embeddings, m=m, k=k_codes, iters=iters, id_col=id_col
+        )
     catalog.write(codebook, f"{name}__codebook")
     cent = _centroid_rel(centroids)
     base = quantize_embeddings(embeddings).select(

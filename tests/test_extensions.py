@@ -4013,3 +4013,61 @@ def test_merge_dedup_index_queries_see_merged_corpus(
         for r in m.filter(F.col("est_jaccard") == 1.0).collect()
     }
     assert {(0, 10), (1, 11), (2, 12), (3, 13)} <= got
+
+
+def test_merge_ivfpq_sharded_equals_oneshot(spark, embeddings, tmp_path):
+    """PQ-branch shard-merge invariance: parity shards encoded under ONE
+    shared (quantizer, codebook) and merged carry exactly the one-shot
+    build's code lists and occupancy; a codebook mismatch raises."""
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.ann_index import (
+        build_ivfpq_index,
+        merge_ann_index,
+    )
+    from daily_top_songs_etl_spark.extensions.pq import pq_train
+    from daily_top_songs_etl_spark.extensions.similarity import kmeans_fit
+
+    cat = Catalog(spark, str(tmp_path / "ipqmrg"))
+    quant = kmeans_fit(embeddings, k=4, iters=2).localCheckpoint(eager=True)
+    cb = pq_train(embeddings, m=4, k=4, iters=2).localCheckpoint(eager=True)
+    even = embeddings.filter(F.col("vec_id") % 2 == 0)
+    odd = embeddings.filter(F.col("vec_id") % 2 == 1)
+    build_ivfpq_index(cat, "a", even, centroids=quant, codebook=cb, m=4)
+    build_ivfpq_index(cat, "b", odd, centroids=quant, codebook=cb, m=4)
+    build_ivfpq_index(cat, "full", embeddings, centroids=quant,
+                      codebook=cb, m=4)
+
+    merge_ann_index(cat, "a", "b")
+    cols = ["vec_id", "cluster", "code_0", "code_1", "code_2", "code_3"]
+    merged = {tuple(r) for r in cat.read("a__pqlists").select(cols).collect()}
+    oneshot = {
+        tuple(r) for r in cat.read("full__pqlists").select(cols).collect()
+    }
+    assert merged == oneshot
+    occ = {r.cluster: r.n_vectors for r in cat.read("a__centroids").collect()}
+    assert occ == {
+        r.cluster: r.n_vectors
+        for r in cat.read("full__centroids").collect()
+    }
+
+    # codebook mismatch: an index trained on its own codebook refuses
+    build_ivfpq_index(cat, "c", odd, n_centroids=4, iters=1, m=4, k_codes=4)
+    with pytest.raises(ValueError, match="quantizer|codebook"):
+        merge_ann_index(cat, "a", "c")
+
+
+def test_build_ivfpq_requires_paired_pretrained_state(
+    spark, embeddings, tmp_path
+):
+    """centroids without codebook (or vice versa) must raise — codes
+    under one codebook are not comparable under another's centroids."""
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.ann_index import (
+        build_ivfpq_index,
+    )
+    from daily_top_songs_etl_spark.extensions.similarity import kmeans_fit
+
+    cat = Catalog(spark, str(tmp_path / "ipqpair"))
+    quant = kmeans_fit(embeddings, k=4, iters=1)
+    with pytest.raises(ValueError, match="together"):
+        build_ivfpq_index(cat, "x", embeddings, centroids=quant)
