@@ -83,7 +83,33 @@ class Catalog:
         reader = self.spark.read
         if declared is not None:
             reader = reader.schema(declared)
-        return reader.parquet(p)
+            return reader.parquet(p)
+        return self._read_inferred(p)
+
+    def _read_inferred(self, p: str) -> DataFrame:
+        """Inference-schema read with the zero-footer fallback: a
+        snapshot written from zero rows (empty index shard, fully
+        purged state) has no parquet footers to infer from, so fall
+        back to the schema recorded in its ``_meta.json`` at write
+        time. Tried-then-caught rather than pre-checked: the failure
+        path is the rare one, and probing for data files first would
+        cost a driver-side listing on EVERY read of a large table."""
+        from pyspark.errors import AnalysisException
+        from pyspark.sql.types import StructType
+
+        try:
+            return self.spark.read.parquet(p)
+        except AnalysisException:
+            try:
+                with open(os.path.join(p, "_meta.json")) as f:
+                    sj = json.load(f).get("__schema")
+            except FileNotFoundError:
+                sj = None
+            if sj is None:
+                raise
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(sj))
+            )
 
     def read_at(self, table: str, version: int) -> DataFrame:
         """Time-travel read of a retained snapshot version (Iceberg/Delta
@@ -98,10 +124,9 @@ class Catalog:
                 f"(current={cur}, keep={KEEP_VERSIONS})"
             )
         declared = schemas.TABLE_SCHEMAS.get(table)
-        reader = self.spark.read
         if declared is not None:
-            reader = reader.schema(declared)
-        return reader.parquet(p)
+            return self.spark.read.schema(declared).parquet(p)
+        return self._read_inferred(p)
 
     def write(
         self,
@@ -129,9 +154,14 @@ class Catalog:
         if cols:
             writer = writer.partitionBy(*cols)
         writer.parquet(target)
-        if meta is not None:
-            with open(os.path.join(target, "_meta.json"), "w") as f:
-                json.dump(meta, f)
+        # Always record the written schema in the sidecar: a zero-row
+        # partitioned snapshot writes NO parquet footers, so a later
+        # read of an inference-schema (extension-owned) table would
+        # have nothing to infer from — an empty index shard or a
+        # purged-to-empty state table must stay readable. ``read``
+        # falls back to this on UNABLE_TO_INFER_SCHEMA.
+        with open(os.path.join(target, "_meta.json"), "w") as f:
+            json.dump({"__schema": df.schema.json(), **(meta or {})}, f)
         tmp = self._pointer(table) + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(new_v))

@@ -1024,3 +1024,34 @@ def test_langid_confusion_totals(spark):
         by_lang.setdefault(r.lang, []).append(r)
     for lang, rows in by_lang.items():
         assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+
+
+def test_catalog_reads_zero_footer_snapshot_via_meta_schema(spark, tmp_path):
+    """A snapshot written from ZERO rows (empty index shard, fully
+    purged state) writes no parquet footers; an inference-schema table
+    must still read back — empty, with the schema recorded in the
+    write-time sidecar — including partitioned layouts (which write no
+    files at all when empty) and the read_at time-travel path."""
+    from daily_top_songs_etl_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "emptycat"))
+    empty = spark.createDataFrame(
+        [], "doc_id long, term string, tf long, term_mod int"
+    )
+    cat.write(empty, "t", partition_by=["term_mod"], meta={"k": 1})
+    got = cat.read("t")
+    assert got.count() == 0
+    assert set(got.columns) == {"doc_id", "term", "tf", "term_mod"}
+    assert cat.read_meta("t")["k"] == 1  # caller meta rides alongside
+    assert got.schema["doc_id"].dataType.simpleString() == "bigint"
+    v = cat.current_version("t")
+    assert cat.read_at("t", v).count() == 0
+    # appending real rows later keeps the table readable the normal way
+    cat.append(
+        spark.createDataFrame(
+            [(1, "x", 2, 0)], "doc_id long, term string, tf long, term_mod int"
+        ),
+        "t",
+        partition_by=["term_mod"],
+    )
+    assert cat.read("t").count() == 1

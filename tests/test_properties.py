@@ -748,3 +748,63 @@ def test_cluster_quota_matches_model_on_random_corpora(spark, vecs, cap):
         for rank, (d2, vid) in enumerate(members[:cap], start=1):
             want.add((vid, c, d2, rank))
     assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+            ),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=16,
+    ),
+    split_mod=st.integers(2, 3),
+)
+def test_text_index_shard_merge_invariant(
+    spark, tmp_path_factory, docs, split_mod
+):
+    """For ANY corpus and ANY doc-disjoint sharding: shard-built lexical
+    indexes merged carry exactly the one-shot build's postings and
+    stats. Sound because tokenization is per-document and term_mod
+    hashing is content-deterministic — the property the registered
+    BM25-oracle face checks on real data, here exercised on random
+    corpora including empty documents and fully-duplicated shards."""
+    from daily_top_songs_etl_spark.extensions.text import (
+        build_text_index,
+        merge_text_index,
+    )
+
+    tmp = tmp_path_factory.mktemp("tmrgprop")
+    cat = Catalog(spark, str(tmp))
+    corpus = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    shards = [
+        corpus.filter(F.col("doc_id") % split_mod == r)
+        for r in range(split_mod)
+    ]
+    build_text_index(cat, "m", shards[0], probe_partitions=4)
+    for r, shard in enumerate(shards[1:], start=1):
+        build_text_index(cat, f"s{r}", shard, probe_partitions=4)
+        merge_text_index(cat, "m", f"s{r}")
+    build_text_index(cat, "full", corpus, probe_partitions=4)
+
+    cols = ["doc_id", "term", "tf", "dl"]
+    merged = {tuple(r) for r in cat.read("m__postings").select(cols).collect()}
+    oneshot = {
+        tuple(r) for r in cat.read("full__postings").select(cols).collect()
+    }
+    assert merged == oneshot
+    sm = cat.read("m__stats").first()
+    sf = cat.read("full__stats").first()
+    assert (sm["n_docs"], sm["sum_dl"]) == (sf["n_docs"], sf["sum_dl"])
