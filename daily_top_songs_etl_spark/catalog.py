@@ -34,6 +34,19 @@ PARTITIONED = {"ranking": ["ranking_date"]}
 KEEP_VERSIONS = 2
 
 
+def _batch_token(batch_id: int | str) -> str:
+    """Injective, filesystem-safe encoding of a batch id. Alphanumerics
+    map to themselves; every other character (including ``_`` itself, so
+    the escape is unambiguous) becomes ``_XX`` hex. The output contains
+    no ``-``, so ``batch-{token}-`` prefixes of distinct ids can never
+    collide — and no ``:`` / ``/``, so Hadoop Path never URI-parses it.
+    Fixed-width hex keeps the escape decodable (variable width would make
+    ``_2d`` + ``b`` collide with U+02DB)."""
+    return "".join(
+        c if c.isalnum() else f"_{ord(c):06x}" for c in str(batch_id)
+    )
+
+
 class Catalog:
     """Read/write named versioned tables under a root directory."""
 
@@ -93,13 +106,26 @@ class Catalog:
         back to the schema recorded in its ``_meta.json`` at write
         time. Tried-then-caught rather than pre-checked: the failure
         path is the rare one, and probing for data files first would
-        cost a driver-side listing on EVERY read of a large table."""
+        cost a driver-side listing on EVERY read of a large table.
+
+        Only the zero-footer error class takes the fallback: since
+        ``write`` records ``__schema`` unconditionally, a blanket catch
+        would convert ANY analysis failure on a non-empty table (schema
+        conflict across batch-appended files, corrupt footer surfaced at
+        analysis) into a silent "table is empty". Those must stay loud.
+        """
         from pyspark.errors import AnalysisException
         from pyspark.sql.types import StructType
 
         try:
             return self.spark.read.parquet(p)
-        except AnalysisException:
+        except AnalysisException as e:
+            get_class = getattr(e, "getCondition", None) or e.getErrorClass
+            klass = get_class() or ""
+            if "UNABLE_TO_INFER_SCHEMA" not in klass and (
+                "UNABLE_TO_INFER_SCHEMA" not in str(e)
+            ):
+                raise
             try:
                 with open(os.path.join(p, "_meta.json")) as f:
                     sj = json.load(f).get("__schema")
@@ -159,9 +185,15 @@ class Catalog:
         # read of an inference-schema (extension-owned) table would
         # have nothing to infer from — an empty index shard or a
         # purged-to-empty state table must stay readable. ``read``
-        # falls back to this on UNABLE_TO_INFER_SCHEMA.
+        # falls back to this on UNABLE_TO_INFER_SCHEMA. The fresh schema
+        # goes LAST: callers routinely round-trip read_meta() output back
+        # into write(meta=...), and read_meta now always carries the
+        # previous snapshot's __schema — merged first-wins, a stale
+        # schema would silently shadow the one just written and the
+        # zero-footer fallback would fabricate a wrongly-shaped frame
+        # after any schema evolution.
         with open(os.path.join(target, "_meta.json"), "w") as f:
-            json.dump({"__schema": df.schema.json(), **(meta or {})}, f)
+            json.dump({**(meta or {}), "__schema": df.schema.json()}, f)
         tmp = self._pointer(table) + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(new_v))
@@ -179,15 +211,24 @@ class Catalog:
         #3). Sidecars (``_meta.json``, ``_SUCCESS``, checksum files)
         are excluded."""
         p = self.path(table)
-        out: dict[str, int] = {}
         if p is None:
-            return out
-        for root, _dirs, files in os.walk(p):
+            return {}
+        return self.dir_file_sizes(p)
+
+    @staticmethod
+    def dir_file_sizes(path: str) -> dict[str, int]:
+        """Data-file byte sizes under an arbitrary directory (same
+        contract as :meth:`file_sizes`, for callers that operate on raw
+        parquet directories rather than catalog tables — the generic
+        compactor). This is the single filesystem-walk site in the
+        codebase: an object-store backend swaps this one method."""
+        out: dict[str, int] = {}
+        for root, _dirs, files in os.walk(path):
             for fname in files:
                 if fname.startswith(("_", ".")):
                     continue
                 fp = os.path.join(root, fname)
-                out[os.path.relpath(fp, p)] = os.path.getsize(fp)
+                out[os.path.relpath(fp, path)] = os.path.getsize(fp)
         return out
 
     def read_meta(self, table: str) -> dict | None:
@@ -246,6 +287,12 @@ class Catalog:
         before step 3 the table is untouched; mid-step-3 the partial
         files are removed by step 2 of the replay. Unlike ``append``
         (bare ``mode("append")``), a replay can never double the rows.
+
+        The batch id is embedded via :func:`_batch_token` — an injective
+        encoding whose output contains no ``-`` — so the replay-cleanup
+        prefix of one batch can never match another batch's files even
+        when one id is a dash-prefix of the other (``merge-x`` vs
+        ``merge-x-y``, the documented ledgerless-merge path).
         """
         p = self.path(table)
         if p is None:
@@ -263,14 +310,15 @@ class Catalog:
         meta = self.read_meta(table) or {}
         if str(meta.get("created_by_batch")) == str(batch_id):
             return
+        tok = _batch_token(batch_id)
         tdir = self._table_dir(table)
-        staging = os.path.join(tdir, f"_staging_batch_{batch_id}")
+        staging = os.path.join(tdir, f"_staging_batch_{tok}")
         writer = df.write.mode("overwrite")
         cols = partition_by or PARTITIONED.get(table)
         if cols:
             writer = writer.partitionBy(*cols)
         writer.parquet(staging)
-        prefix = f"batch-{batch_id}-"
+        prefix = f"batch-{tok}-"
         for root, _dirs, files in os.walk(p):
             for fname in files:
                 if fname.startswith(prefix):

@@ -1583,6 +1583,17 @@ def merge_dedup_index(
     re-shingled, neither index re-read beyond src's rows."""
     dmeta = catalog.read_meta(f"{dst}__signatures") or {}
     smeta = catalog.read_meta(f"{src}__signatures") or {}
+    for k in ("n_hashes", "band_size"):
+        # A side with MISSING hashing params (older build, lost sidecar)
+        # must refuse, not merge: None == None would silently combine
+        # indexes whose signature universes were never verified to match.
+        if dmeta.get(k) is None or smeta.get(k) is None:
+            raise ValueError(
+                f"merge_dedup_index: {src!r} or {dst!r} lacks required "
+                f"meta key {k!r} (src={smeta.get(k)!r}, "
+                f"dst={dmeta.get(k)!r}) — hashing parameters unverifiable; "
+                "rebuild the side with missing meta"
+            )
     for k in ("n_hashes", "band_size", "probe_partitions"):
         if dmeta.get(k) != smeta.get(k):
             raise ValueError(

@@ -113,9 +113,10 @@ def compact(
 
     Micro-batch appends (the reference's ~10-rows/day cadence) accumulate
     tiny files whose per-file open/footer cost eventually dominates scans;
-    compaction rewrites them at the target size. File sizes are probed via
-    the local filesystem here (single-node test rig); the cluster version
-    swaps in the Hadoop FileSystem listing — the Spark plan is identical.
+    compaction rewrites them at the target size. File sizes go through
+    ``Catalog.dir_file_sizes`` — the codebase's single physical-listing
+    site, so a non-POSIX backend (object-store LIST) swaps one method and
+    every compactor follows; the Spark plan is identical either way.
     Round-robin ``repartition`` balances output bytes; pass
     ``preserve_cluster`` to instead re-run :func:`cluster_by` so an
     existing sort layout survives the rewrite. Writes to ``dest`` (swap is
@@ -123,13 +124,13 @@ def compact(
     pointer flip). Returns the output file count.
     """
     import math
-    import os
+
+    from ..catalog import Catalog
 
     total = sum(
-        os.path.getsize(os.path.join(r, f))
-        for r, _, fs in os.walk(src)
-        for f in fs
-        if f.endswith(".parquet")
+        sz
+        for rel, sz in Catalog.dir_file_sizes(src).items()
+        if rel.endswith(".parquet")
     )
     n = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(src)

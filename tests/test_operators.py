@@ -1055,3 +1055,117 @@ def test_catalog_reads_zero_footer_snapshot_via_meta_schema(spark, tmp_path):
         partition_by=["term_mod"],
     )
     assert cat.read("t").count() == 1
+
+
+def test_catalog_inferred_read_reraises_non_zero_footer_errors(
+    spark, tmp_path
+):
+    """The zero-footer fallback must trigger ONLY on
+    UNABLE_TO_INFER_SCHEMA: any other analysis failure on an
+    inference-schema table (schema conflict, corrupt footer at analysis)
+    must propagate loudly instead of being served as 'table is empty' —
+    the sidecar now always carries __schema, so a blanket catch would
+    swallow every analysis error (round-8 ADVICE, medium)."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.write(spark.createDataFrame([(1,)], "k long"), "t")
+    p = cat.path("t")
+
+    class _FailingReader:
+        def parquet(self, _path):
+            raise AnalysisException("[FAILED_READ_FILE] corrupt footer")
+
+    class _FakeSpark:
+        read = _FailingReader()
+
+    real = cat.spark
+    cat.spark = _FakeSpark()
+    try:
+        with pytest.raises(AnalysisException, match="FAILED_READ_FILE"):
+            cat._read_inferred(p)
+    finally:
+        cat.spark = real
+    # the genuine zero-footer path still falls back to the sidecar
+    cat.write(spark.createDataFrame([], "a long, b string"), "t2")
+    got = cat.read("t2")
+    assert got.count() == 0 and set(got.columns) == {"a", "b"}
+
+
+def test_catalog_write_sidecar_fresh_schema_wins(spark, tmp_path):
+    """Callers round-trip read_meta() output back into write(meta=...);
+    read_meta always contains the PREVIOUS snapshot's __schema, so the
+    freshly computed schema must win the merge — otherwise a zero-row
+    write after schema evolution reads back with the old shape
+    (round-8 ADVICE, low)."""
+    from daily_top_songs_etl_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.write(
+        spark.createDataFrame([(1, "x")], "old_a long, old_b string"), "t"
+    )
+    stale_meta = cat.read_meta("t")  # carries __schema of (old_a, old_b)
+    assert "__schema" in stale_meta
+    # evolve the schema AND write zero rows — the fallback must see the
+    # new shape, not the stale one smuggled in via the meta round-trip
+    cat.write(
+        spark.createDataFrame([], "new_x long, new_y double"),
+        "t",
+        meta=stale_meta,
+    )
+    got = cat.read("t")
+    assert set(got.columns) == {"new_x", "new_y"}
+    assert got.count() == 0
+
+
+def test_append_once_dash_prefix_batch_ids_do_not_collide(spark, tmp_path):
+    """Batch ids where one is a dash-prefix of another ('merge-x' vs
+    'merge-x-y' — both arise from the documented ledgerless-merge
+    default) must not cross-delete each other's committed files on
+    replay (round-8 ADVICE, low)."""
+    from daily_top_songs_etl_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.append_once(spark.createDataFrame([(0,)], "k long"), "t", 0)
+    cat.append_once(
+        spark.createDataFrame([(1,), (2,)], "k long"), "t", "merge-x-y"
+    )
+    cat.append_once(spark.createDataFrame([(3,)], "k long"), "t", "merge-x")
+    assert cat.read("t").count() == 4
+    # replay of the SHORTER id: pre-fix this deleted batch-merge-x-y-*
+    # files (prefix match) and never restored them
+    cat.append_once(spark.createDataFrame([(3,)], "k long"), "t", "merge-x")
+    spark.catalog.refreshByPath(cat.path("t"))
+    assert {r.k for r in cat.read("t").collect()} == {0, 1, 2, 3}
+    # replay of the longer id converges too
+    cat.append_once(
+        spark.createDataFrame([(1,), (2,)], "k long"), "t", "merge-x-y"
+    )
+    spark.catalog.refreshByPath(cat.path("t"))
+    assert cat.read("t").count() == 4
+
+
+def test_merge_dedup_index_requires_hashing_meta(spark, tmp_path):
+    """An index side whose sidecar LACKS the hashing parameters (older
+    build, lost meta) must refuse to merge — None == None silently
+    combining unverified signature universes was the round-8 ADVICE
+    finding."""
+    import pytest
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.extensions.dedup import merge_dedup_index
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    sig = spark.createDataFrame([(1, [1, 2])], "doc_id long, sig array<int>")
+    cat.write(sig, "dst__signatures", meta={"n_hashes": 4, "band_size": 2})
+    cat.write(sig, "src__signatures", meta={"band_size": 2})  # no n_hashes
+    with pytest.raises(ValueError, match="n_hashes"):
+        merge_dedup_index(cat, "dst", "src")
+    # BOTH sides missing is the dangerous None==None case — still refuse
+    cat.write(sig, "a__signatures", meta={})
+    cat.write(sig, "b__signatures", meta={})
+    with pytest.raises(ValueError, match="lacks required"):
+        merge_dedup_index(cat, "a", "b")

@@ -51,3 +51,25 @@ def test_checksum_compare_matches_and_detects_mismatch(spark):
 
     datey = spark.createDataFrame([(1, dt.date(2026, 1, 1))], ["k", "d"])
     assert _checksum_compare(datey, con, "SELECT 1 AS k", 1) is None
+
+
+def test_readme_registry_counts_match_code():
+    """README's driver-contract counts are DERIVED from the registry, not
+    hand-maintained (round-8 ADVICE: doc drift, twice). If this fails,
+    update README.md's two count references."""
+    import os
+    import re
+
+    import __spark_entry__ as entrymod
+
+    n_q = len(entrymod.queries())
+    n_o = len(entrymod.oracle_sql())
+    assert n_q - n_o == len(entrymod.rows_only())
+    readme = open(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "README.md")
+    ).read()
+    m = re.search(r"(\d+) `queries\(\)`, (\d+) paired", readme)
+    assert m, "README no longer states the registry counts"
+    assert (int(m.group(1)), int(m.group(2))) == (n_q, n_o)
+    m2 = re.search(r"every one of the (\d+) oracle-paired", readme)
+    assert m2 and int(m2.group(1)) == n_o
