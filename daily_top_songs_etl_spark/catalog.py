@@ -54,6 +54,7 @@ class Catalog:
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        self._recover()
 
     def _table_dir(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -171,6 +172,21 @@ class Catalog:
         instead of a second, separately-failing table write. Spark readers
         ignore ``_``-prefixed files, so the sidecar never pollutes scans.
         """
+        new_v = self._write_version(df, table, meta, partition_by)
+        self._flip(table, new_v)
+        self._prune(table, new_v)
+
+    def _write_version(
+        self,
+        df: DataFrame,
+        table: str,
+        meta: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Write the next snapshot version directory WITHOUT flipping the
+        pointer — invisible to readers until :meth:`_flip`. Split out so
+        :meth:`commit_tables` can stage several tables and publish them
+        under one intent manifest."""
         tdir = self._table_dir(table)
         os.makedirs(tdir, exist_ok=True)
         new_v = (self.current_version(table) or 0) + 1
@@ -194,11 +210,80 @@ class Catalog:
         # after any schema evolution.
         with open(os.path.join(target, "_meta.json"), "w") as f:
             json.dump({**(meta or {}), "__schema": df.schema.json()}, f)
+        return new_v
+
+    def _flip(self, table: str, version: int) -> None:
         tmp = self._pointer(table) + ".tmp"
         with open(tmp, "w") as f:
-            f.write(str(new_v))
+            f.write(str(version))
         os.replace(tmp, self._pointer(table))
-        self._prune(table, new_v)
+
+    def commit_tables(
+        self,
+        dfs: dict[str, DataFrame],
+        metas: dict[str, dict] | None = None,
+    ) -> None:
+        """Snapshot-consistent MULTI-table commit — the cross-table
+        atomicity the reference gets for free from one Postgres
+        transaction around its four upsert waves
+        (``etl_pipeline.py:898-911``). Per-table pointer flips alone
+        leave a crash window where e.g. the new ``song`` is visible next
+        to the old ``artist_song_map`` (a cross-table FK break). Protocol:
+
+        1. stage every table's new version directory (readers only ever
+           resolve the pointer, so staged versions are invisible);
+        2. atomically write the intent manifest ``_txn.json`` naming
+           every (table → version) in the commit;
+        3. flip the per-table pointers;
+        4. remove the manifest, then prune old versions.
+
+        Crash anywhere before step 2 leaves the old state untouched
+        (orphan version dirs are overwritten by the next write — version
+        numbers re-derive from the pointer). Crash during step 3 leaves
+        the manifest, and :meth:`_recover` (run on every catalog open)
+        ROLLS FORWARD: all version dirs were fully written before the
+        manifest existed, so completing the flips is always safe, and no
+        reader that opens the catalog can observe a torn cross-table
+        state. Single-writer, like the rest of the catalog; concurrent
+        in-flight readers keep their files via ``KEEP_VERSIONS``. On an
+        object store the same contract is one manifest-pointer swap
+        (Iceberg/Delta multi-table transactions are this shape)."""
+        intents: dict[str, int] = {}
+        for table, df in dfs.items():
+            intents[table] = self._write_version(
+                df, table, (metas or {}).get(table)
+            )
+        txn = os.path.join(self.root, "_txn.json")
+        tmp = txn + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(intents, f)
+        os.replace(tmp, txn)
+        for table, v in intents.items():
+            self._flip(table, v)
+        os.remove(txn)
+        for table, v in intents.items():
+            self._prune(table, v)
+
+    def _recover(self) -> None:
+        """Roll an interrupted :meth:`commit_tables` FORWARD: if the
+        intent manifest exists, every named version directory was fully
+        written before the manifest was published, so finishing the
+        pointer flips restores cross-table consistency. Runs on every
+        catalog open; no-op in the common case (one stat)."""
+        txn = os.path.join(self.root, "_txn.json")
+        if not os.path.exists(txn):
+            return
+        with open(txn) as f:
+            intents = json.load(f)
+        for table, v in intents.items():
+            v = int(v)
+            if (self.current_version(table) or 0) < v and os.path.isdir(
+                os.path.join(self._table_dir(table), f"v={v}")
+            ):
+                self._flip(table, v)
+        os.remove(txn)
+        for table, v in intents.items():
+            self._prune(table, int(v))
 
     def file_sizes(self, table: str) -> dict[str, int]:
         """Byte sizes of the current snapshot's data files, keyed by

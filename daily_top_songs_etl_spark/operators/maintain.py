@@ -51,18 +51,27 @@ def maintain(tables: Tables, new_max_date: dt.date | None = None) -> Tables:
         cutoff = F.add_months(F.lit(new_max_date), -12)
         ranking = ranking.filter(F.col("ranking_date") > cutoff)
 
-    # T2: songs must still be referenced by some ranking row.
+    # T2: songs must still be referenced by some ranking row. The build
+    # side (distinct charted isrcs) is bounded by the domain — 10 ranks ×
+    # sources × retained days — so every GC semi-join BROADCASTS its key
+    # set instead of shuffling the scaled fact/dim: the distinct
+    # partial-aggregates map-side to a dim-sized relation, and the big
+    # side never moves. (Also sidesteps a Spark 4 AQE artifact where a
+    # sort-merge semi-join over a union that claims propagated hash
+    # partitioning zips 32-vs-64 partition RDDs.)
     song = tables.song.join(
-        ranking.select("isrc").distinct(), "isrc", "left_semi"
+        F.broadcast(ranking.select("isrc").distinct()), "isrc", "left_semi"
     )
     # FK ON DELETE CASCADE song -> artist_song_map
     # (create_schema_structure.sql:49): map rows of deleted songs go too.
     artist_song_map = tables.artist_song_map.join(
-        song.select("isrc"), "isrc", "left_semi"
+        F.broadcast(song.select("isrc")), "isrc", "left_semi"
     )
     # T3: artists must still be mapped to some surviving song.
     artist = tables.artist.join(
-        artist_song_map.select("artist_id").distinct(), "artist_id", "left_semi"
+        F.broadcast(artist_song_map.select("artist_id").distinct()),
+        "artist_id",
+        "left_semi",
     )
     return Tables(
         artist=artist, song=song, artist_song_map=artist_song_map, ranking=ranking

@@ -1169,3 +1169,86 @@ def test_merge_dedup_index_requires_hashing_meta(spark, tmp_path):
     cat.write(sig, "b__signatures", meta={})
     with pytest.raises(ValueError, match="lacks required"):
         merge_dedup_index(cat, "a", "b")
+
+
+def test_commit_tables_snapshot_consistent(spark, tmp_path):
+    """commit_tables publishes N tables under one intent manifest — the
+    cross-table atomicity the reference gets from a single Postgres
+    transaction around its four upsert waves (etl_pipeline.py:898-911)."""
+    import os
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.commit_tables(
+        {
+            "a": spark.createDataFrame([(1,)], "k long"),
+            "b": spark.createDataFrame([(2,)], "k long"),
+        }
+    )
+    assert cat.read("a").first().k == 1
+    assert cat.read("b").first().k == 2
+    assert not os.path.exists(os.path.join(cat.root, "_txn.json"))
+    # second commit advances both versions together
+    cat.commit_tables(
+        {
+            "a": spark.createDataFrame([(10,)], "k long"),
+            "b": spark.createDataFrame([(20,)], "k long"),
+        }
+    )
+    assert cat.current_version("a") == 2 and cat.current_version("b") == 2
+    assert cat.read("a").first().k == 10 and cat.read("b").first().k == 20
+
+
+def test_commit_tables_crash_mid_flip_rolls_forward(spark, tmp_path):
+    """Crash window INSIDE the pointer-flip loop: the manifest exists and
+    one pointer is flipped, the other is not — a torn cross-table state.
+    Re-opening the catalog must roll the commit FORWARD (all version
+    dirs were fully written before the manifest), never serve the torn
+    state."""
+    import json
+    import os
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+
+    root = str(tmp_path / "cat")
+    cat = Catalog(spark, root)
+    cat.commit_tables(
+        {
+            "a": spark.createDataFrame([(1,)], "k long"),
+            "b": spark.createDataFrame([(2,)], "k long"),
+        }
+    )
+    # stage the second commit by hand, then simulate the crash: manifest
+    # written, only table a's pointer flipped
+    va = cat._write_version(spark.createDataFrame([(10,)], "k long"), "a")
+    vb = cat._write_version(spark.createDataFrame([(20,)], "k long"), "b")
+    with open(os.path.join(root, "_txn.json"), "w") as f:
+        json.dump({"a": va, "b": vb}, f)
+    cat._flip("a", va)
+    # ---- crash; a new process opens the catalog ----
+    cat2 = Catalog(spark, root)
+    assert not os.path.exists(os.path.join(root, "_txn.json"))
+    assert cat2.current_version("a") == va
+    assert cat2.current_version("b") == vb
+    assert cat2.read("a").first().k == 10
+    assert cat2.read("b").first().k == 20
+
+
+def test_commit_tables_crash_before_manifest_keeps_old_state(spark, tmp_path):
+    """Crash AFTER staging version dirs but BEFORE the manifest: old
+    state stays current, and the next write safely overwrites the orphan
+    version directory (versions re-derive from the pointer)."""
+    from daily_top_songs_etl_spark.catalog import Catalog
+
+    root = str(tmp_path / "cat")
+    cat = Catalog(spark, root)
+    cat.write(spark.createDataFrame([(1,)], "k long"), "a")
+    cat._write_version(spark.createDataFrame([(99,)], "k long"), "a")
+    # ---- crash; no manifest ----
+    cat2 = Catalog(spark, root)
+    assert cat2.current_version("a") == 1
+    assert cat2.read("a").first().k == 1
+    cat2.write(spark.createDataFrame([(2,)], "k long"), "a")
+    assert cat2.current_version("a") == 2
+    assert cat2.read("a").first().k == 2
