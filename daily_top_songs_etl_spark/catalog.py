@@ -222,6 +222,7 @@ class Catalog:
         self,
         dfs: dict[str, DataFrame],
         metas: dict[str, dict] | None = None,
+        staged: dict[str, int] | None = None,
     ) -> None:
         """Snapshot-consistent MULTI-table commit — the cross-table
         atomicity the reference gets for free from one Postgres
@@ -247,8 +248,13 @@ class Catalog:
         state. Single-writer, like the rest of the catalog; concurrent
         in-flight readers keep their files via ``KEEP_VERSIONS``. On an
         object store the same contract is one manifest-pointer swap
-        (Iceberg/Delta multi-table transactions are this shape)."""
-        intents: dict[str, int] = {}
+        (Iceberg/Delta multi-table transactions are this shape).
+
+        ``staged`` joins versions already staged by
+        :meth:`stage_partition_delta` (the partition-scoped fact path)
+        into the same atomic publication — all named tables flip under
+        one manifest regardless of how their versions were produced."""
+        intents: dict[str, int] = dict(staged or {})
         for table, df in dfs.items():
             intents[table] = self._write_version(
                 df, table, (metas or {}).get(table)
@@ -421,41 +427,48 @@ class Catalog:
                 )
         shutil.rmtree(staging, ignore_errors=True)
 
-    def overwrite_partitions(
+    def stage_partition_delta(
         self,
         df: DataFrame,
         table: str,
         touched: list,
+        drop: list | None = None,
         partition_by: list | None = None,
-    ) -> None:
-        """Touched-partition-only snapshot: the new version directory
-        hardlinks every UNTOUCHED partition's files from the current
-        snapshot (byte-identical, zero data movement — pruning the old
-        version later only unlinks names, the shared inodes survive) and
-        writes only the partitions in ``touched`` fresh. This is the
-        100 TB merge shape: a daily micro-batch rewrites one date
-        partition, not the table. On an object store the same contract is
-        met by manifest reuse (Iceberg/Delta) instead of hardlinks.
+    ) -> int:
+        """Stage (WITHOUT flipping the pointer) a new version that
+        differs from the current snapshot only in named partitions:
+        every partition not in ``touched`` or ``drop`` is HARDLINKED
+        from the current version (byte-identical, zero data movement —
+        pruning the old version later only unlinks names, the shared
+        inodes survive), partitions in ``touched`` are written fresh
+        from ``df``, and partitions in ``drop`` are omitted (the
+        retention-purge shape: dropping a date range is partition
+        metadata, not a rewrite). Returns the staged version number for
+        :meth:`commit_tables` / :meth:`overwrite_partitions` to publish.
+        On an object store the same contract is manifest reuse
+        (Iceberg/Delta) instead of hardlinks.
 
         ``df`` must contain only rows whose partition value is in
-        ``touched`` — enforced, because a stray row would silently land in
-        a partition that was also hardlinked.
-        """
+        ``touched`` — enforced, because a stray row would silently land
+        in a partition that was also hardlinked."""
         part_cols = partition_by or PARTITIONED.get(table)
         if not part_cols:
             raise ValueError(f"{table} is not partitioned")
         cur = self.path(table)
         if cur is None:
-            self.write(df, table, partition_by=part_cols)
-            return
+            return self._write_version(df, table, partition_by=part_cols)
         pcol = part_cols[0]
         touched_dirs = {f"{pcol}={v}" for v in touched}
+        drop_dirs = {f"{pcol}={v}" for v in (drop or [])}
         stray = df.filter(~F.col(pcol).isin(list(touched))).limit(1).count()
         if stray:
             raise ValueError(f"df contains partitions outside touched={touched}")
         tdir = self._table_dir(table)
         new_v = (self.current_version(table) or 0) + 1
         target = os.path.join(tdir, f"v={new_v}")
+        # a crashed earlier attempt may have left this staging dir —
+        # versions re-derive from the pointer, so rebuild it cleanly
+        shutil.rmtree(target, ignore_errors=True)
         os.makedirs(target)
         # bookkeeping survives a touched-partition rewrite: the current
         # snapshot's _meta.json (e.g. append_once's created-by marker)
@@ -468,6 +481,7 @@ class Catalog:
             if (
                 entry.startswith(f"{pcol}=")
                 and entry not in touched_dirs
+                and entry not in drop_dirs
                 and os.path.isdir(src)
             ):
                 dst = os.path.join(target, entry)
@@ -478,10 +492,31 @@ class Catalog:
                             os.path.join(src, fname), os.path.join(dst, fname)
                         )
         df.write.mode("append").partitionBy(*part_cols).parquet(target)
-        tmp = self._pointer(table) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(new_v))
-        os.replace(tmp, self._pointer(table))
+        return new_v
+
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        table: str,
+        touched: list,
+        partition_by: list | None = None,
+    ) -> None:
+        """Touched-partition-only snapshot: stage via
+        :meth:`stage_partition_delta` (hardlinked remainder, touched
+        written fresh), then flip — the 100 TB merge shape: a daily
+        micro-batch rewrites one date partition, not the table."""
+        cur = self.path(table)
+        if cur is None:
+            self.write(
+                df,
+                table,
+                partition_by=partition_by or PARTITIONED.get(table),
+            )
+            return
+        new_v = self.stage_partition_delta(
+            df, table, touched, partition_by=partition_by
+        )
+        self._flip(table, new_v)
         self._prune(table, new_v)
 
     def _prune(self, table: str, newest: int) -> None:

@@ -37,13 +37,24 @@ class Tables:
     ranking: DataFrame
 
 
-def maintain(tables: Tables, new_max_date: dt.date | None = None) -> Tables:
+def maintain(
+    tables: Tables,
+    new_max_date: dt.date | None = None,
+    materialize: bool = False,
+) -> Tables:
     """Run T1 → cascade → T2 → T3 and return the new table states.
 
     ``new_max_date`` is the max ranking_date of the just-inserted batch
     (the trigger's NEW.ranking_date); None skips retention (no insert
     happened — e.g. a pure replay of the GC pass).
-    """
+
+    ``materialize=True`` eagerly localCheckpoints each GC'd DIMENSION
+    state (never the fact): the batch-commit path consumes every stage
+    several times (each dim write, plus the next stage's broadcast build
+    side), and without pinning, Spark recomputes the whole cascade —
+    including the fact-table distinct — once per consumer. Dimensions
+    are broadcast-sized by the data model, so the pin is a few MB; the
+    caller should unpersist after its commit."""
     ranking = tables.ranking
     if new_max_date is not None:
         # T1: ranking_date <= NEW.ranking_date - INTERVAL '1 year' is purged
@@ -62,17 +73,23 @@ def maintain(tables: Tables, new_max_date: dt.date | None = None) -> Tables:
     song = tables.song.join(
         F.broadcast(ranking.select("isrc").distinct()), "isrc", "left_semi"
     )
+    if materialize:
+        song = song.localCheckpoint(eager=True)
     # FK ON DELETE CASCADE song -> artist_song_map
     # (create_schema_structure.sql:49): map rows of deleted songs go too.
     artist_song_map = tables.artist_song_map.join(
         F.broadcast(song.select("isrc")), "isrc", "left_semi"
     )
+    if materialize:
+        artist_song_map = artist_song_map.localCheckpoint(eager=True)
     # T3: artists must still be mapped to some surviving song.
     artist = tables.artist.join(
         F.broadcast(artist_song_map.select("artist_id").distinct()),
         "artist_id",
         "left_semi",
     )
+    if materialize:
+        artist = artist.localCheckpoint(eager=True)
     return Tables(
         artist=artist, song=song, artist_song_map=artist_song_map, ranking=ranking
     )

@@ -96,17 +96,25 @@ def run_daily_batch(
     )
     ranking_res = upsert(ranking_t, ranking_batch, ["isrc", "ranking_date", "ranking_source"])
 
+    # Pin the batch-sized RETURNING set once: the max-date probe, the
+    # touched-date listing, and the fact union all consume it, and each
+    # would otherwise re-run the anti-join against the full fact table.
+    ranking_ins = ranking_res.inserted.localCheckpoint(eager=True)
+
     # Trigger cascade (T1→T2→T3) relative to the batch's max date.
-    max_date_row = ranking_res.inserted.agg(F.max("ranking_date")).first()
+    # materialize=True pins each GC'd dimension so the cascade (and the
+    # fact distinct feeding it) runs once, not once per consumer below.
+    max_date_row = ranking_ins.agg(F.max("ranking_date")).first()
     new_max_date = max_date_row[0] if max_date_row else None
     tables = maintain(
         Tables(
             artist=artist_res.table,
             song=song_res.table,
             artist_song_map=map_res.table,
-            ranking=ranking_res.table,
+            ranking=ranking_t.unionByName(ranking_ins),
         ),
         new_max_date,
+        materialize=True,
     )
 
     # Persist. Deltas are materialized (cached implicitly via write) before
@@ -116,7 +124,7 @@ def run_daily_batch(
         song_inserted=song_res.inserted,
         song_updated=song_res.updated,
         artist_song_map=map_res.inserted,
-        ranking=ranking_res.inserted,
+        ranking=ranking_ins,
     )
     if csv_mirror_dir:
         from . import schemas
@@ -140,12 +148,68 @@ def run_daily_batch(
     # was visible next to the old artist_song_map (round-8 verdict
     # stretch); commit_tables publishes all four under one intent
     # manifest with roll-forward recovery.
-    catalog.commit_tables(
-        {
-            "artist": tables.artist,
-            "song": tables.song,
-            "artist_song_map": tables.artist_song_map,
-            "ranking": tables.ranking,
-        }
-    )
-    return deltas
+    #
+    # The fact table commits PARTITION-SCOPED: a daily batch touches the
+    # batch's date partitions and the T1 purge drops a trailing date
+    # range — every other partition is byte-identical to the current
+    # snapshot and is staged as a hardlink (manifest reuse on an object
+    # store), not rewritten. At 100 TB this is the difference between a
+    # one-partition write and a full-table rewrite per day; at the 10x
+    # replay it cut the per-day wall 2.2x (BENCH_sf1.json
+    # maintain_replay_round9). Dimension tables stay full snapshot
+    # writes — they are broadcast-sized by the data model.
+    dims = {
+        "artist": tables.artist,
+        "song": tables.song,
+        "artist_song_map": tables.artist_song_map,
+    }
+    try:
+        if not catalog.exists("ranking"):
+            catalog.commit_tables({**dims, "ranking": tables.ranking})
+            return deltas
+        spark = daily_batch.sparkSession
+        inserted_dates = [
+            r[0]
+            for r in ranking_ins.select("ranking_date").distinct().collect()
+        ]  # bounded: one value per touched day
+        if new_max_date is not None:
+            cutoff = (
+                spark.createDataFrame([(new_max_date,)], "d date")
+                .select(F.add_months("d", -12).alias("c"))
+                .first()[0]
+            )
+            purged = [
+                r[0]
+                for r in ranking_t.select("ranking_date")
+                .distinct()
+                .filter(F.col("ranking_date") <= F.lit(cutoff))
+                .collect()
+            ]  # partition metadata, bounded by retained dates
+            touched = [d for d in inserted_dates if d > cutoff]
+        else:
+            purged, touched = [], inserted_dates
+        if not touched and not purged:
+            # ranking is bit-identical to the current snapshot — commit
+            # only the dimensions (their upsert deltas may be non-empty)
+            catalog.commit_tables(dims)
+            return deltas
+        # touched is never empty here: a purge implies >=1 inserted row,
+        # and the max inserted date is always > its own 1-year cutoff
+        staged_v = catalog.stage_partition_delta(
+            tables.ranking.filter(F.col("ranking_date").isin(touched)),
+            "ranking",
+            touched,
+            drop=purged,
+        )
+        catalog.commit_tables(dims, staged={"ranking": staged_v})
+        return deltas
+    finally:
+        # release the dim pins (committed to parquet; a long-lived
+        # foreachBatch session would otherwise accumulate blocks).
+        # ranking_ins stays pinned: it is returned in deltas and is
+        # batch-sized.
+        for pinned in dims.values():
+            try:
+                pinned.unpersist()
+            except Exception:
+                pass
