@@ -1252,3 +1252,53 @@ def test_commit_tables_crash_before_manifest_keeps_old_state(spark, tmp_path):
     cat2.write(spark.createDataFrame([(2,)], "k long"), "a")
     assert cat2.current_version("a") == 2
     assert cat2.read("a").first().k == 2
+
+
+def test_commit_tables_every_crash_point_recovers(spark, tmp_path):
+    """Enumerate EVERY crash point in the commit_tables protocol for a
+    3-table commit: after staging 0..3 version dirs (no manifest yet),
+    after the manifest, after each individual pointer flip, and after
+    all flips with the manifest left behind. A re-opened catalog must
+    always serve a CONSISTENT cross-table state — all-old strictly
+    before the manifest exists, all-new from the moment it does — and
+    must leave no manifest behind."""
+    import json
+    import os
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+
+    tables = ["a", "b", "c"]
+    old_vals = {"a": 1, "b": 2, "c": 3}
+    new_vals = {"a": 10, "b": 20, "c": 30}
+    for crash_point in range(7):
+        root = str(tmp_path / f"cat{crash_point}")
+        cat = Catalog(spark, root)
+        cat.commit_tables(
+            {
+                t: spark.createDataFrame([(old_vals[t],)], "k long")
+                for t in tables
+            }
+        )
+        # replay the protocol by hand up to the crash point
+        staged = {}
+        n_stage = min(crash_point, 3)
+        for t in tables[:n_stage]:
+            staged[t] = cat._write_version(
+                spark.createDataFrame([(new_vals[t],)], "k long"), t
+            )
+        manifest_written = crash_point >= 3
+        if manifest_written:
+            for t in tables[n_stage:]:
+                staged[t] = cat._write_version(
+                    spark.createDataFrame([(new_vals[t],)], "k long"), t
+                )
+            with open(os.path.join(root, "_txn.json"), "w") as f:
+                json.dump(staged, f)
+            for t in tables[: crash_point - 3]:
+                cat._flip(t, staged[t])
+        # ---- crash; a new process opens the catalog ----
+        cat2 = Catalog(spark, root)
+        expect = new_vals if manifest_written else old_vals
+        got = {t: cat2.read(t).first().k for t in tables}
+        assert got == expect, f"crash point {crash_point}: {got}"
+        assert not os.path.exists(os.path.join(root, "_txn.json"))
