@@ -41,7 +41,16 @@ def _batch_token(batch_id: int | str) -> str:
     no ``-``, so ``batch-{token}-`` prefixes of distinct ids can never
     collide — and no ``:`` / ``/``, so Hadoop Path never URI-parses it.
     Fixed-width hex keeps the escape decodable (variable width would make
-    ``_2d`` + ``b`` collide with U+02DB)."""
+    ``_2d`` + ``b`` collide with U+02DB).
+
+    Migration note: this encoding changed the on-disk file names for
+    NON-alphanumeric batch ids (integer ids — every streaming sink — are
+    alnum and encode to themselves, so their historical names are
+    unchanged). A catalog written by a pre-token version with string ids
+    like ``merge-x`` must not have those same batches REPLAYED across
+    the upgrade: the replay cleanup scans the new prefix and would miss
+    the legacy-named files. Fresh appends (new batch ids) against an old
+    catalog are safe — exactly-once only ever compares within one id."""
     return "".join(
         c if c.isalnum() else f"_{ord(c):06x}" for c in str(batch_id)
     )

@@ -100,6 +100,14 @@ def run_daily_batch(
     # touched-date listing, and the fact union all consume it, and each
     # would otherwise re-run the anti-join against the full fact table.
     ranking_ins = ranking_res.inserted.localCheckpoint(eager=True)
+    # Snapshot the persisted-RDD ids AFTER the (kept) ranking pin and
+    # BEFORE maintain()'s dimension pins: DataFrame.unpersist() is a
+    # no-op for localCheckpoint blocks (it only clears CacheManager
+    # entries — the same gap bench.py works around), so the precise way
+    # to release the dim pins after the commit is to unpersist exactly
+    # the RDD ids maintain() adds. Single-writer, like the catalog.
+    sc = daily_batch.sparkSession.sparkContext
+    pre_pin_ids = set(sc._jsc.getPersistentRDDs().keys())
 
     # Trigger cascade (T1→T2→T3) relative to the batch's max date.
     # materialize=True pins each GC'd dimension so the cascade (and the
@@ -204,12 +212,16 @@ def run_daily_batch(
         catalog.commit_tables(dims, staged={"ranking": staged_v})
         return deltas
     finally:
-        # release the dim pins (committed to parquet; a long-lived
-        # foreachBatch session would otherwise accumulate blocks).
-        # ranking_ins stays pinned: it is returned in deltas and is
-        # batch-sized.
-        for pinned in dims.values():
-            try:
-                pinned.unpersist()
-            except Exception:
-                pass
+        # Release the dimension pins (their data is committed to parquet;
+        # a long-lived foreachBatch session would otherwise accumulate
+        # checkpoint blocks until GC thrash — the effect bench.py
+        # measured). DataFrame.unpersist() cannot release localCheckpoint
+        # blocks, so unpersist exactly the RDD ids pinned since the
+        # snapshot above. ranking_ins's pin predates the snapshot and
+        # stays alive: it is returned in deltas and is batch-sized.
+        try:
+            for rid, rdd in sc._jsc.getPersistentRDDs().items():
+                if rid not in pre_pin_ids:
+                    rdd.unpersist()
+        except Exception:
+            pass

@@ -68,18 +68,28 @@ def main() -> int:
             scols = sdf.columns
             if name not in oracles:
                 # rows_only() face in the window: the driver records the
-                # weaker check — rows produced, schema stable, hash
-                # exempt (no oracle exists BY NATURE; see rows_only()).
+                # weaker check — rows actually produced, schema stable,
+                # hash exempt (no oracle exists BY NATURE; see
+                # rows_only()). These still flow through the red
+                # accounting below: a face that silently returns 0 rows
+                # or 0 columns is a regression, not a pass.
                 assert name in entrymod.rows_only(), (
                     f"{name} lacks an oracle but is not annotated rows-only"
                 )
                 rec["spark_rows"] = len(srows)
-                rec["rows_match"] = len(srows) >= 0
+                rec["rows_match"] = len(srows) > 0
                 rec["schema_match"] = len(scols) > 0
-                rec["hash_match"] = True  # exempt, not compared
+                rec["hash_match"] = rec["rows_match"]  # exempt, not compared
                 rec["rows_only"] = True
                 results[name] = rec
-                print(f"OK   {name} (rows-only, hash exempt)", flush=True)
+                ok = rec["rows_match"] and rec["schema_match"]
+                if not ok:
+                    red.append(name)
+                print(
+                    ("OK  " if ok else "RED ")
+                    + f" {name} (rows-only, hash exempt)",
+                    flush=True,
+                )
                 continue
             sql = oracles[name]
             res = con.execute(sql)
