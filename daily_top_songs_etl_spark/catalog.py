@@ -21,9 +21,11 @@ one back-version for in-flight readers.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,6 +34,119 @@ from . import schemas
 
 PARTITIONED = {"ranking": ["ranking_date"]}
 KEEP_VERSIONS = 2
+
+# Deferred-prune drain: retired version directories are RENAMED off the
+# commit path (one O(1) rename per version) and physically removed here,
+# off the caller's wall clock. One thread is plenty — deletion throughput
+# only has to keep up with one retired version per commit.
+_TRASH_POOL: ThreadPoolExecutor | None = None
+_TRASH_FUTURES: list = []
+
+
+def _trash_submit(path: str) -> None:
+    global _TRASH_POOL
+    if _TRASH_POOL is None:
+        _TRASH_POOL = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="catalog-trash"
+        )
+    _TRASH_FUTURES.append(
+        _TRASH_POOL.submit(shutil.rmtree, path, ignore_errors=True)
+    )
+
+
+def flush_trash() -> None:
+    """Block until every queued deferred deletion has completed (tests,
+    and any caller about to measure disk usage)."""
+    while _TRASH_FUTURES:
+        _TRASH_FUTURES.pop().result()
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Another live process holds this catalog's writer lock."""
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
+class _WriterLock:
+    """Context manager behind :meth:`Catalog.writer_lock`. Reentrant per
+    Catalog instance (mutating methods nest inside an explicit caller
+    hold); cross-instance and cross-process acquisition of a lock held
+    by a LIVE pid fails loudly."""
+
+    def __init__(self, cat: "Catalog"):
+        self.cat = cat
+        self.path = os.path.join(cat.root, "_writer.lock")
+
+    def __enter__(self):
+        import time
+
+        cat = self.cat
+        if cat._lock_depth > 0:
+            cat._lock_depth += 1
+            return self
+        empty_reads = 0
+        while True:
+            try:
+                fd = os.open(
+                    self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    with open(self.path) as f:
+                        raw = f.read().strip()
+                except FileNotFoundError:
+                    continue  # released between stat and read — retry
+                if not raw or not raw.isdigit():
+                    # the holder is BETWEEN its O_EXCL create and pid
+                    # write (or the file is corrupt). Never steal an
+                    # unidentifiable lock — a racing reader stealing a
+                    # just-created one would let two writers both hold.
+                    # Give the pid a moment to appear, then refuse loud.
+                    empty_reads += 1
+                    if empty_reads > 50:
+                        raise ConcurrentWriterError(
+                            f"catalog {cat.root!r} writer lock "
+                            f"{self.path!r} has no readable owner pid; "
+                            "refusing to steal it — remove the file "
+                            "manually if the owner is known dead"
+                        )
+                    time.sleep(0.01)
+                    continue
+                holder = int(raw)
+                if _pid_alive(holder):
+                    raise ConcurrentWriterError(
+                        f"catalog {cat.root!r} is being written by live "
+                        f"process {holder}; concurrent writers would "
+                        "interleave staged versions and lose a table — "
+                        "refusing (single-writer contract)"
+                    )
+                # dead holder: crash mid-commit. _recover() already
+                # rolled any published manifest forward, so takeover is
+                # safe. Remove its lock and retry the O_EXCL create (a
+                # racing taker loses the create and re-evaluates).
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(self.path)
+        cat._lock_depth = 1
+        return self
+
+    def __exit__(self, *exc):
+        cat = self.cat
+        cat._lock_depth -= 1
+        if cat._lock_depth == 0:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(self.path)
+        return False
 
 
 def _batch_token(batch_id: int | str) -> str:
@@ -62,8 +177,52 @@ class Catalog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._lock_depth = 0
         os.makedirs(root, exist_ok=True)
         self._recover()
+        self._sweep_trash()
+
+    def writer_lock(self):
+        """Serialize writers on this catalog root. Every mutating method
+        acquires it internally; callers whose LOGICAL transaction spans
+        several calls (stage a partition delta, then publish it with
+        ``commit_tables`` — the daily-batch shape) hold it explicitly so
+        a second writer can't interleave between the calls:
+
+            with catalog.writer_lock():
+                v = catalog.stage_partition_delta(...)
+                catalog.commit_tables(dims, staged={"ranking": v})
+
+        Implementation: an ``O_EXCL``-created ``_writer.lock`` file
+        holding the owner pid. A second LIVE process raises
+        :class:`ConcurrentWriterError` loudly (the reference gets this
+        serialization from Postgres row locks — two concurrent daily
+        loads block, they don't silently lose a table). A lock left by a
+        DEAD process (crash mid-commit) is taken over — ``_recover()``
+        has already rolled any published manifest forward, so takeover
+        is safe. Reentrant within one Catalog instance. On an object
+        store the same contract is a lease object / conditional PUT.
+        Pid liveness is same-host only — like the hardlink reuse, this
+        backend is explicitly single-node POSIX (see ``_reuse_file``)."""
+        return _WriterLock(self)
+
+    def _sweep_trash(self) -> None:
+        """Re-enqueue deferred-deletion directories a previous process
+        left behind (crash between retiring a version and the background
+        rmtree completing). ``_trash-`` entries are invisible to readers
+        (``_`` prefix) and to the version namespace (no ``v=`` prefix),
+        so sweeping is pure hygiene, never correctness."""
+        try:
+            tables = os.listdir(self.root)
+        except FileNotFoundError:
+            return
+        for table in tables:
+            tdir = os.path.join(self.root, table)
+            if not os.path.isdir(tdir):
+                continue
+            for entry in os.listdir(tdir):
+                if entry.startswith("_trash-"):
+                    _trash_submit(os.path.join(tdir, entry))
 
     def _table_dir(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -181,9 +340,10 @@ class Catalog:
         instead of a second, separately-failing table write. Spark readers
         ignore ``_``-prefixed files, so the sidecar never pollutes scans.
         """
-        new_v = self._write_version(df, table, meta, partition_by)
-        self._flip(table, new_v)
-        self._prune(table, new_v)
+        with self.writer_lock():
+            new_v = self._write_version(df, table, meta, partition_by)
+            self._flip(table, new_v)
+            self._prune(table, new_v)
 
     def _write_version(
         self,
@@ -262,41 +422,61 @@ class Catalog:
         ``staged`` joins versions already staged by
         :meth:`stage_partition_delta` (the partition-scoped fact path)
         into the same atomic publication — all named tables flip under
-        one manifest regardless of how their versions were produced."""
-        intents: dict[str, int] = dict(staged or {})
-        for table, df in dfs.items():
-            intents[table] = self._write_version(
-                df, table, (metas or {}).get(table)
-            )
-        txn = os.path.join(self.root, "_txn.json")
-        tmp = txn + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(intents, f)
-        os.replace(tmp, txn)
-        for table, v in intents.items():
-            self._flip(table, v)
-        os.remove(txn)
-        for table, v in intents.items():
-            self._prune(table, v)
+        one manifest regardless of how their versions were produced.
+
+        Manifest removal tolerates the file being already gone: recovery
+        is idempotent, and a reader process that opened the catalog
+        mid-flip may have rolled this very commit forward (and removed
+        the manifest) before we get here — that reader observed a fully
+        staged state, so both sides finishing is correct, not a race."""
+        with self.writer_lock():
+            intents: dict[str, int] = dict(staged or {})
+            for table, df in dfs.items():
+                intents[table] = self._write_version(
+                    df, table, (metas or {}).get(table)
+                )
+            txn = os.path.join(self.root, "_txn.json")
+            tmp = txn + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(intents, f)
+            os.replace(tmp, txn)
+            for table, v in intents.items():
+                self._flip(table, v)
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(txn)
+            for table, v in intents.items():
+                self._prune(table, v)
 
     def _recover(self) -> None:
         """Roll an interrupted :meth:`commit_tables` FORWARD: if the
         intent manifest exists, every named version directory was fully
         written before the manifest was published, so finishing the
         pointer flips restores cross-table consistency. Runs on every
-        catalog open; no-op in the common case (one stat)."""
+        catalog open; no-op in the common case (one stat).
+
+        Opening a catalog is therefore a (recovery-only) MUTATING
+        operation. That is deliberate: roll-forward on open is what
+        guarantees no reader can observe a torn cross-table state. It
+        also means a reader opening mid-commit may race the live writer
+        — every step both sides take is idempotent (same-content pointer
+        flips, manifest removal suppressed when already gone, prune
+        tolerates missing dirs), so both finishing is convergent."""
         txn = os.path.join(self.root, "_txn.json")
         if not os.path.exists(txn):
             return
-        with open(txn) as f:
-            intents = json.load(f)
+        try:
+            with open(txn) as f:
+                intents = json.load(f)
+        except FileNotFoundError:
+            return  # the writer finished between our stat and open
         for table, v in intents.items():
             v = int(v)
             if (self.current_version(table) or 0) < v and os.path.isdir(
                 os.path.join(self._table_dir(table), f"v={v}")
             ):
                 self._flip(table, v)
-        os.remove(txn)
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(txn)
         for table, v in intents.items():
             self._prune(table, int(v))
 
@@ -315,21 +495,40 @@ class Catalog:
             return {}
         return self.dir_file_sizes(p)
 
-    @staticmethod
-    def dir_file_sizes(path: str) -> dict[str, int]:
+    @classmethod
+    def dir_file_sizes(cls, path: str) -> dict[str, int]:
         """Data-file byte sizes under an arbitrary directory (same
         contract as :meth:`file_sizes`, for callers that operate on raw
         parquet directories rather than catalog tables — the generic
-        compactor). This is the single filesystem-walk site in the
-        codebase: an object-store backend swaps this one method."""
+        compactor). Built on :meth:`_list_files` — the physical-listing
+        primitive an object-store backend swaps (its LIST response
+        carries sizes, so a backend typically overrides this directly)."""
         out: dict[str, int] = {}
-        for root, _dirs, files in os.walk(path):
-            for fname in files:
-                if fname.startswith(("_", ".")):
-                    continue
-                fp = os.path.join(root, fname)
-                out[os.path.relpath(fp, path)] = os.path.getsize(fp)
+        for rel in cls._list_files(path):
+            base = os.path.basename(rel)
+            if base.startswith(("_", ".")):
+                continue
+            out[rel] = os.path.getsize(os.path.join(path, rel))
         return out
+
+    @staticmethod
+    def _list_files(path: str) -> list[str]:
+        """Recursive file listing under a directory, as sorted paths
+        relative to it (sidecars included — callers filter). One of the
+        four POSIX-surface primitives (with :meth:`_reuse_file`,
+        :meth:`_retire_version`, and :meth:`dir_file_sizes`) an
+        object-store backend swaps: this one is LIST-by-prefix. Every
+        other filesystem touch in the catalog is single-file
+        create/read/delete/replace — each an atomic object PUT / GET /
+        DELETE / conditional-PUT on such a store."""
+        out: list[str] = []
+        for root, _dirs, files in os.walk(path):
+            rel = os.path.relpath(root, path)
+            for fname in files:
+                out.append(
+                    fname if rel == "." else os.path.join(rel, fname)
+                )
+        return sorted(out)
 
     def read_meta(self, table: str) -> dict | None:
         """The ``_meta.json`` sidecar of the current snapshot (None if the
@@ -352,15 +551,16 @@ class Catalog:
         """Append into the current version in place (the fact-table fast
         path: no read-modify-write of existing partitions). Creates v=1 if
         the table does not exist yet."""
-        p = self.path(table)
-        if p is None:
-            self.write(df, table, partition_by=partition_by)
-            return
-        writer = df.write.mode("append")
-        cols = partition_by or PARTITIONED.get(table)
-        if cols:
-            writer = writer.partitionBy(*cols)
-        writer.parquet(p)
+        with self.writer_lock():
+            p = self.path(table)
+            if p is None:
+                self.write(df, table, partition_by=partition_by)
+                return
+            writer = df.write.mode("append")
+            cols = partition_by or PARTITIONED.get(table)
+            if cols:
+                writer = writer.partitionBy(*cols)
+            writer.parquet(p)
 
     def append_once(
         self,
@@ -394,6 +594,16 @@ class Catalog:
         when one id is a dash-prefix of the other (``merge-x`` vs
         ``merge-x-y``, the documented ledgerless-merge path).
         """
+        with self.writer_lock():
+            self._append_once_locked(df, table, batch_id, partition_by)
+
+    def _append_once_locked(
+        self,
+        df: DataFrame,
+        table: str,
+        batch_id: int | str,
+        partition_by: list[str] | None = None,
+    ) -> None:
         p = self.path(table)
         if p is None:
             # first batch: versioned write — a replay writes an identical
@@ -419,21 +629,27 @@ class Catalog:
             writer = writer.partitionBy(*cols)
         writer.parquet(staging)
         prefix = f"batch-{tok}-"
-        for root, _dirs, files in os.walk(p):
-            for fname in files:
-                if fname.startswith(prefix):
-                    os.remove(os.path.join(root, fname))
-        for root, _dirs, files in os.walk(staging):
-            rel = os.path.relpath(root, staging)
-            dst_dir = p if rel == "." else os.path.join(p, rel)
-            for i, fname in enumerate(sorted(files)):
-                if fname.startswith(("_", ".")):
-                    continue
-                os.makedirs(dst_dir, exist_ok=True)
-                os.replace(
-                    os.path.join(root, fname),
-                    os.path.join(dst_dir, f"{prefix}{i:05d}.parquet"),
-                )
+        for rel in self._list_files(p):
+            if os.path.basename(rel).startswith(prefix):
+                os.remove(os.path.join(p, rel))
+        staged = [
+            rel
+            for rel in self._list_files(staging)
+            if not os.path.basename(rel).startswith(("_", "."))
+        ]
+        # deterministic sequence per destination dir (partition), like
+        # the per-walk-dir enumerate it replaces
+        seq: dict[str, int] = {}
+        for rel in staged:
+            rel_dir = os.path.dirname(rel)
+            dst_dir = p if not rel_dir else os.path.join(p, rel_dir)
+            i = seq.get(rel_dir, 0)
+            seq[rel_dir] = i + 1
+            os.makedirs(dst_dir, exist_ok=True)
+            os.replace(
+                os.path.join(staging, rel),
+                os.path.join(dst_dir, f"{prefix}{i:05d}.parquet"),
+            )
         shutil.rmtree(staging, ignore_errors=True)
 
     def stage_partition_delta(
@@ -443,6 +659,7 @@ class Catalog:
         touched: list,
         drop: list | None = None,
         partition_by: list | None = None,
+        meta: dict | None = None,
     ) -> int:
         """Stage (WITHOUT flipping the pointer) a new version that
         differs from the current snapshot only in named partitions:
@@ -459,49 +676,95 @@ class Catalog:
 
         ``df`` must contain only rows whose partition value is in
         ``touched`` — enforced, because a stray row would silently land
-        in a partition that was also hardlinked."""
+        in a partition that was also hardlinked. Symmetrically, the
+        CURRENT snapshot must be fully ``{pcol}=``-partitioned: any
+        top-level data file or foreign directory (a snapshot ever
+        written unpartitioned, or partitioned by a different column)
+        would be neither reused nor dropped-as-metadata — silent row
+        loss — so it raises instead."""
         part_cols = partition_by or PARTITIONED.get(table)
         if not part_cols:
             raise ValueError(f"{table} is not partitioned")
-        cur = self.path(table)
-        if cur is None:
-            return self._write_version(df, table, partition_by=part_cols)
-        pcol = part_cols[0]
-        touched_dirs = {f"{pcol}={v}" for v in touched}
-        drop_dirs = {f"{pcol}={v}" for v in (drop or [])}
-        stray = df.filter(~F.col(pcol).isin(list(touched))).limit(1).count()
-        if stray:
-            raise ValueError(f"df contains partitions outside touched={touched}")
-        tdir = self._table_dir(table)
-        new_v = (self.current_version(table) or 0) + 1
-        target = os.path.join(tdir, f"v={new_v}")
-        # a crashed earlier attempt may have left this staging dir —
-        # versions re-derive from the pointer, so rebuild it cleanly
-        shutil.rmtree(target, ignore_errors=True)
-        os.makedirs(target)
-        # bookkeeping survives a touched-partition rewrite: the current
-        # snapshot's _meta.json (e.g. append_once's created-by marker)
-        # rides into the new version
-        old_meta = os.path.join(cur, "_meta.json")
-        if os.path.exists(old_meta):
-            shutil.copy(old_meta, os.path.join(target, "_meta.json"))
-        for entry in os.listdir(cur):
-            src = os.path.join(cur, entry)
-            if (
-                entry.startswith(f"{pcol}=")
-                and entry not in touched_dirs
-                and entry not in drop_dirs
-                and os.path.isdir(src)
-            ):
-                dst = os.path.join(target, entry)
-                os.makedirs(dst)
-                for fname in os.listdir(src):
-                    if not fname.startswith("_"):
-                        os.link(
-                            os.path.join(src, fname), os.path.join(dst, fname)
-                        )
-        df.write.mode("append").partitionBy(*part_cols).parquet(target)
-        return new_v
+        with self.writer_lock():
+            cur = self.path(table)
+            if cur is None:
+                return self._write_version(df, table, partition_by=part_cols)
+            pcol = part_cols[0]
+            touched_dirs = {f"{pcol}={v}" for v in touched}
+            drop_dirs = {f"{pcol}={v}" for v in (drop or [])}
+            stray = (
+                df.filter(~F.col(pcol).isin(list(touched))).limit(1).count()
+            )
+            if stray:
+                raise ValueError(
+                    f"df contains partitions outside touched={touched}"
+                )
+            entries = os.listdir(cur)
+            foreign = [
+                e
+                for e in entries
+                if not e.startswith(("_", "."))
+                and not (
+                    e.startswith(f"{pcol}=")
+                    and os.path.isdir(os.path.join(cur, e))
+                )
+            ]
+            if foreign:
+                raise ValueError(
+                    f"{table} current snapshot v-dir contains entries the "
+                    f"partition-delta reuse loop would silently drop "
+                    f"(not {pcol}= partition dirs): {sorted(foreign)[:5]} — "
+                    "was the snapshot ever written unpartitioned? Rewrite "
+                    "it partitioned (catalog.write) before partition-scoped "
+                    "commits."
+                )
+            tdir = self._table_dir(table)
+            new_v = (self.current_version(table) or 0) + 1
+            target = os.path.join(tdir, f"v={new_v}")
+            # a crashed earlier attempt may have left this staging dir —
+            # versions re-derive from the pointer, so rebuild it cleanly
+            shutil.rmtree(target, ignore_errors=True)
+            os.makedirs(target)
+            # bookkeeping survives a touched-partition rewrite: the current
+            # snapshot's _meta.json (e.g. append_once's created-by marker)
+            # rides into the new version — unless the caller supplies NEW
+            # meta (the partitioned-matview ledger: state and ledger must
+            # commit under ONE pointer flip, so the updated ledger has to
+            # live inside the staged version, exactly like write(meta=...))
+            if meta is not None:
+                with open(os.path.join(target, "_meta.json"), "w") as f:
+                    json.dump({**meta, "__schema": df.schema.json()}, f)
+            else:
+                old_meta = os.path.join(cur, "_meta.json")
+                if os.path.exists(old_meta):
+                    shutil.copy(old_meta, os.path.join(target, "_meta.json"))
+            for entry in entries:
+                src = os.path.join(cur, entry)
+                if (
+                    entry.startswith(f"{pcol}=")
+                    and entry not in touched_dirs
+                    and entry not in drop_dirs
+                    and os.path.isdir(src)
+                ):
+                    dst = os.path.join(target, entry)
+                    os.makedirs(dst)
+                    for fname in os.listdir(src):
+                        if not fname.startswith("_"):
+                            self._reuse_file(
+                                os.path.join(src, fname),
+                                os.path.join(dst, fname),
+                            )
+            df.write.mode("append").partitionBy(*part_cols).parquet(target)
+            return new_v
+
+    @staticmethod
+    def _reuse_file(src: str, dst: str) -> None:
+        """Reuse one byte-identical data file between snapshot versions.
+        POSIX backend: hardlink (O(1), shares the inode; retiring the old
+        version later only unlinks names). Object-store backend: swap for
+        manifest reuse (Iceberg/Delta — the new snapshot's manifest lists
+        the old object key) or a server-side COPY."""
+        os.link(src, dst)
 
     def overwrite_partitions(
         self,
@@ -514,27 +777,62 @@ class Catalog:
         :meth:`stage_partition_delta` (hardlinked remainder, touched
         written fresh), then flip — the 100 TB merge shape: a daily
         micro-batch rewrites one date partition, not the table."""
-        cur = self.path(table)
-        if cur is None:
-            self.write(
-                df,
-                table,
-                partition_by=partition_by or PARTITIONED.get(table),
+        with self.writer_lock():
+            cur = self.path(table)
+            if cur is None:
+                self.write(
+                    df,
+                    table,
+                    partition_by=partition_by or PARTITIONED.get(table),
+                )
+                return
+            new_v = self.stage_partition_delta(
+                df, table, touched, partition_by=partition_by
             )
-            return
-        new_v = self.stage_partition_delta(
-            df, table, touched, partition_by=partition_by
-        )
-        self._flip(table, new_v)
-        self._prune(table, new_v)
+            self._flip(table, new_v)
+            self._prune(table, new_v)
 
     def _prune(self, table: str, newest: int) -> None:
+        """Retire versions older than ``KEEP_VERSIONS`` — OFF the commit
+        path. The replay profile showed the physical rmtree of a retired
+        fact version (~366 tiny date-partition dirs) as the largest
+        remaining fixed per-day commit cost, so retirement is now one
+        O(1) rename out of the ``v=`` namespace (readers and ``read_at``
+        see the version gone immediately — KEEP_VERSIONS semantics are
+        unchanged) and the recursive delete happens on a background
+        drain thread (:func:`_trash_submit`). A crash between the two
+        leaves a ``_trash-*`` dir that :meth:`_sweep_trash` re-enqueues
+        on the next open. Hardlinked files shared with live versions
+        survive either way — deletion only unlinks names."""
         tdir = self._table_dir(table)
         for entry in os.listdir(tdir):
             if entry.startswith("v="):
                 v = int(entry.split("=", 1)[1])
                 if v <= newest - KEEP_VERSIONS:
-                    shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
+                    self._retire_version(os.path.join(tdir, entry))
+
+    def _retire_version(self, path: str) -> None:
+        """Make a retired version invisible, then delete it off-path.
+        POSIX backend: rename + background rmtree. An object store has
+        no directory rename — swap this method for a direct (async)
+        multi-object DELETE of the listed keys; visibility there is
+        governed by the pointer/manifest alone, so the rename step is
+        unnecessary."""
+        tdir, entry = os.path.split(path)
+        for i in range(100):
+            trash = os.path.join(tdir, f"_trash-{entry.replace('=', '-')}-{i}")
+            if os.path.exists(trash):
+                continue  # undrained slot from an earlier crash
+            try:
+                os.rename(path, trash)
+            except FileNotFoundError:
+                return  # concurrent recovery already retired it
+            except OSError:
+                continue  # lost a race for the slot — next one
+            _trash_submit(trash)
+            return
+        # pathological (100 undrained slots): delete synchronously
+        shutil.rmtree(path, ignore_errors=True)
 
     def register_views(self) -> None:
         for table in schemas.TABLE_SCHEMAS:

@@ -41,6 +41,7 @@ def maintain(
     tables: Tables,
     new_max_date: dt.date | None = None,
     materialize: bool = False,
+    broadcast_gc: bool = True,
 ) -> Tables:
     """Run T1 → cascade → T2 → T3 and return the new table states.
 
@@ -54,7 +55,33 @@ def maintain(
     side), and without pinning, Spark recomputes the whole cascade —
     including the fact-table distinct — once per consumer. Dimensions
     are broadcast-sized by the data model, so the pin is a few MB; the
-    caller should unpersist after its commit."""
+    caller should unpersist after its commit.
+
+    ``broadcast_gc`` controls the GC semi-join build strategy.
+
+    True (default): force-broadcast each build side. Valid because the
+    build sides are DOMAIN-BOUNDED here, not merely assumed small: the
+    distinct charted isrcs are capped by the CHECK-constrained rank
+    domain (10 ranks × sources × ≤366 retained days —
+    ``create_schema_structure.sql`` rank CHECK 1..10), and ``song`` /
+    ``artist_song_map`` are GC'd against exactly that set every batch,
+    so the dims can never outgrow it between batches. The explicit hint
+    deliberately overrides ``spark.sql.autoBroadcastJoinThreshold`` —
+    at 100 TB the alternative is shuffling the scaled fact during
+    maintenance. (It also sidesteps a Spark 4 AQE artifact: a
+    sort-merge semi-join over a union claiming propagated hash
+    partitioning zips 32-vs-64 partition RDDs.)
+
+    False: a deployment whose dims are NOT bounded by this data model
+    (wider rank domain, unboundedly many sources) degrades to an
+    explicit repartition of each build side on the join key — a
+    co-partitioned shuffle join instead of a driver OOM. Pick this when
+    the distinct-key set can exceed executor/driver broadcast memory."""
+    _build = (
+        F.broadcast
+        if broadcast_gc
+        else (lambda side: side.repartition(*side.columns))
+    )
     ranking = tables.ranking
     if new_max_date is not None:
         # T1: ranking_date <= NEW.ranking_date - INTERVAL '1 year' is purged
@@ -71,20 +98,20 @@ def maintain(
     # sort-merge semi-join over a union that claims propagated hash
     # partitioning zips 32-vs-64 partition RDDs.)
     song = tables.song.join(
-        F.broadcast(ranking.select("isrc").distinct()), "isrc", "left_semi"
+        _build(ranking.select("isrc").distinct()), "isrc", "left_semi"
     )
     if materialize:
         song = song.localCheckpoint(eager=True)
     # FK ON DELETE CASCADE song -> artist_song_map
     # (create_schema_structure.sql:49): map rows of deleted songs go too.
     artist_song_map = tables.artist_song_map.join(
-        F.broadcast(song.select("isrc")), "isrc", "left_semi"
+        _build(song.select("isrc")), "isrc", "left_semi"
     )
     if materialize:
         artist_song_map = artist_song_map.localCheckpoint(eager=True)
     # T3: artists must still be mapped to some surviving song.
     artist = tables.artist.join(
-        F.broadcast(artist_song_map.select("artist_id").distinct()),
+        _build(artist_song_map.select("artist_id").distinct()),
         "artist_id",
         "left_semi",
     )

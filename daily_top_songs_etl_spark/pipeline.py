@@ -166,51 +166,19 @@ def run_daily_batch(
     # replay it cut the per-day wall 2.2x (BENCH_sf1.json
     # maintain_replay_round9). Dimension tables stay full snapshot
     # writes — they are broadcast-sized by the data model.
-    dims = {
-        "artist": tables.artist,
-        "song": tables.song,
-        "artist_song_map": tables.artist_song_map,
-    }
     try:
-        if not catalog.exists("ranking"):
-            catalog.commit_tables({**dims, "ranking": tables.ranking})
-            return deltas
-        spark = daily_batch.sparkSession
-        inserted_dates = [
-            r[0]
-            for r in ranking_ins.select("ranking_date").distinct().collect()
-        ]  # bounded: one value per touched day
-        if new_max_date is not None:
-            cutoff = (
-                spark.createDataFrame([(new_max_date,)], "d date")
-                .select(F.add_months("d", -12).alias("c"))
-                .first()[0]
+        # Hold the writer lock across the WHOLE stage+commit sequence:
+        # each catalog method self-locks, but the staged fact version and
+        # the manifest publication below are one logical transaction — a
+        # second concurrent run_daily_batch interleaving between them
+        # could overwrite the staged version dir. With the explicit hold
+        # (reentrant for the nested calls), the second writer fails
+        # loudly at its first mutation instead (ConcurrentWriterError —
+        # the serialization the reference gets from Postgres row locks).
+        with catalog.writer_lock():
+            return _commit_batch(
+                catalog, tables, deltas, ranking_t, ranking_ins, new_max_date
             )
-            purged = [
-                r[0]
-                for r in ranking_t.select("ranking_date")
-                .distinct()
-                .filter(F.col("ranking_date") <= F.lit(cutoff))
-                .collect()
-            ]  # partition metadata, bounded by retained dates
-            touched = [d for d in inserted_dates if d > cutoff]
-        else:
-            purged, touched = [], inserted_dates
-        if not touched and not purged:
-            # ranking is bit-identical to the current snapshot — commit
-            # only the dimensions (their upsert deltas may be non-empty)
-            catalog.commit_tables(dims)
-            return deltas
-        # touched is never empty here: a purge implies >=1 inserted row,
-        # and the max inserted date is always > its own 1-year cutoff
-        staged_v = catalog.stage_partition_delta(
-            tables.ranking.filter(F.col("ranking_date").isin(touched)),
-            "ranking",
-            touched,
-            drop=purged,
-        )
-        catalog.commit_tables(dims, staged={"ranking": staged_v})
-        return deltas
     finally:
         # Release the dimension pins (their data is committed to parquet;
         # a long-lived foreachBatch session would otherwise accumulate
@@ -219,9 +187,74 @@ def run_daily_batch(
         # blocks, so unpersist exactly the RDD ids pinned since the
         # snapshot above. ranking_ins's pin predates the snapshot and
         # stays alive: it is returned in deltas and is batch-sized.
+        #
+        # Cleanup leniency is deliberate (the commit already succeeded;
+        # failing the batch over a pin release would be worse) — but a
+        # SYSTEMATIC unpersist failure (e.g. the _jsc private-API shape
+        # changing across Spark versions) would silently re-introduce
+        # the checkpoint-accumulation leak this code exists to fix, so
+        # it is logged loudly, never swallowed.
         try:
             for rid, rdd in sc._jsc.getPersistentRDDs().items():
                 if rid not in pre_pin_ids:
                     rdd.unpersist()
-        except Exception:
-            pass
+        except Exception as exc:  # noqa: BLE001 — logged, cleanup path
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "run_daily_batch: releasing maintain() checkpoint pins "
+                "failed (%s: %s) — localCheckpoint blocks will accumulate "
+                "across batches in a long-lived session",
+                type(exc).__name__,
+                exc,
+            )
+
+
+def _commit_batch(catalog, tables, deltas, ranking_t, ranking_ins, new_max_date):
+    """The snapshot-consistent publication tail of :func:`run_daily_batch`
+    (runs under the caller's held writer lock — the nested catalog calls
+    below re-enter it)."""
+    dims = {
+        "artist": tables.artist,
+        "song": tables.song,
+        "artist_song_map": tables.artist_song_map,
+    }
+    if not catalog.exists("ranking"):
+        catalog.commit_tables({**dims, "ranking": tables.ranking})
+        return deltas
+    spark = ranking_ins.sparkSession
+    inserted_dates = [
+        r[0]
+        for r in ranking_ins.select("ranking_date").distinct().collect()
+    ]  # bounded: one value per touched day
+    if new_max_date is not None:
+        cutoff = (
+            spark.createDataFrame([(new_max_date,)], "d date")
+            .select(F.add_months("d", -12).alias("c"))
+            .first()[0]
+        )
+        purged = [
+            r[0]
+            for r in ranking_t.select("ranking_date")
+            .distinct()
+            .filter(F.col("ranking_date") <= F.lit(cutoff))
+            .collect()
+        ]  # partition metadata, bounded by retained dates
+        touched = [d for d in inserted_dates if d > cutoff]
+    else:
+        purged, touched = [], inserted_dates
+    if not touched and not purged:
+        # ranking is bit-identical to the current snapshot — commit
+        # only the dimensions (their upsert deltas may be non-empty)
+        catalog.commit_tables(dims)
+        return deltas
+    # touched is never empty here: a purge implies >=1 inserted row,
+    # and the max inserted date is always > its own 1-year cutoff
+    staged_v = catalog.stage_partition_delta(
+        tables.ranking.filter(F.col("ranking_date").isin(touched)),
+        "ranking",
+        touched,
+        drop=purged,
+    )
+    catalog.commit_tables(dims, staged={"ranking": staged_v})
+    return deltas
