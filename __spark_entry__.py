@@ -90,9 +90,23 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Some generator versions store events.ts as TIMESTAMP(NANOS), which
     Spark only reads as raw int64 (with nanosAsLong); others store
     TIMESTAMP(MICROS), which reads natively. Normalize both to microsecond
-    timestamps (ns path truncates — matching DuckDB's ns→µs cast)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    timestamps (ns path truncates — matching DuckDB's ns→µs cast).
+
+    The legacy conf is session-global, so it is set ONLY when the footer
+    actually carries NANOS (probe first — the µs generators never mutate
+    session state at all), and once set it deliberately stays set: the
+    returned DataFrame is LAZY and re-resolves the conf at execution, so
+    restoring it here would fail the very read being returned. Every
+    consumer in this registry tolerates the setting (it only affects
+    parquet NANOS columns, which only this loader reads)."""
+    try:
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    except Exception as e:  # noqa: BLE001 — classified below, else re-raised
+        msg = str(e)
+        if "NANOS" not in msg and "PARQUET_TYPE_ILLEGAL" not in msg:
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(df.dtypes)["ts"]
     if ts_type in ("bigint", "long"):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
@@ -6988,6 +7002,86 @@ GROUP BY event_type
 """
 
 
+def q_matview_partition_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SCOPED incremental matview refresh
+    (operators/matview.PartitionedIncrementalView — round-9 verdict
+    next-round #8): the state table is partitioned by its date key, and
+    each refresh (a) prunes the state scan to the partitions the batch
+    touches, (b) merges, and (c) publishes a version where untouched
+    date partitions are REUSED byte-identically
+    (Catalog.stage_partition_delta — the round-9 fact-commit machinery
+    composed with IVM), with the exactly-once ledger riding INSIDE the
+    staged version. Four batches: two disjoint date bands, then the
+    middle band split in two (b1b merges INTO b1a's already-written
+    partitions), then a replay of b1b that the ledger must refuse. The
+    oracle recomputes the whole aggregation in one statement, so the
+    hash-match proves incremental-partition-scoped ≡ full recompute AND
+    no double-count under replay. Reference analogue: the Postgres
+    views recompute on read (create_schema_structure.sql); at 100 TB a
+    daily batch must touch one date partition of the materialization,
+    not rewrite it."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.operators.matview import (
+        PartitionedIncrementalView,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("event_date"),
+        "event_type",
+        "value",
+        "event_id",
+        "ts",
+    )
+    d = tempfile.mkdtemp(prefix="spark_graft_pmv_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    view = PartitionedIncrementalView(
+        Catalog(spark, d),
+        "mv",
+        ["event_date", "event_type"],
+        "value",
+        partition_key="event_date",
+    )
+    c1 = F.lit("2024-01-10").cast("timestamp")
+    c2 = F.lit("2024-01-20").cast("timestamp")
+    mid = (F.col("ts") >= c1) & (F.col("ts") < c2)
+    batches = [
+        ("b0", ev.filter(F.col("ts") < c1)),
+        ("b1a", ev.filter(mid & (F.col("event_id") % 2 == 0))),
+        # b1b merges INTO the partitions b1a already wrote
+        ("b1b", ev.filter(mid & (F.col("event_id") % 2 == 1))),
+        ("b2", ev.filter(F.col("ts") >= c2)),
+    ]
+    for bid, b in batches:
+        applied = view.refresh(b.drop("event_id", "ts"), bid)
+        assert applied, f"batch {bid} unexpectedly marked already-applied"
+    replay = batches[2][1].drop("event_id", "ts")
+    assert view.refresh(replay, "b1b") is False, "replayed batch re-applied"
+    out = view.read()
+    # partition-column inference reads the date-shaped key back as DATE;
+    # emit the string form both engines print identically
+    return out.withColumn(
+        "event_date", F.col("event_date").cast("string")
+    )
+
+
+ORACLE_MATVIEW_PARTITION_REFRESH = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         AS avg_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Distributed exact global row numbering
 # --------------------------------------------------------------------------
@@ -10258,44 +10352,39 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- registry head: the first 50 entries are the driver's correctness
     # window (CORRECTNESS_r{N}.json samples exactly these slots in order).
-    # Round-9 rotation (VERDICT r8 "Next round" #1 and #6):
+    # Round-10 rotation (VERDICT r9 "Next round" #1, #2, #8):
     #   slot 1      — flagship anchor (every round).
-    #   slots 2-12  — the 11 round-8 faces that registered past slot 50
-    #     last round (the only oracle-paired queries without a driver
-    #     row); rows here restore full driver closure.
-    #   slots 13-24 — the reference-surface §2 core band (joins, dedup
+    #   slots 2-3   — regional_volume / nation_trade_volume: the two r9
+    #     perf-weak flags, adjudicated environment by clean-window
+    #     min-of-4 (BENCH_SUBSET.json note_round10); the window adds a
+    #     fresh driver correctness row to the closure.
+    #   slots 4-15  — the reference-surface §2 core band (joins, dedup
     #     upsert, retention/GC, window family).
-    #   slots 25-46 — every persisted-index lifecycle + stream/matview
-    #     face: they share the bounded ledger and the CATALOG WRITE PATH
-    #     this round touched (sidecar fresh-schema-last, narrowed
-    #     zero-footer fallback, injective batch tokens) — the rotation
-    #     re-proves the fixes changed nothing.
-    #   slot 47     — the round-9 NEW face (fuzzy_decontaminate_stripped);
+    #   slots 16-44 — every face that exercises the CATALOG WRITE PATH
+    #     this round hardened (writer lock, deferred version pruning,
+    #     append_once listing rewrite, partition-delta guard): persisted
+    #     text/ann/ivfpq/pq/dedup index lifecycles incl. the four merge
+    #     faces, stream/matview exactly-once faces, boilerplate_strip +
+    #     fuzzy_decontaminate_stripped (r9's new face re-verify).
+    #   slot 45     — the round-10 NEW face (matview_partition_refresh:
+    #     partition-scoped incremental matview refresh — verdict #8);
     #     new faces sit last among oracle-paired slots (round-1 lesson).
-    #   slots 48-50 — three rows_only() faces entering a driver window
-    #     for the FIRST time (VERDICT r8 #6). They have no oracle_sql()
-    #     entry BY NATURE (sketch/zlib/ICU outputs are not
-    #     cross-engine-hashable), so the driver records its weaker
-    #     rows-only check. Expectation for these three slots:
-    #     rows_match/schema_match meaningful, hash_match EXEMPT — the
+    #   slots 46-50 — ALL FIVE rows_only() faces (VERDICT r9 #2):
+    #     approx_percentile and incremental_distinct enter a window for
+    #     the first time. No oracle_sql() can exist BY NATURE
+    #     (sketch/zlib/ICU outputs are not cross-engine-hashable); the
+    #     driver records rows/schema with hash EXEMPT, and the committed
+    #     ROWS_ONLY_EXPECTED.json manifest gives the judge an exact
+    #     row-count to diff each slot's spark_rows against (the
     #     engine-side epsilon-bound tests named in rows_only() carry the
-    #     value verification.
+    #     value verification).
     # Ordering keeps build-before-consumer so session caches warm in
     # order (text/ann/ivfpq/pq/dedup index builds precede their
     # query/append/refine consumers; compact/delete/merge faces
     # construct FRESH temp catalogs and have no such dependency).
     "flagship_delta": q_flagship_delta,
-    "source_quota": q_source_quota,
-    "importance_resample": q_importance_resample,
-    "cluster_quota": q_cluster_quota,
-    "dedup_apply_soft": q_dedup_apply_soft,
-    "quality_drift": q_quality_drift,
-    "fuzzy_decontaminate": q_fuzzy_decontaminate,
-    "stream_source_quota": q_stream_source_quota,
-    "ann_index_merge": q_ann_index_merge,
-    "ivfpq_merge": q_ivfpq_merge,
-    "text_index_merge": q_text_index_merge,
-    "dedup_index_merge": q_dedup_index_merge,
+    "regional_volume": q_regional_volume,
+    "nation_trade_volume": q_nation_trade_volume,
     "string_agg": q_string_agg,
     "priority_dedup": q_priority_dedup,
     "topk_per_group": q_topk_per_group,
@@ -10312,33 +10401,48 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_index_query": q_text_index_query,
     "text_index_append": q_text_index_append,
     "text_index_compact": q_text_index_compact,
+    "text_index_merge": q_text_index_merge,
     "ann_index_build": q_ann_index_build,
     "ann_index_query": q_ann_index_query,
     "ann_index_append": q_ann_index_append,
     "ann_index_refine": q_ann_index_refine,
     "ann_index_delete": q_ann_index_delete,
+    "ann_index_merge": q_ann_index_merge,
     "ivfpq_index_build": q_ivfpq_index_build,
     "ivfpq_query": q_ivfpq_query,
     "ivfpq_append": q_ivfpq_append,
+    "ivfpq_merge": q_ivfpq_merge,
     "pq_index_build": q_pq_index_build,
     "pq_encode_apply": q_pq_encode_apply,
     "dedup_index_build": q_dedup_index_build,
     "dedup_index_query": q_dedup_index_query,
     "dedup_index_compact": q_dedup_index_compact,
+    "dedup_index_merge": q_dedup_index_merge,
     "vector_stream_state": q_vector_stream_state,
     "sketch_stream_state": q_sketch_stream_state,
+    "boilerplate_strip": q_boilerplate_strip,
+    "stream_source_quota": q_stream_source_quota,
+    "stream_dedup": q_stream_dedup,
     "matview_refresh": q_matview_refresh,
     "matview_retract": q_matview_retract,
-    "boilerplate_strip": q_boilerplate_strip,
     "fuzzy_decontaminate_stripped": q_fuzzy_decontaminate_stripped,
+    "matview_partition_refresh": q_matview_partition_refresh,
     "approx_distinct_users": q_approx_distinct_users,
+    "approx_percentile": q_approx_percentile,
+    "incremental_distinct": q_incremental_distinct,
     "text_normalize": q_text_normalize,
     "text_compress_ratio": q_text_compress_ratio,
     # --- end of driver correctness window (slot 50) ---
-    # Displaced round-8 window and continuation (every entry below has a
-    # driver-verified green row in CORRECTNESS_r01..r08, except the two
-    # remaining rows_only() faces at the very end); old relative order
-    # kept so build entries stay before their steady-state consumers.
+    # Displaced earlier windows and continuation (every entry below has a
+    # driver-verified green row in CORRECTNESS_r01..r09); old relative
+    # order kept so build entries stay before their steady-state
+    # consumers.
+    "source_quota": q_source_quota,
+    "importance_resample": q_importance_resample,
+    "cluster_quota": q_cluster_quota,
+    "dedup_apply_soft": q_dedup_apply_soft,
+    "quality_drift": q_quality_drift,
+    "fuzzy_decontaminate": q_fuzzy_decontaminate,
     "dedup_exact": q_dedup_exact,
     "dedup_spans": q_dedup_spans,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -10406,7 +10510,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_users": q_distinct_users,
     "below_avg_quantity": q_below_avg_quantity,
     "salted_agg": q_salted_agg,
-    "stream_dedup": q_stream_dedup,
     "stream_interval_join": q_stream_interval_join,
     "cube_agg": q_cube_agg,
     "order_count_histogram": q_order_count_histogram,
@@ -10432,8 +10535,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_normalize": q_embedding_normalize,
     "embedding_int8": q_embedding_int8,
     "shipping_priority": q_shipping_priority,
-    "regional_volume": q_regional_volume,
-    "nation_trade_volume": q_nation_trade_volume,
     "market_share": q_market_share,
     "promo_share": q_promo_share,
     "min_cost_supplier": q_min_cost_supplier,
@@ -10510,8 +10611,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_winnow": q_text_winnow,
     "sim_topk_lsh": q_sim_topk_lsh,
     "stream_session_window": q_stream_session_window,
-    "approx_percentile": q_approx_percentile,
-    "incremental_distinct": q_incremental_distinct,
 }
 
 _ORACLES: dict[str, str] = {
@@ -10689,6 +10788,7 @@ _ORACLES: dict[str, str] = {
     "incremental_agg": ORACLE_INCREMENTAL_AGG,
     "matview_refresh": ORACLE_MATVIEW_REFRESH,
     "matview_retract": ORACLE_MATVIEW_RETRACT,
+    "matview_partition_refresh": ORACLE_MATVIEW_PARTITION_REFRESH,
     "dedup_lsh_recall": ORACLE_DEDUP_LSH_RECALL,
     "text_index_build": ORACLE_TEXT_INDEX_BUILD,
     "text_index_query": ORACLE_BM25_TOPK,

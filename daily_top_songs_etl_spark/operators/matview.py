@@ -82,6 +82,148 @@ class IncrementalView:
         return finalize(self.catalog.read(self.name), self.keys)
 
 
+class PartitionedIncrementalView:
+    """Incrementally-maintained aggregate whose state table is
+    PARTITIONED by one of its group keys (a date/month bucket in
+    practice) and refreshed partition-scoped: a micro-batch reads only
+    the state partitions its rows fall in (partition-pruned scan),
+    merges, and stages a version where every untouched partition is
+    reused byte-identically (``Catalog.stage_partition_delta`` —
+    hardlink here, manifest reuse on an object store). The state
+    HISTORY is never rescanned (the monoid-merge property all
+    IncrementalViews share) **nor rewritten** (what this class adds) —
+    the 100 TB daily-batch shape, composing the round-9 fact-commit
+    machinery with IVM (round-9 verdict next-round #8).
+
+    Exactly-once rides the same in-snapshot applied-batch ledger as
+    :class:`IncrementalView`: the updated ledger is written INSIDE the
+    staged version directory (``stage_partition_delta(meta=...)``) and
+    becomes visible under the same atomic publication as the state, so
+    no crash window exists where state includes a batch the ledger
+    doesn't know (or vice versa)."""
+
+    def __init__(
+        self,
+        catalog: Catalog,
+        name: str,
+        keys: list[str],
+        value_col: str,
+        partition_key: str,
+    ) -> None:
+        if partition_key not in keys:
+            raise ValueError(
+                f"partition_key {partition_key!r} must be one of the "
+                f"group keys {keys} — a partition column outside the "
+                "grouping would split groups across partitions"
+            )
+        self.catalog = catalog
+        self.name = name
+        self.keys = keys
+        self.value_col = value_col
+        self.partition_key = partition_key
+
+    def applied_count(self) -> int:
+        """Total batches ever applied (ledger observability)."""
+        return ledger_load(self.catalog.read_meta(self.name))["count"]
+
+    def _canon(self, state: DataFrame) -> DataFrame:
+        """Pin the stored state schema. The full-rewrite views tolerate
+        merge_states widening sum_val's decimal precision per merge
+        (every file is rewritten at the new type together); here old
+        partition files SURVIVE refreshes, so a widening write would
+        leave one snapshot mixing decimal(28,6) and decimal(38,6)
+        footers — an unreadable table. Every write goes through this
+        fixed shape instead."""
+        return state.select(
+            *self.keys,
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.col("sum_val").cast("decimal(38,6)").alias("sum_val"),
+            F.col("min_val").alias("min_val"),
+            F.col("max_val").alias("max_val"),
+        )
+
+    def refresh(self, batch: DataFrame, batch_id: str) -> bool:
+        """Merge one batch into only the state partitions it touches.
+        Returns False (no state touched) if ``batch_id`` was already
+        applied; True once the staged partitions + ledger are published
+        under one atomic manifest."""
+        led = ledger_load(self.catalog.read_meta(self.name))
+        if ledger_seen(led, batch_id):
+            return False
+        pk = self.partition_key
+        # Pin the batch-sized delta once (consumed twice: touched-partition
+        # listing + merge). localCheckpoint blocks outlive
+        # DataFrame.unpersist(), so release exactly the RDD ids pinned here
+        # after the commit — the run_daily_batch pattern.
+        sc = batch.sparkSession.sparkContext
+        pre_pin_ids = set(sc._jsc.getPersistentRDDs().keys())
+        delta = agg_state(batch, self.keys, self.value_col).localCheckpoint(
+            eager=True
+        )
+        try:
+            ledger_add(led, batch_id)
+            if not self.catalog.exists(self.name):
+                self.catalog.write(
+                    self._canon(delta),
+                    self.name,
+                    meta=ledger_meta(led),
+                    partition_by=[pk],
+                )
+                return True
+            touched = [
+                r[0] for r in delta.select(pk).distinct().collect()
+            ]  # bounded: one value per partition the batch touches
+            state = self.catalog.read(self.name)
+            # Partition-column type inference can read pk back as a
+            # DIFFERENT type than the delta carries (date-like strings
+            # come back as DATE) — normalize to the delta's type AFTER
+            # the pruning filter, so the filter still sits on the raw
+            # partition column (literals coerce; PartitionFilters
+            # survive) while the merge unions consistent key types.
+            pruned = state.filter(F.col(pk).isin(touched))
+            pk_type = delta.schema[pk].dataType
+            if state.schema[pk].dataType != pk_type:
+                pruned = pruned.withColumn(pk, F.col(pk).cast(pk_type))
+            merged = merge_states(
+                # the pruned scan is the whole point: the merge never
+                # reads untouched history
+                pruned,
+                delta,
+                self.keys,
+            )
+            # Hold the lock across stage+publish: they are one logical
+            # transaction (the daily-batch pattern — a concurrent writer
+            # interleaving between them fails loudly instead).
+            with self.catalog.writer_lock():
+                staged = self.catalog.stage_partition_delta(
+                    self._canon(merged),
+                    self.name,
+                    touched,
+                    partition_by=[pk],
+                    meta=ledger_meta(led),
+                )
+                self.catalog.commit_tables({}, staged={self.name: staged})
+            return True
+        finally:
+            try:
+                for rid, rdd in sc._jsc.getPersistentRDDs().items():
+                    if rid not in pre_pin_ids:
+                        rdd.unpersist()
+            except Exception as exc:  # noqa: BLE001 — logged, cleanup path
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "PartitionedIncrementalView.refresh: releasing the "
+                    "delta pin failed (%s: %s)",
+                    type(exc).__name__,
+                    exc,
+                )
+
+    def read(self) -> DataFrame:
+        """The user-facing finalized view (avg/sum/min/max projection)."""
+        return finalize(self.catalog.read(self.name), self.keys)
+
+
 #: Retractable state carries only the GROUP-invertible measures: count
 #: and sum form a group (every element has an inverse), so deletes merge
 #: as negated deltas. min/max are deliberately absent — they are

@@ -1302,3 +1302,227 @@ def test_commit_tables_every_crash_point_recovers(spark, tmp_path):
         got = {t: cat2.read(t).first().k for t in tables}
         assert got == expect, f"crash point {crash_point}: {got}"
         assert not os.path.exists(os.path.join(root, "_txn.json"))
+
+
+def test_stage_partition_delta_refuses_unpartitioned_snapshot(spark, tmp_path):
+    """A current snapshot with top-level data files (a table ever written
+    unpartitioned, then asked for a partition-scoped commit) must raise
+    loudly: the hardlink-reuse loop only copies ``{pcol}=`` directories,
+    so anything else would silently vanish from the staged version —
+    the same silent-data-loss class as the round-8 batch-token finding
+    (round-9 verdict "What's wrong" #2)."""
+    import pytest
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    # unpartitioned write of an ad-hoc table (not in PARTITIONED)
+    cat.write(spark.createDataFrame([(1, "a")], "k long, p string"), "t")
+    delta = spark.createDataFrame([(2, "b")], "k long, p string")
+    with pytest.raises(ValueError, match="unpartitioned"):
+        cat.stage_partition_delta(delta, "t", ["b"], partition_by=["p"])
+    # the partitioned path still works end-to-end
+    cat.write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, p string"),
+        "t2",
+        partition_by=["p"],
+    )
+    v = cat.stage_partition_delta(
+        spark.createDataFrame([(20, "b")], "k long, p string"),
+        "t2",
+        ["b"],
+        partition_by=["p"],
+    )
+    cat._flip("t2", v)
+    assert {(r.k, r.p) for r in cat.read("t2").collect()} == {(1, "a"), (20, "b")}
+
+
+def test_concurrent_writer_fails_loudly(spark, tmp_path):
+    """Two interleaved writers on one catalog root: the second LIVE
+    writer must get ConcurrentWriterError, not silently interleave
+    staged versions (round-9 verdict "What's missing" #3). After the
+    holder releases, the second writer proceeds."""
+    import pytest
+
+    from daily_top_songs_etl_spark.catalog import Catalog, ConcurrentWriterError
+
+    root = str(tmp_path / "cat")
+    cat1 = Catalog(spark, root)
+    cat2 = Catalog(spark, root)
+    df = spark.createDataFrame([(1,)], "k long")
+    with cat1.writer_lock():
+        cat1.write(df, "t")  # reentrant inside the explicit hold
+        with pytest.raises(ConcurrentWriterError):
+            cat2.write(df, "t")
+        with pytest.raises(ConcurrentWriterError):
+            cat2.commit_tables({"u": df})
+    cat2.write(spark.createDataFrame([(2,)], "k long"), "t")
+    assert cat2.read("t").first().k == 2
+
+
+def test_interleaved_staged_commit_one_winner(spark, tmp_path):
+    """The daily-batch shape: writer A holds the lock across
+    stage_partition_delta + commit_tables; writer B interleaving
+    mid-transaction fails loudly and A's commit publishes intact."""
+    import pytest
+
+    from daily_top_songs_etl_spark.catalog import Catalog, ConcurrentWriterError
+
+    root = str(tmp_path / "cat")
+    cat1 = Catalog(spark, root)
+    cat2 = Catalog(spark, root)
+    base = spark.createDataFrame([(1, "d1"), (2, "d2")], "k long, p string")
+    cat1.write(base, "t", partition_by=["p"])
+    delta = spark.createDataFrame([(20, "d2")], "k long, p string")
+    with cat1.writer_lock():
+        v = cat1.stage_partition_delta(delta, "t", ["d2"], partition_by=["p"])
+        with pytest.raises(ConcurrentWriterError):
+            cat2.stage_partition_delta(
+                spark.createDataFrame([(99, "d1")], "k long, p string"),
+                "t",
+                ["d1"],
+                partition_by=["p"],
+            )
+        cat1.commit_tables({}, staged={"t": v})
+    assert {(r.k, r.p) for r in cat1.read("t").collect()} == {
+        (1, "d1"),
+        (20, "d2"),
+    }
+
+
+def test_writer_lock_dead_holder_takeover(spark, tmp_path):
+    """A lock file left by a crashed (dead-pid) writer must not wedge
+    the catalog: the next writer takes over after _recover() has rolled
+    any published manifest forward."""
+    import os
+    import subprocess
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+
+    root = str(tmp_path / "cat")
+    cat = Catalog(spark, root)
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    with open(os.path.join(root, "_writer.lock"), "w") as f:
+        f.write(str(proc.pid))  # dead holder
+    cat.write(spark.createDataFrame([(1,)], "k long"), "t")  # takeover
+    assert cat.read("t").first().k == 1
+    assert not os.path.exists(os.path.join(root, "_writer.lock"))
+
+
+def test_prune_is_deferred_off_the_commit_path(spark, tmp_path):
+    """Version retirement is one O(1) rename at commit time (the version
+    disappears from the v= namespace immediately — KEEP_VERSIONS
+    semantics unchanged, read_at raises) with the physical delete on a
+    background drain; a crash-leftover _trash dir is re-enqueued on the
+    next catalog open (round-9 verdict next-round #4)."""
+    import os
+
+    import pytest
+
+    from daily_top_songs_etl_spark import catalog as catmod
+    from daily_top_songs_etl_spark.catalog import Catalog
+
+    root = str(tmp_path / "cat")
+    cat = Catalog(spark, root)
+    for i in range(3):
+        cat.write(spark.createDataFrame([(i,)], "k long"), "t")
+    tdir = os.path.join(root, "t")
+    vdirs = {e for e in os.listdir(tdir) if e.startswith("v=")}
+    assert vdirs == {"v=2", "v=3"}  # v=1 retired immediately from namespace
+    with pytest.raises(ValueError, match="not retained"):
+        cat.read_at("t", 1)
+    catmod.flush_trash()
+    assert not [e for e in os.listdir(tdir) if e.startswith("_trash-")]
+    # crash shape: a leftover _trash dir is swept on the next open
+    leftover = os.path.join(tdir, "_trash-v-99-0")
+    os.makedirs(os.path.join(leftover, "sub"))
+    with open(os.path.join(leftover, "sub", "f.parquet"), "w") as f:
+        f.write("x")
+    Catalog(spark, root)
+    catmod.flush_trash()
+    assert not os.path.exists(leftover)
+
+
+def test_maintain_shuffle_fallback_matches_broadcast(spark):
+    """broadcast_gc=False (the unbounded-dim degrade path, round-9
+    ADVICE: a deployment whose dims outgrow driver memory must get a
+    shuffle join, not an OOM) produces identical cascade results, and
+    its plans contain no BroadcastExchange on the GC joins."""
+    artist = spark.createDataFrame(
+        [("A" * 22, "Old Artist"), ("B" * 22, "Current Artist")], schemas.ARTIST
+    )
+    song = _songs(
+        spark,
+        [
+            ("OLDI00000001", "Old Song", 1, False, "s1", None),
+            ("NEWI00000001", "New Song", 2, False, "s2", None),
+        ],
+    )
+    amap = spark.createDataFrame(
+        [("A" * 22, "OLDI00000001"), ("B" * 22, "NEWI00000001")],
+        schemas.ARTIST_SONG_MAP,
+    )
+    today = dt.date(2026, 8, 13)
+    ranking = spark.createDataFrame(
+        [
+            ("OLDI00000001", dt.date(2025, 8, 1), 1, "Spotify"),
+            ("NEWI00000001", today, 1, "Spotify"),
+        ],
+        schemas.RANKING,
+    )
+    t = Tables(artist, song, amap, ranking)
+    bc = maintain(t, new_max_date=today)
+    sh = maintain(t, new_max_date=today, broadcast_gc=False)
+    for name in ("artist", "song", "artist_song_map", "ranking"):
+        assert sorted(map(tuple, getattr(sh, name).collect())) == sorted(
+            map(tuple, getattr(bc, name).collect())
+        ), name
+    # the fallback plan must not carry the forced broadcast hint
+    plan = sh.artist._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in plan
+
+
+def test_partitioned_incremental_view_partition_scoped_refresh(spark, tmp_path):
+    """PartitionedIncrementalView (round-9 verdict #8): refreshes touch
+    only the partitions the batch's rows fall in — untouched state
+    partitions are HARDLINKED across versions (st_nlink >= 2), never
+    rewritten — the replay is refused by the in-snapshot ledger, and the
+    final view equals a full recompute."""
+    import os
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.operators.incremental import agg_state, finalize
+    from daily_top_songs_etl_spark.operators.matview import (
+        PartitionedIncrementalView,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    view = PartitionedIncrementalView(cat, "mv", ["day", "typ"], "v", "day")
+    sch = "day string, typ string, v double"
+    b0 = spark.createDataFrame(
+        [("d1", "a", 1.0), ("d1", "b", 2.0), ("d2", "a", 3.0)], sch
+    )
+    b1 = spark.createDataFrame([("d3", "a", 5.0)], sch)
+    b2 = spark.createDataFrame([("d3", "a", 7.0), ("d2", "b", 1.5)], sch)
+    assert view.refresh(b0, "b0")
+    assert view.refresh(b1, "b1")
+    assert view.refresh(b2, "b2")
+    assert view.refresh(b1, "b1") is False  # exactly-once under replay
+    assert view.applied_count() == 3
+    # d1 was untouched by b1 and b2: its current files must be shared
+    # inodes with the previous version (reused, not rewritten)
+    p = cat.path("mv")
+    d1 = os.path.join(p, "day=d1")
+    files = [f for f in os.listdir(d1) if not f.startswith(("_", "."))]
+    assert files
+    assert all(os.stat(os.path.join(d1, f)).st_nlink >= 2 for f in files)
+    # incremental ≡ recompute
+    full = b0.unionByName(b1).unionByName(b2)
+    expect = {
+        tuple(r)
+        for r in finalize(
+            agg_state(full, ["day", "typ"], "v"), ["day", "typ"]
+        ).collect()
+    }
+    assert {tuple(r) for r in view.read().collect()} == expect

@@ -73,3 +73,30 @@ def test_readme_registry_counts_match_code():
     assert (int(m.group(1)), int(m.group(2))) == (n_q, n_o)
     m2 = re.search(r"every one of the (\d+) oracle-paired", readme)
     assert m2 and int(m2.group(1)) == n_o
+
+
+def test_rows_only_expected_manifest_matches_live_counts(spark):
+    """ROWS_ONLY_EXPECTED.json is the falsifiable half of the rows-only
+    driver lane (round-9 verdict #2): the five oracle-less queries have
+    engine-specific VALUES but deterministic row COUNTS, and
+    tools/driver_sim.py asserts equality against this manifest. This
+    test pins the manifest to live counts at the oracle SF so it cannot
+    drift from the code, and pins its key set to rows_only() exactly."""
+    import json
+
+    import __spark_entry__ as entrymod
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "ROWS_ONLY_EXPECTED.json")) as f:
+        manifest = json.load(f)
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    token = os.path.basename(os.path.normpath(sf_dir))
+    if token not in manifest:
+        pytest.skip(f"no committed manifest entry for {token}")
+    expected = manifest[token]
+    assert set(expected) == set(entrymod.rows_only()), (
+        "manifest keys must be exactly the rows_only() set"
+    )
+    qs = entrymod.queries()
+    got = {name: qs[name](spark, sf_dir).count() for name in expected}
+    assert got == expected

@@ -19,6 +19,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.oracle_sweep import TABLES, _mset  # noqa: E402
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _expected_rows(sf_dir: str) -> dict:
+    """Committed expected row counts for rows_only() queries at this
+    SF (ROWS_ONLY_EXPECTED.json, keyed by the sfX token of the data
+    dir). Empty dict if the SF has no committed entry — the check then
+    degrades to rows>0 rather than inventing a number."""
+    import re
+
+    m = re.search(r"(sf[0-9.]+[0-9])", os.path.basename(os.path.normpath(sf_dir)))
+    if not m:
+        return {}
+    try:
+        with open(os.path.join(_REPO, "ROWS_ONLY_EXPECTED.json")) as f:
+            return json.load(f).get(m.group(1), {})
+    except FileNotFoundError:
+        return {}
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -70,16 +89,28 @@ def main() -> int:
                 # rows_only() face in the window: the driver records the
                 # weaker check — rows actually produced, schema stable,
                 # hash exempt (no oracle exists BY NATURE; see
-                # rows_only()). These still flow through the red
-                # accounting below: a face that silently returns 0 rows
-                # or 0 columns is a regression, not a pass.
+                # rows_only()). Two falsifiability rules (round-9
+                # verdict #2 + ADVICE #1): (a) rows_match means the
+                # count EQUALS the committed ROWS_ONLY_EXPECTED.json
+                # entry for this SF — row counts are deterministic even
+                # where values are build-specific — not merely >0;
+                # (b) hash_match is recorded as None, the same shape
+                # the real driver writes (hash_match: null,
+                # err: 'no_oracle'), so no consumer can count an
+                # uncompared hash as a verified one.
                 assert name in entrymod.rows_only(), (
                     f"{name} lacks an oracle but is not annotated rows-only"
                 )
+                expected = _expected_rows(args.sf_dir).get(name)
                 rec["spark_rows"] = len(srows)
-                rec["rows_match"] = len(srows) > 0
+                rec["expected_rows"] = expected
+                rec["rows_match"] = (
+                    len(srows) == expected
+                    if expected is not None
+                    else len(srows) > 0
+                )
                 rec["schema_match"] = len(scols) > 0
-                rec["hash_match"] = rec["rows_match"]  # exempt, not compared
+                rec["hash_match"] = None  # exempt, not compared
                 rec["rows_only"] = True
                 results[name] = rec
                 ok = rec["rows_match"] and rec["schema_match"]
@@ -87,7 +118,8 @@ def main() -> int:
                     red.append(name)
                 print(
                     ("OK  " if ok else "RED ")
-                    + f" {name} (rows-only, hash exempt)",
+                    + f" {name} (rows-only, hash exempt; rows "
+                    + f"{len(srows)} vs expected {expected})",
                     flush=True,
                 )
                 continue
