@@ -49,6 +49,9 @@ def _trash_submit(path: str) -> None:
         _TRASH_POOL = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="catalog-trash"
         )
+    # drop completed futures so a long-lived session (one retire per
+    # commit) doesn't accumulate them without bound
+    _TRASH_FUTURES[:] = [f for f in _TRASH_FUTURES if not f.done()]
     _TRASH_FUTURES.append(
         _TRASH_POOL.submit(shutil.rmtree, path, ignore_errors=True)
     )

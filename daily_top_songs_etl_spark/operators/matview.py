@@ -142,14 +142,21 @@ class PartitionedIncrementalView:
             F.col("max_val").alias("max_val"),
         )
 
-    def refresh(self, batch: DataFrame, batch_id: str) -> bool:
-        """Merge one batch into only the state partitions it touches.
-        Returns False (no state touched) if ``batch_id`` was already
-        applied; True once the staged partitions + ledger are published
-        under one atomic manifest."""
+    def stage_refresh(self, batch: DataFrame, batch_id: str) -> dict | None:
+        """Stage (WITHOUT publishing) one batch's partition-scoped merge
+        and return ``{table: staged_version}`` for
+        ``Catalog.commit_tables(staged=...)`` — so a daily batch can
+        publish its fact delta AND its downstream materializations under
+        ONE intent manifest (no crash window where the fact shows a day
+        the matview doesn't). Returns None if ``batch_id`` was already
+        applied. Call under a held ``catalog.writer_lock()``; nothing is
+        visible (and the ledger does not advance) until the caller's
+        ``commit_tables`` flips the pointer — the staged version carries
+        the updated ledger inside it, so an uncommitted stage is simply
+        re-staged by the replay."""
         led = ledger_load(self.catalog.read_meta(self.name))
         if ledger_seen(led, batch_id):
-            return False
+            return None
         pk = self.partition_key
         # Pin the batch-sized delta once (consumed twice: touched-partition
         # listing + merge). localCheckpoint blocks outlive
@@ -163,13 +170,15 @@ class PartitionedIncrementalView:
         try:
             ledger_add(led, batch_id)
             if not self.catalog.exists(self.name):
-                self.catalog.write(
+                # staged first write: version dir exists, pointer not
+                # flipped — commit_tables publishes it like any other
+                staged_v = self.catalog._write_version(
                     self._canon(delta),
                     self.name,
                     meta=ledger_meta(led),
                     partition_by=[pk],
                 )
-                return True
+                return {self.name: staged_v}
             touched = [
                 r[0] for r in delta.select(pk).distinct().collect()
             ]  # bounded: one value per partition the batch touches
@@ -191,19 +200,14 @@ class PartitionedIncrementalView:
                 delta,
                 self.keys,
             )
-            # Hold the lock across stage+publish: they are one logical
-            # transaction (the daily-batch pattern — a concurrent writer
-            # interleaving between them fails loudly instead).
-            with self.catalog.writer_lock():
-                staged = self.catalog.stage_partition_delta(
-                    self._canon(merged),
-                    self.name,
-                    touched,
-                    partition_by=[pk],
-                    meta=ledger_meta(led),
-                )
-                self.catalog.commit_tables({}, staged={self.name: staged})
-            return True
+            staged_v = self.catalog.stage_partition_delta(
+                self._canon(merged),
+                self.name,
+                touched,
+                partition_by=[pk],
+                meta=ledger_meta(led),
+            )
+            return {self.name: staged_v}
         finally:
             try:
                 for rid, rdd in sc._jsc.getPersistentRDDs().items():
@@ -213,11 +217,25 @@ class PartitionedIncrementalView:
                 import logging
 
                 logging.getLogger(__name__).warning(
-                    "PartitionedIncrementalView.refresh: releasing the "
-                    "delta pin failed (%s: %s)",
+                    "PartitionedIncrementalView.stage_refresh: releasing "
+                    "the delta pin failed (%s: %s)",
                     type(exc).__name__,
                     exc,
                 )
+
+    def refresh(self, batch: DataFrame, batch_id: str) -> bool:
+        """Standalone merge of one batch into only the state partitions
+        it touches: :meth:`stage_refresh` + immediate publication under
+        its own manifest, with the writer lock held across both (the
+        stage+commit pair is one logical transaction — a concurrent
+        writer interleaving between them fails loudly). Returns False
+        (no state touched) if ``batch_id`` was already applied."""
+        with self.catalog.writer_lock():
+            staged = self.stage_refresh(batch, batch_id)
+            if staged is None:
+                return False
+            self.catalog.commit_tables({}, staged=staged)
+        return True
 
     def read(self) -> DataFrame:
         """The user-facing finalized view (avg/sum/min/max projection)."""

@@ -1526,3 +1526,45 @@ def test_partitioned_incremental_view_partition_scoped_refresh(spark, tmp_path):
         ).collect()
     }
     assert {tuple(r) for r in view.read().collect()} == expect
+
+
+def test_daily_batch_and_matview_publish_under_one_manifest(spark, tmp_path):
+    """Verdict-#8 composition: a daily fact partition delta AND its
+    downstream partition-scoped materialization stage under one held
+    writer lock and publish under ONE commit_tables manifest. Before the
+    manifest, neither is visible and the matview ledger has not
+    advanced (an abandoned stage is simply re-staged by the replay);
+    after, both are; a replayed batch id is refused."""
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.operators.matview import (
+        PartitionedIncrementalView,
+    )
+
+    root = str(tmp_path / "cat")
+    cat = Catalog(spark, root)
+    sch = "k long, d string, v double"
+    base = spark.createDataFrame([(1, "d1", 1.0), (2, "d2", 2.0)], sch)
+    cat.write(base, "fact", partition_by=["d"])
+    view = PartitionedIncrementalView(cat, "mv", ["d"], "v", "d")
+    assert view.refresh(base, "seed")
+
+    day = spark.createDataFrame([(3, "d3", 3.0)], sch)
+    with cat.writer_lock():
+        fact_v = cat.stage_partition_delta(day, "fact", ["d3"], partition_by=["d"])
+        staged = view.stage_refresh(day, "day3")
+        assert staged is not None
+        # ---- crash window: staged but no manifest → nothing visible,
+        # ledger un-advanced (a new reader sees the old world whole)
+        cat2 = Catalog(spark, root)
+        assert {r.d for r in cat2.read("fact").collect()} == {"d1", "d2"}
+        assert view.applied_count() == 1
+        cat.commit_tables({}, staged={"fact": fact_v, **staged})
+    assert {r.d for r in cat.read("fact").collect()} == {"d1", "d2", "d3"}
+    assert {(r.d, r.n_rows) for r in view.read().collect()} == {
+        ("d1", 1),
+        ("d2", 1),
+        ("d3", 1),
+    }
+    assert view.applied_count() == 2
+    with cat.writer_lock():
+        assert view.stage_refresh(day, "day3") is None  # replay refused
