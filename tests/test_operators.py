@@ -1568,3 +1568,46 @@ def test_daily_batch_and_matview_publish_under_one_manifest(spark, tmp_path):
     assert view.applied_count() == 2
     with cat.writer_lock():
         assert view.stage_refresh(day, "day3") is None  # replay refused
+
+
+def test_commit_survives_reader_recovery_mid_flip(spark, tmp_path, monkeypatch):
+    """ADVICE r9 #2: a reader process opening the catalog mid-flip rolls
+    the live writer's commit forward (and removes the manifest) before
+    the writer gets there. Both sides finishing must be convergent — the
+    writer's manifest removal tolerates the file being gone, both prunes
+    are idempotent, and the final state is the committed one."""
+    import os
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+
+    root = str(tmp_path / "cat")
+    cat = Catalog(spark, root)
+    cat.commit_tables(
+        {
+            "a": spark.createDataFrame([(1,)], "k long"),
+            "b": spark.createDataFrame([(2,)], "k long"),
+        }
+    )
+    raced = []
+    orig_flip = Catalog._flip
+
+    def flip_then_reader_races(self, table, version):
+        orig_flip(self, table, version)
+        if self is cat and not raced:
+            raced.append(table)
+            # a fresh "process" opens mid-flip: _recover rolls the
+            # manifest forward and removes it under the writer's feet
+            Catalog(spark, root)
+            assert not os.path.exists(os.path.join(root, "_txn.json"))
+
+    monkeypatch.setattr(Catalog, "_flip", flip_then_reader_races)
+    cat.commit_tables(
+        {
+            "a": spark.createDataFrame([(10,)], "k long"),
+            "b": spark.createDataFrame([(20,)], "k long"),
+        }
+    )  # must not raise despite the reader having finished the commit
+    assert raced
+    cat3 = Catalog(spark, root)
+    assert cat3.read("a").first().k == 10
+    assert cat3.read("b").first().k == 20
