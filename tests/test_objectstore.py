@@ -204,3 +204,32 @@ def test_objectstore_every_crash_point_recovers(spark, tmp_path, forbid_posix):
         got = {t: cat2.read(t).first().k for t in tables}
         assert got == expect, f"crash point {crash_point}: {got}"
         assert not os.path.exists(os.path.join(root, "_txn.json"))
+
+
+def test_objectstore_partitioned_matview_refresh(spark, tmp_path, forbid_posix):
+    """The partition-scoped matview on the object-store backend: reuse
+    is server-side COPY instead of hardlink, retirement is multi-object
+    DELETE — refresh semantics (merge, replay refusal, ≡ recompute)
+    must be backend-independent."""
+    from daily_top_songs_etl_spark.operators.incremental import (
+        agg_state,
+        finalize,
+    )
+    from daily_top_songs_etl_spark.operators.matview import (
+        PartitionedIncrementalView,
+    )
+
+    cat = ObjectStoreCatalog(spark, str(tmp_path / "os"))
+    view = PartitionedIncrementalView(cat, "mv", ["d", "t"], "v", "d")
+    sch = "d string, t string, v double"
+    b0 = spark.createDataFrame([("d1", "a", 1.0), ("d2", "a", 3.0)], sch)
+    b1 = spark.createDataFrame([("d2", "b", 5.0), ("d3", "a", 7.0)], sch)
+    assert view.refresh(b0, "b0")
+    assert view.refresh(b1, "b1")
+    assert view.refresh(b1, "b1") is False
+    full = b0.unionByName(b1)
+    expect = {
+        tuple(r)
+        for r in finalize(agg_state(full, ["d", "t"], "v"), ["d", "t"]).collect()
+    }
+    assert {tuple(r) for r in view.read().collect()} == expect

@@ -1611,3 +1611,31 @@ def test_commit_survives_reader_recovery_mid_flip(spark, tmp_path, monkeypatch):
     cat3 = Catalog(spark, root)
     assert cat3.read("a").first().k == 10
     assert cat3.read("b").first().k == 20
+
+
+def test_prune_churn_stays_bounded_and_drains(spark, tmp_path):
+    """Commit churn under deferred pruning: after N writes only
+    KEEP_VERSIONS live versions remain in the v= namespace, the
+    background drain leaves no _trash residue, and the newest snapshot
+    serves reads — the long-lived foreachBatch session shape."""
+    import os
+
+    from daily_top_songs_etl_spark import catalog as catmod
+    from daily_top_songs_etl_spark.catalog import KEEP_VERSIONS, Catalog
+
+    root = str(tmp_path / "cat")
+    cat = Catalog(spark, root)
+    n = 9
+    for i in range(n):
+        cat.write(spark.createDataFrame([(i,)], "k long"), "t")
+    vdirs = sorted(
+        e for e in os.listdir(os.path.join(root, "t")) if e.startswith("v=")
+    )
+    assert vdirs == [f"v={v}" for v in range(n - KEEP_VERSIONS + 1, n + 1)]
+    catmod.flush_trash()
+    assert not [
+        e
+        for e in os.listdir(os.path.join(root, "t"))
+        if e.startswith("_trash-")
+    ]
+    assert cat.read("t").first().k == n - 1
