@@ -38,30 +38,41 @@ KEEP_VERSIONS = 2
 # Deferred-prune drain: retired version directories are RENAMED off the
 # commit path (one O(1) rename per version) and physically removed here,
 # off the caller's wall clock. One thread is plenty — deletion throughput
-# only has to keep up with one retired version per commit.
+# only has to keep up with one retired version per commit. The module
+# state is guarded by a lock: two threads (a foreachBatch worker plus the
+# main thread, each with its own Catalog) submitting concurrently must
+# not double-create the pool or drop each other's futures from the list.
+import threading
+
+_TRASH_MUTEX = threading.Lock()
 _TRASH_POOL: ThreadPoolExecutor | None = None
 _TRASH_FUTURES: list = []
 
 
 def _trash_submit(path: str) -> None:
     global _TRASH_POOL
-    if _TRASH_POOL is None:
-        _TRASH_POOL = ThreadPoolExecutor(
-            max_workers=1, thread_name_prefix="catalog-trash"
+    with _TRASH_MUTEX:
+        if _TRASH_POOL is None:
+            _TRASH_POOL = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="catalog-trash"
+            )
+        # drop completed futures so a long-lived session (one retire per
+        # commit) doesn't accumulate them without bound
+        _TRASH_FUTURES[:] = [f for f in _TRASH_FUTURES if not f.done()]
+        _TRASH_FUTURES.append(
+            _TRASH_POOL.submit(shutil.rmtree, path, ignore_errors=True)
         )
-    # drop completed futures so a long-lived session (one retire per
-    # commit) doesn't accumulate them without bound
-    _TRASH_FUTURES[:] = [f for f in _TRASH_FUTURES if not f.done()]
-    _TRASH_FUTURES.append(
-        _TRASH_POOL.submit(shutil.rmtree, path, ignore_errors=True)
-    )
 
 
 def flush_trash() -> None:
     """Block until every queued deferred deletion has completed (tests,
     and any caller about to measure disk usage)."""
-    while _TRASH_FUTURES:
-        _TRASH_FUTURES.pop().result()
+    while True:
+        with _TRASH_MUTEX:
+            if not _TRASH_FUTURES:
+                return
+            fut = _TRASH_FUTURES.pop()
+        fut.result()
 
 
 class ConcurrentWriterError(RuntimeError):
@@ -82,19 +93,80 @@ class _WriterLock:
     """Context manager behind :meth:`Catalog.writer_lock`. Reentrant per
     Catalog instance (mutating methods nest inside an explicit caller
     hold); cross-instance and cross-process acquisition of a lock held
-    by a LIVE pid fails loudly."""
+    by a LIVE pid fails loudly.
+
+    Dead-holder takeover is serialized through a second, short-lived
+    ``.takeover`` guard file and re-verifies the lock's content UNDER
+    the guard before removing it — without this, two contenders that
+    both classified the same holder as dead could each remove-and-
+    recreate, with the slower one unlinking the faster one's freshly
+    acquired lock (two live writers holding at once, the exact state
+    the lock exists to prevent).
+
+    Known limits, deliberate for a single-host POSIX backend: pid
+    liveness is a same-host heuristic, and a RECYCLED pid (container
+    restart with a fresh pid namespace) can make a genuinely dead
+    holder look alive — acquisition then fails loudly until the stale
+    lock file is removed by an operator. Never auto-healed: a lock
+    naming our own pid may legitimately belong to another Catalog
+    instance in this process. A multi-host deployment swaps this class
+    for a lease object with fencing tokens, the same way the storage
+    methods swap for object-store primitives."""
 
     def __init__(self, cat: "Catalog"):
         self.cat = cat
         self.path = os.path.join(cat.root, "_writer.lock")
 
-    def __enter__(self):
+    def _takeover_dead(self, dead_pid: int) -> None:
+        """Remove the lock file ONLY if, while holding the takeover
+        guard, it still names a dead process. A lock re-created by a
+        faster contender (live pid) is left untouched."""
+        import time
+
+        guard = self.path + ".takeover"
+        for _ in range(200):
+            try:
+                fd = os.open(guard, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+            except FileExistsError:
+                # guard is held for microseconds (no Spark work inside);
+                # one left by a crash inside takeover is removed when
+                # its holder is dead
+                try:
+                    with open(guard) as f:
+                        graw = f.read().strip()
+                except FileNotFoundError:
+                    continue
+                if graw.isdigit() and not _pid_alive(int(graw)):
+                    with contextlib.suppress(FileNotFoundError):
+                        os.remove(guard)
+                else:
+                    time.sleep(0.005)
+                continue
+            try:
+                try:
+                    with open(self.path) as f:
+                        cur = f.read().strip()
+                except FileNotFoundError:
+                    return  # already taken out
+                if cur.isdigit() and not _pid_alive(int(cur)):
+                    with contextlib.suppress(FileNotFoundError):
+                        os.remove(self.path)
+                return  # live or unreadable: leave it; caller re-reads
+            finally:
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(guard)
+        return  # guard contended beyond reason — caller re-evaluates
+
+    def _acquire(self, raise_on_live: bool = True) -> bool:
+        """Take the cross-process lock (reentrancy handled by caller).
+        Returns False instead of raising when ``raise_on_live`` is
+        False and a live process holds it (the recovery path: a live
+        writer will finish its own commit — nothing to recover)."""
         import time
 
         cat = self.cat
-        if cat._lock_depth > 0:
-            cat._lock_depth += 1
-            return self
         empty_reads = 0
         while True:
             try:
@@ -103,7 +175,7 @@ class _WriterLock:
                 )
                 os.write(fd, str(os.getpid()).encode())
                 os.close(fd)
-                break
+                return True
             except FileExistsError:
                 try:
                     with open(self.path) as f:
@@ -118,6 +190,8 @@ class _WriterLock:
                     # Give the pid a moment to appear, then refuse loud.
                     empty_reads += 1
                     if empty_reads > 50:
+                        if not raise_on_live:
+                            return False
                         raise ConcurrentWriterError(
                             f"catalog {cat.root!r} writer lock "
                             f"{self.path!r} has no readable owner pid; "
@@ -128,6 +202,8 @@ class _WriterLock:
                     continue
                 holder = int(raw)
                 if _pid_alive(holder):
+                    if not raise_on_live:
+                        return False
                     raise ConcurrentWriterError(
                         f"catalog {cat.root!r} is being written by live "
                         f"process {holder}; concurrent writers would "
@@ -136,10 +212,21 @@ class _WriterLock:
                     )
                 # dead holder: crash mid-commit. _recover() already
                 # rolled any published manifest forward, so takeover is
-                # safe. Remove its lock and retry the O_EXCL create (a
-                # racing taker loses the create and re-evaluates).
-                with contextlib.suppress(FileNotFoundError):
-                    os.remove(self.path)
+                # safe — performed under the guard so only one
+                # contender removes, and only after re-verifying the
+                # content still names a dead process.
+                self._takeover_dead(holder)
+
+    def _release(self) -> None:
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(self.path)
+
+    def __enter__(self):
+        cat = self.cat
+        if cat._lock_depth > 0:
+            cat._lock_depth += 1
+            return self
+        self._acquire(raise_on_live=True)
         cat._lock_depth = 1
         return self
 
@@ -147,8 +234,7 @@ class _WriterLock:
         cat = self.cat
         cat._lock_depth -= 1
         if cat._lock_depth == 0:
-            with contextlib.suppress(FileNotFoundError):
-                os.remove(self.path)
+            self._release()
         return False
 
 
@@ -459,29 +545,40 @@ class Catalog:
 
         Opening a catalog is therefore a (recovery-only) MUTATING
         operation. That is deliberate: roll-forward on open is what
-        guarantees no reader can observe a torn cross-table state. It
-        also means a reader opening mid-commit may race the live writer
-        — every step both sides take is idempotent (same-content pointer
-        flips, manifest removal suppressed when already gone, prune
-        tolerates missing dirs), so both finishing is convergent."""
+        restores cross-table consistency after a crash. Recovery runs
+        ONLY under the writer lock, acquired non-raising: if a LIVE
+        process holds it, that process is either mid-commit (it will
+        finish its own flips) or recovering right now, and acting
+        anyway could delete a LATER commit's manifest or collide with
+        the writer on the pointer ``.tmp`` files — so a reader opening
+        next to a live writer skips recovery entirely. A crashed
+        writer's lock names a dead pid and is taken over."""
         txn = os.path.join(self.root, "_txn.json")
         if not os.path.exists(txn):
             return
+        lk = _WriterLock(self)
+        if not lk._acquire(raise_on_live=False):
+            return  # live writer/recoverer owns the manifest's fate
+        self._lock_depth = 1
         try:
-            with open(txn) as f:
-                intents = json.load(f)
-        except FileNotFoundError:
-            return  # the writer finished between our stat and open
-        for table, v in intents.items():
-            v = int(v)
-            if (self.current_version(table) or 0) < v and os.path.isdir(
-                os.path.join(self._table_dir(table), f"v={v}")
-            ):
-                self._flip(table, v)
-        with contextlib.suppress(FileNotFoundError):
-            os.remove(txn)
-        for table, v in intents.items():
-            self._prune(table, int(v))
+            try:
+                with open(txn) as f:
+                    intents = json.load(f)
+            except FileNotFoundError:
+                return  # completed while we acquired the lock
+            for table, v in intents.items():
+                v = int(v)
+                if (self.current_version(table) or 0) < v and os.path.isdir(
+                    os.path.join(self._table_dir(table), f"v={v}")
+                ):
+                    self._flip(table, v)
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(txn)
+            for table, v in intents.items():
+                self._prune(table, int(v))
+        finally:
+            self._lock_depth = 0
+            lk._release()
 
     def file_sizes(self, table: str) -> dict[str, int]:
         """Byte sizes of the current snapshot's data files, keyed by
@@ -691,7 +788,9 @@ class Catalog:
         with self.writer_lock():
             cur = self.path(table)
             if cur is None:
-                return self._write_version(df, table, partition_by=part_cols)
+                return self._write_version(
+                    df, table, meta=meta, partition_by=part_cols
+                )
             pcol = part_cols[0]
             touched_dirs = {f"{pcol}={v}" for v in touched}
             drop_dirs = {f"{pcol}={v}" for v in (drop or [])}

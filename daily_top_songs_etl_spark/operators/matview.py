@@ -162,8 +162,176 @@ class PartitionedIncrementalView:
         # listing + merge). localCheckpoint blocks outlive
         # DataFrame.unpersist(), so release exactly the RDD ids pinned here
         # after the commit — the run_daily_batch pattern.
+        from ..pins import release_new_pins, snapshot_pins
+
         sc = batch.sparkSession.sparkContext
-        pre_pin_ids = set(sc._jsc.getPersistentRDDs().keys())
+        pre_pin_ids = snapshot_pins(sc)
+        delta = agg_state(batch, self.keys, self.value_col).localCheckpoint(
+            eager=True
+        )
+        try:
+            ledger_add(led, batch_id)
+            if not self.catalog.exists(self.name):
+                # staged first write: version dir exists, pointer not
+                # flipped — commit_tables publishes it like any other
+                staged_v = self.catalog._write_version(
+                    self._canon(delta),
+                    self.name,
+                    meta=ledger_meta(led),
+                    partition_by=[pk],
+                )
+                return {self.name: staged_v}
+            touched = [
+                r[0] for r in delta.select(pk).distinct().collect()
+            ]  # bounded: one value per partition the batch touches
+            state = self.catalog.read(self.name)
+            # Partition-column type inference can read pk back as a
+            # DIFFERENT type than the delta carries (date-like strings
+            # come back as DATE) — normalize to the delta's type AFTER
+            # the pruning filter, so the filter still sits on the raw
+            # partition column (literals coerce; PartitionFilters
+            # survive) while the merge unions consistent key types.
+            pruned = state.filter(F.col(pk).isin(touched))
+            pk_type = delta.schema[pk].dataType
+            if state.schema[pk].dataType != pk_type:
+                pruned = pruned.withColumn(pk, F.col(pk).cast(pk_type))
+            merged = merge_states(
+                # the pruned scan is the whole point: the merge never
+                # reads untouched history
+                pruned,
+                delta,
+                self.keys,
+            )
+            staged_v = self.catalog.stage_partition_delta(
+                self._canon(merged),
+                self.name,
+                touched,
+                partition_by=[pk],
+                meta=ledger_meta(led),
+            )
+            return {self.name: staged_v}
+        finally:
+            release_new_pins(
+                sc, pre_pin_ids, "PartitionedIncrementalView.stage_refresh"
+            )
+
+    def refresh(self, batch: DataFrame, batch_id: str) -> bool:
+        """Merge one batch into the view state. Returns False (no state
+        touched) if ``batch_id`` was already applied — the exactly-once
+        guard; True once the new snapshot is committed."""
+        led = ledger_load(self.catalog.read_meta(self.name))
+        if ledger_seen(led, batch_id):
+            return False
+        delta = agg_state(batch, self.keys, self.value_col)
+        if self.catalog.exists(self.name):
+            merged = merge_states(
+                self.catalog.read(self.name), delta, self.keys
+            )
+        else:
+            merged = delta
+        # state and ledger commit together: both live inside the new
+        # version directory, made visible by ONE pointer flip — a crash
+        # anywhere leaves the previous snapshot (without this batch in its
+        # ledger) current, so replay re-merges onto the true pre-batch
+        # state. No window exists where state includes the batch but the
+        # ledger doesn't (or vice versa).
+        ledger_add(led, batch_id)
+        self.catalog.write(
+            merged.select(*self.keys, *STATE_COLS),
+            self.name,
+            meta=ledger_meta(led),
+        )
+        return True
+
+    def read(self) -> DataFrame:
+        """The user-facing finalized view (avg/sum/min/max projection)."""
+        return finalize(self.catalog.read(self.name), self.keys)
+
+
+class PartitionedIncrementalView:
+    """Incrementally-maintained aggregate whose state table is
+    PARTITIONED by one of its group keys (a date/month bucket in
+    practice) and refreshed partition-scoped: a micro-batch reads only
+    the state partitions its rows fall in (partition-pruned scan),
+    merges, and stages a version where every untouched partition is
+    reused byte-identically (``Catalog.stage_partition_delta`` —
+    hardlink here, manifest reuse on an object store). The state
+    HISTORY is never rescanned (the monoid-merge property all
+    IncrementalViews share) **nor rewritten** (what this class adds) —
+    the 100 TB daily-batch shape, composing the round-9 fact-commit
+    machinery with IVM (round-9 verdict next-round #8).
+
+    Exactly-once rides the same in-snapshot applied-batch ledger as
+    :class:`IncrementalView`: the updated ledger is written INSIDE the
+    staged version directory (``stage_partition_delta(meta=...)``) and
+    becomes visible under the same atomic publication as the state, so
+    no crash window exists where state includes a batch the ledger
+    doesn't know (or vice versa)."""
+
+    def __init__(
+        self,
+        catalog: Catalog,
+        name: str,
+        keys: list[str],
+        value_col: str,
+        partition_key: str,
+    ) -> None:
+        if partition_key not in keys:
+            raise ValueError(
+                f"partition_key {partition_key!r} must be one of the "
+                f"group keys {keys} — a partition column outside the "
+                "grouping would split groups across partitions"
+            )
+        self.catalog = catalog
+        self.name = name
+        self.keys = keys
+        self.value_col = value_col
+        self.partition_key = partition_key
+
+    def applied_count(self) -> int:
+        """Total batches ever applied (ledger observability)."""
+        return ledger_load(self.catalog.read_meta(self.name))["count"]
+
+    def _canon(self, state: DataFrame) -> DataFrame:
+        """Pin the stored state schema. The full-rewrite views tolerate
+        merge_states widening sum_val's decimal precision per merge
+        (every file is rewritten at the new type together); here old
+        partition files SURVIVE refreshes, so a widening write would
+        leave one snapshot mixing decimal(28,6) and decimal(38,6)
+        footers — an unreadable table. Every write goes through this
+        fixed shape instead."""
+        return state.select(
+            *self.keys,
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.col("sum_val").cast("decimal(38,6)").alias("sum_val"),
+            F.col("min_val").alias("min_val"),
+            F.col("max_val").alias("max_val"),
+        )
+
+    def stage_refresh(self, batch: DataFrame, batch_id: str) -> dict | None:
+        """Stage (WITHOUT publishing) one batch's partition-scoped merge
+        and return ``{table: staged_version}`` for
+        ``Catalog.commit_tables(staged=...)`` — so a daily batch can
+        publish its fact delta AND its downstream materializations under
+        ONE intent manifest (no crash window where the fact shows a day
+        the matview doesn't). Returns None if ``batch_id`` was already
+        applied. Call under a held ``catalog.writer_lock()``; nothing is
+        visible (and the ledger does not advance) until the caller's
+        ``commit_tables`` flips the pointer — the staged version carries
+        the updated ledger inside it, so an uncommitted stage is simply
+        re-staged by the replay."""
+        led = ledger_load(self.catalog.read_meta(self.name))
+        if ledger_seen(led, batch_id):
+            return None
+        pk = self.partition_key
+        # Pin the batch-sized delta once (consumed twice: touched-partition
+        # listing + merge). localCheckpoint blocks outlive
+        # DataFrame.unpersist(), so release exactly the RDD ids pinned here
+        # after the commit — the run_daily_batch pattern.
+        from ..pins import release_new_pins, snapshot_pins
+
+        sc = batch.sparkSession.sparkContext
+        pre_pin_ids = snapshot_pins(sc)
         delta = agg_state(batch, self.keys, self.value_col).localCheckpoint(
             eager=True
         )

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .catalog import Catalog
+from .pins import release_new_pins, snapshot_pins
 from .operators.maintain import Tables, maintain
 from .operators.topk import assign_positional_ranks
 from .operators.upsert import merge_song, upsert
@@ -107,7 +108,7 @@ def run_daily_batch(
     # to release the dim pins after the commit is to unpersist exactly
     # the RDD ids maintain() adds. Single-writer, like the catalog.
     sc = daily_batch.sparkSession.sparkContext
-    pre_pin_ids = set(sc._jsc.getPersistentRDDs().keys())
+    pre_pin_ids = snapshot_pins(sc)
 
     # Trigger cascade (T1→T2→T3) relative to the batch's max date.
     # materialize=True pins each GC'd dimension so the cascade (and the
@@ -183,31 +184,9 @@ def run_daily_batch(
         # Release the dimension pins (their data is committed to parquet;
         # a long-lived foreachBatch session would otherwise accumulate
         # checkpoint blocks until GC thrash — the effect bench.py
-        # measured). DataFrame.unpersist() cannot release localCheckpoint
-        # blocks, so unpersist exactly the RDD ids pinned since the
-        # snapshot above. ranking_ins's pin predates the snapshot and
-        # stays alive: it is returned in deltas and is batch-sized.
-        #
-        # Cleanup leniency is deliberate (the commit already succeeded;
-        # failing the batch over a pin release would be worse) — but a
-        # SYSTEMATIC unpersist failure (e.g. the _jsc private-API shape
-        # changing across Spark versions) would silently re-introduce
-        # the checkpoint-accumulation leak this code exists to fix, so
-        # it is logged loudly, never swallowed.
-        try:
-            for rid, rdd in sc._jsc.getPersistentRDDs().items():
-                if rid not in pre_pin_ids:
-                    rdd.unpersist()
-        except Exception as exc:  # noqa: BLE001 — logged, cleanup path
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "run_daily_batch: releasing maintain() checkpoint pins "
-                "failed (%s: %s) — localCheckpoint blocks will accumulate "
-                "across batches in a long-lived session",
-                type(exc).__name__,
-                exc,
-            )
+        # measured). ranking_ins's pin predates the snapshot and stays
+        # alive: it is returned in deltas and is batch-sized.
+        release_new_pins(sc, pre_pin_ids, "run_daily_batch")
 
 
 def _commit_batch(catalog, tables, deltas, ranking_t, ranking_ins, new_max_date):

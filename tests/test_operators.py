@@ -1570,12 +1570,14 @@ def test_daily_batch_and_matview_publish_under_one_manifest(spark, tmp_path):
         assert view.stage_refresh(day, "day3") is None  # replay refused
 
 
-def test_commit_survives_reader_recovery_mid_flip(spark, tmp_path, monkeypatch):
-    """ADVICE r9 #2: a reader process opening the catalog mid-flip rolls
-    the live writer's commit forward (and removes the manifest) before
-    the writer gets there. Both sides finishing must be convergent — the
-    writer's manifest removal tolerates the file being gone, both prunes
-    are idempotent, and the final state is the committed one."""
+def test_commit_survives_reader_opening_mid_flip(spark, tmp_path, monkeypatch):
+    """ADVICE r9 #2 follow-through: a reader process opening the catalog
+    mid-commit must NOT fight the live writer for the manifest —
+    recovery only runs when the writer lock can be taken (the writer is
+    dead), so the reader's open leaves the in-flight manifest alone and
+    the writer finishes its own commit. A stalled reader can therefore
+    never delete a LATER commit's manifest or collide on the pointer
+    tmp files."""
     import os
 
     from daily_top_songs_etl_spark.catalog import Catalog
@@ -1591,51 +1593,53 @@ def test_commit_survives_reader_recovery_mid_flip(spark, tmp_path, monkeypatch):
     raced = []
     orig_flip = Catalog._flip
 
-    def flip_then_reader_races(self, table, version):
+    def flip_then_reader_opens(self, table, version):
         orig_flip(self, table, version)
         if self is cat and not raced:
             raced.append(table)
-            # a fresh "process" opens mid-flip: _recover rolls the
-            # manifest forward and removes it under the writer's feet
+            # a fresh "process" opens mid-flip: the live writer (us)
+            # holds the lock, so the reader must SKIP recovery and
+            # leave the manifest to the writer
             Catalog(spark, root)
-            assert not os.path.exists(os.path.join(root, "_txn.json"))
+            assert os.path.exists(os.path.join(root, "_txn.json"))
 
-    monkeypatch.setattr(Catalog, "_flip", flip_then_reader_races)
+    monkeypatch.setattr(Catalog, "_flip", flip_then_reader_opens)
     cat.commit_tables(
         {
             "a": spark.createDataFrame([(10,)], "k long"),
             "b": spark.createDataFrame([(20,)], "k long"),
         }
-    )  # must not raise despite the reader having finished the commit
+    )
     assert raced
+    assert not os.path.exists(os.path.join(root, "_txn.json"))
     cat3 = Catalog(spark, root)
     assert cat3.read("a").first().k == 10
     assert cat3.read("b").first().k == 20
 
 
-def test_prune_churn_stays_bounded_and_drains(spark, tmp_path):
-    """Commit churn under deferred pruning: after N writes only
-    KEEP_VERSIONS live versions remain in the v= namespace, the
-    background drain leaves no _trash residue, and the newest snapshot
-    serves reads — the long-lived foreachBatch session shape."""
+def test_recover_after_crash_with_dead_lock(spark, tmp_path):
+    """A writer that crashed BETWEEN publishing the manifest and
+    finishing its flips leaves both a dead-pid writer lock and the
+    manifest. The next opener must take the dead lock over and roll the
+    commit forward."""
+    import json
     import os
+    import subprocess
 
-    from daily_top_songs_etl_spark import catalog as catmod
-    from daily_top_songs_etl_spark.catalog import KEEP_VERSIONS, Catalog
+    from daily_top_songs_etl_spark.catalog import Catalog
 
     root = str(tmp_path / "cat")
     cat = Catalog(spark, root)
-    n = 9
-    for i in range(n):
-        cat.write(spark.createDataFrame([(i,)], "k long"), "t")
-    vdirs = sorted(
-        e for e in os.listdir(os.path.join(root, "t")) if e.startswith("v=")
-    )
-    assert vdirs == [f"v={v}" for v in range(n - KEEP_VERSIONS + 1, n + 1)]
-    catmod.flush_trash()
-    assert not [
-        e
-        for e in os.listdir(os.path.join(root, "t"))
-        if e.startswith("_trash-")
-    ]
-    assert cat.read("t").first().k == n - 1
+    cat.write(spark.createDataFrame([(1,)], "k long"), "a")
+    va = cat._write_version(spark.createDataFrame([(10,)], "k long"), "a")
+    with open(os.path.join(root, "_txn.json"), "w") as f:
+        json.dump({"a": va}, f)
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    with open(os.path.join(root, "_writer.lock"), "w") as f:
+        f.write(str(proc.pid))  # the crashed writer's dead lock
+    # ---- crash; a new process opens the catalog ----
+    cat2 = Catalog(spark, root)
+    assert not os.path.exists(os.path.join(root, "_txn.json"))
+    assert not os.path.exists(os.path.join(root, "_writer.lock"))
+    assert cat2.read("a").first().k == 10

@@ -29,7 +29,12 @@ def _expected_rows(sf_dir: str) -> dict:
     degrades to rows>0 rather than inventing a number."""
     import re
 
-    m = re.search(r"(sf[0-9.]+[0-9])", os.path.basename(os.path.normpath(sf_dir)))
+    # matches single-digit tokens too (sf1), not just dotted ones —
+    # [0-9.]+[0-9] would silently skip sf1 and degrade the check to >0
+    m = re.search(
+        r"(sf[0-9]+(?:\.[0-9]+)?)",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
     if not m:
         return {}
     try:
