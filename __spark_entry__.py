@@ -7082,6 +7082,85 @@ GROUP BY 1, 2
 """
 
 
+def q_matview_partition_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SCOPED IVM under DELETES
+    (operators/matview.PartitionedRetractableView — round-10 verdict
+    next-round #3): the retention-purge shape composed with the 100 TB
+    matview shape. The count/sum state table is partitioned by its date
+    key; two insert batches build it, then (a) the fully-expired early
+    band (ts < 2024-01-10) arrives as a DELETE batch whose negated
+    delta retracts EVERY key in its partitions — those partition dirs
+    disappear from the staged version with no special casing — and (b)
+    a partial delete (the even-event_id half of the 2024-01-10..20
+    band) retracts within partitions that survive, touching only them.
+    The replayed delete must be refused by the in-snapshot ledger
+    (double retraction corrupts counts). The oracle recomputes over the
+    SURVIVING rows in one statement, so the hash-match proves
+    insert⊕partition-scoped-delete ≡ recompute-after-purge with
+    exactly-once replay. count/sum only — min/max have no inverse
+    (RETRACT_STATE_COLS). Reference analogue:
+    delete_old_ranking_records_fn (create_schema_behavior.sql:74-80)
+    composed with downstream materializations."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.operators.matview import (
+        PartitionedRetractableView,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("event_date"),
+        "event_type",
+        "value",
+        "event_id",
+        "ts",
+    )
+    d = tempfile.mkdtemp(prefix="spark_graft_prv_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    view = PartitionedRetractableView(
+        Catalog(spark, d),
+        "mv",
+        ["event_date", "event_type"],
+        "value",
+        partition_key="event_date",
+    )
+    for i in range(2):
+        batch = ev.filter(F.col("event_id") % 2 == i).drop("event_id", "ts")
+        assert view.refresh(batch, f"ins{i}"), f"batch ins{i} refused"
+    c1 = F.lit("2024-01-10").cast("timestamp")
+    c2 = F.lit("2024-01-20").cast("timestamp")
+    # full retraction of the early partitions: their dirs must vanish
+    expired = ev.filter(F.col("ts") < c1).drop("event_id", "ts")
+    assert view.refresh(expired, "purge0", delete=True), "purge0 refused"
+    # partial retraction inside surviving mid-band partitions
+    partial = ev.filter(
+        (F.col("ts") >= c1) & (F.col("ts") < c2) & (F.col("event_id") % 2 == 0)
+    ).drop("event_id", "ts")
+    assert view.refresh(partial, "purge1", delete=True), "purge1 refused"
+    # exactly-once: replaying a delete must not double-retract
+    assert (
+        view.refresh(partial, "purge1", delete=True) is False
+    ), "replayed delete re-applied"
+    out = view.read()
+    return out.withColumn("event_date", F.col("event_date").cast("string"))
+
+
+ORACLE_MATVIEW_PARTITION_RETRACT = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         AS avg_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10'
+  AND NOT (ts < TIMESTAMP '2024-01-20' AND event_id % 2 = 0)
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Distributed exact global row numbering
 # --------------------------------------------------------------------------
@@ -10352,36 +10431,26 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- registry head: the first 50 entries are the driver's correctness
     # window (CORRECTNESS_r{N}.json samples exactly these slots in order).
-    # Round-10 rotation (VERDICT r9 "Next round" #1, #2, #8):
+    # Round-11 rotation (VERDICT r10 "Next round" #3, #6):
     #   slot 1      — flagship anchor (every round).
-    #   slots 2-3   — regional_volume / nation_trade_volume: the two r9
-    #     perf-weak flags, adjudicated environment by clean-window
-    #     min-of-4 (BENCH_SUBSET.json note_round10); the window adds a
-    #     fresh driver correctness row to the closure.
-    #   slots 4-15  — the reference-surface §2 core band (joins, dedup
-    #     upsert, retention/GC, window family).
-    #   slots 16-44 — every face that exercises the CATALOG WRITE PATH
-    #     this round hardened (writer lock, deferred version pruning,
-    #     append_once listing rewrite, partition-delta guard): persisted
-    #     text/ann/ivfpq/pq/dedup index lifecycles incl. the four merge
-    #     faces, stream/matview exactly-once faces, boilerplate_strip +
-    #     fuzzy_decontaminate_stripped (r9's new face re-verify).
-    #   slot 45     — the round-10 NEW face (matview_partition_refresh:
-    #     partition-scoped incremental matview refresh — verdict #8);
-    #     new faces sit last among oracle-paired slots (round-1 lesson).
-    #   slots 46-50 — ALL FIVE rows_only() faces (VERDICT r9 #2):
-    #     approx_percentile and incremental_distinct enter a window for
-    #     the first time. No oracle_sql() can exist BY NATURE
-    #     (sketch/zlib/ICU outputs are not cross-engine-hashable); the
-    #     driver records rows/schema with hash EXEMPT, and the committed
-    #     ROWS_ONLY_EXPECTED.json manifest gives the judge an exact
-    #     row-count to diff each slot's spark_rows against (the
-    #     engine-side epsilon-bound tests named in rows_only() carry the
-    #     value verification).
-    # Ordering keeps build-before-consumer so session caches warm in
-    # order (text/ann/ivfpq/pq/dedup index builds precede their
-    # query/append/refine consumers; compact/delete/merge faces
-    # construct FRESH temp catalogs and have no such dependency).
+    #   slots 2-15  — the reference-surface §2 core band (joins, dedup
+    #     upsert, retention/GC, window family), unchanged from r10.
+    #   slots 16-44 — the STALEST driver rows in the registry: the six
+    #     faces the r10 window displaced (source_quota,
+    #     importance_resample, cluster_quota, dedup_apply_soft,
+    #     quality_drift, fuzzy_decontaminate — r9 rows) plus the 23
+    #     oracle-paired faces whose most recent driver row is r1-r3
+    #     (setop_intersect r1; the r2 band; the oldest r3 band incl.
+    #     left_join / pricing_summary / window_rank_family, which are
+    #     ALSO §2 surface). Relative order preserved from the registry
+    #     so build entries stay before their steady-state consumers.
+    #   slot 45     — the round-11 NEW face (matview_partition_retract:
+    #     partition-scoped IVM retraction — verdict r10 #3); new faces
+    #     sit last among oracle-paired slots (round-1 lesson).
+    #   slots 46-50 — ALL FIVE rows_only() faces, pinned to the exact
+    #     committed row counts in ROWS_ONLY_EXPECTED.json (no oracle can
+    #     exist BY NATURE; engine-side epsilon-bound tests named in
+    #     rows_only() carry the value verification).
     "flagship_delta": q_flagship_delta,
     "regional_volume": q_regional_volume,
     "nation_trade_volume": q_nation_trade_volume,
@@ -10397,6 +10466,46 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "enum_ordinal": q_enum_ordinal,
     "rank_delta_two_dates": q_rank_delta_two_dates,
     "window_gap": q_window_gap,
+    "source_quota": q_source_quota,
+    "importance_resample": q_importance_resample,
+    "cluster_quota": q_cluster_quota,
+    "dedup_apply_soft": q_dedup_apply_soft,
+    "quality_drift": q_quality_drift,
+    "fuzzy_decontaminate": q_fuzzy_decontaminate,
+    "decontaminate": q_decontaminate,
+    "token_freq_score": q_token_freq_score,
+    "vocab_build": q_vocab_build,
+    "value_deciles": q_value_deciles,
+    "incremental_agg": q_incremental_agg,
+    "global_row_number": q_global_row_number,
+    "heavy_hitters": q_heavy_hitters,
+    "sessionize": q_sessionize,
+    "scd2_apply": q_scd2_apply,
+    "trend_slope": q_trend_slope,
+    "star_join_agg": q_star_join_agg,
+    "profile_columns": q_profile_columns,
+    "window_rank_family": q_window_rank_family,
+    "left_join": q_left_join,
+    "pricing_summary": q_pricing_summary,
+    "vocab_encode": q_vocab_encode,
+    "train_order": q_train_order,
+    "setop_intersect": q_setop_intersect,
+    "zorder_value": q_zorder_value,
+    "dedup_simhash": q_dedup_simhash,
+    "text_winnow": q_text_winnow,
+    "sim_topk_lsh": q_sim_topk_lsh,
+    "stream_session_window": q_stream_session_window,
+    "matview_partition_retract": q_matview_partition_retract,
+    "approx_distinct_users": q_approx_distinct_users,
+    "approx_percentile": q_approx_percentile,
+    "incremental_distinct": q_incremental_distinct,
+    "text_normalize": q_text_normalize,
+    "text_compress_ratio": q_text_compress_ratio,
+    # --- end of driver correctness window (slot 50) ---
+    # Displaced earlier windows and continuation (every entry below has a
+    # driver-verified green row in CORRECTNESS_r01..r10); old relative
+    # order kept so build entries stay before their steady-state
+    # consumers.
     "text_index_build": q_text_index_build,
     "text_index_query": q_text_index_query,
     "text_index_append": q_text_index_append,
@@ -10427,22 +10536,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "matview_retract": q_matview_retract,
     "fuzzy_decontaminate_stripped": q_fuzzy_decontaminate_stripped,
     "matview_partition_refresh": q_matview_partition_refresh,
-    "approx_distinct_users": q_approx_distinct_users,
-    "approx_percentile": q_approx_percentile,
-    "incremental_distinct": q_incremental_distinct,
-    "text_normalize": q_text_normalize,
-    "text_compress_ratio": q_text_compress_ratio,
-    # --- end of driver correctness window (slot 50) ---
-    # Displaced earlier windows and continuation (every entry below has a
-    # driver-verified green row in CORRECTNESS_r01..r09); old relative
-    # order kept so build entries stay before their steady-state
-    # consumers.
-    "source_quota": q_source_quota,
-    "importance_resample": q_importance_resample,
-    "cluster_quota": q_cluster_quota,
-    "dedup_apply_soft": q_dedup_apply_soft,
-    "quality_drift": q_quality_drift,
-    "fuzzy_decontaminate": q_fuzzy_decontaminate,
     "dedup_exact": q_dedup_exact,
     "dedup_spans": q_dedup_spans,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -10573,21 +10666,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_subspace_assign": q_pq_subspace_assign,
     "pq_codes": q_pq_codes,
     "pq_topk_adc": q_pq_topk,
-    "decontaminate": q_decontaminate,
-    "token_freq_score": q_token_freq_score,
-    "vocab_build": q_vocab_build,
-    "value_deciles": q_value_deciles,
-    "incremental_agg": q_incremental_agg,
-    "global_row_number": q_global_row_number,
-    "heavy_hitters": q_heavy_hitters,
-    "sessionize": q_sessionize,
-    "scd2_apply": q_scd2_apply,
-    "trend_slope": q_trend_slope,
-    "star_join_agg": q_star_join_agg,
-    "profile_columns": q_profile_columns,
-    "window_rank_family": q_window_rank_family,
-    "left_join": q_left_join,
-    "pricing_summary": q_pricing_summary,
     "explode": q_explode,
     "text_token_stats": q_text_token_stats,
     "text_language_id": q_text_language_id,
@@ -10603,14 +10681,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_ivf": q_sim_topk_ivf,
     "asof_join": q_asof_join,
     "rollup_agg": q_rollup_agg,
-    "vocab_encode": q_vocab_encode,
-    "train_order": q_train_order,
-    "setop_intersect": q_setop_intersect,
-    "zorder_value": q_zorder_value,
-    "dedup_simhash": q_dedup_simhash,
-    "text_winnow": q_text_winnow,
-    "sim_topk_lsh": q_sim_topk_lsh,
-    "stream_session_window": q_stream_session_window,
 }
 
 _ORACLES: dict[str, str] = {
@@ -10789,6 +10859,7 @@ _ORACLES: dict[str, str] = {
     "matview_refresh": ORACLE_MATVIEW_REFRESH,
     "matview_retract": ORACLE_MATVIEW_RETRACT,
     "matview_partition_refresh": ORACLE_MATVIEW_PARTITION_REFRESH,
+    "matview_partition_retract": ORACLE_MATVIEW_PARTITION_RETRACT,
     "dedup_lsh_recall": ORACLE_DEDUP_LSH_RECALL,
     "text_index_build": ORACLE_TEXT_INDEX_BUILD,
     "text_index_query": ORACLE_BM25_TOPK,

@@ -49,6 +49,29 @@ _TRASH_POOL: ThreadPoolExecutor | None = None
 _TRASH_FUTURES: list = []
 
 
+def _drain_one(path: str) -> None:
+    """Delete one retired-version dir on the drain thread. Failures are
+    LOGGED, never silent: a persistently failing drain is the systematic
+    class the pins helper also logs loudly — the dir stays behind as an
+    undrained ``_trash-*`` slot and ``_sweep_trash`` re-enqueues it on
+    the next catalog open, but an operator should get to see why slots
+    are accumulating before the 100-slot synchronous fallback fires."""
+    try:
+        shutil.rmtree(path)
+    except FileNotFoundError:
+        pass
+    except Exception as exc:  # noqa: BLE001 — logged, background path
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "catalog trash drain: deleting %s failed (%s: %s); the dir "
+            "remains an undrained _trash slot (re-enqueued on next open)",
+            path,
+            type(exc).__name__,
+            exc,
+        )
+
+
 def _trash_submit(path: str) -> None:
     global _TRASH_POOL
     with _TRASH_MUTEX:
@@ -59,20 +82,27 @@ def _trash_submit(path: str) -> None:
         # drop completed futures so a long-lived session (one retire per
         # commit) doesn't accumulate them without bound
         _TRASH_FUTURES[:] = [f for f in _TRASH_FUTURES if not f.done()]
-        _TRASH_FUTURES.append(
-            _TRASH_POOL.submit(shutil.rmtree, path, ignore_errors=True)
-        )
+        _TRASH_FUTURES.append(_TRASH_POOL.submit(_drain_one, path))
 
 
-def flush_trash() -> None:
+def flush_trash(shutdown: bool = False) -> None:
     """Block until every queued deferred deletion has completed (tests,
-    and any caller about to measure disk usage)."""
+    and any caller about to measure disk usage). ``shutdown=True`` also
+    stops the drain worker thread — for a long-lived server tearing a
+    session down cleanly; a later retire transparently recreates the
+    pool."""
+    global _TRASH_POOL
     while True:
         with _TRASH_MUTEX:
             if not _TRASH_FUTURES:
-                return
+                break
             fut = _TRASH_FUTURES.pop()
         fut.result()
+    if shutdown:
+        with _TRASH_MUTEX:
+            if _TRASH_POOL is not None and not _TRASH_FUTURES:
+                _TRASH_POOL.shutdown(wait=True)
+                _TRASH_POOL = None
 
 
 class ConcurrentWriterError(RuntimeError):
@@ -238,6 +268,185 @@ class _WriterLock:
         return False
 
 
+class _LeaseLock:
+    """Multi-host successor to :class:`_WriterLock` (round-10 verdict
+    next-round #4): a TTL LEASE file with monotonically increasing
+    FENCING TOKENS, selected by ``Catalog(..., lease_ttl=...)``.
+    Pid-liveness cannot cross hosts (and a recycled pid lies even on
+    one); a lease expires by wall clock instead, and the token makes a
+    zombie holder's resumption detectable at publication time.
+
+    Protocol (the Chubby/ZooKeeper lease shape, file-backed):
+
+    - ``_writer.lease`` holds ``{"token": N, "owner": ..,
+      "expires_at": ts}``. Acquisition: a LIVE (unexpired) lease fails
+      loudly with :class:`ConcurrentWriterError`; an absent or EXPIRED
+      lease is replaced by ``token N+1`` — no pid inspection, so a
+      crashed holder on ANY host is taken over after one TTL.
+    - Every pointer flip (and every staging write) re-reads the lease
+      and REFUSES with :class:`ConcurrentWriterError` unless it still
+      carries OUR token (:meth:`check_fence`, called from
+      ``Catalog._flip`` / ``_write_version``): a writer that stalled
+      past its TTL and lost the lease to a successor can never publish
+      a stale snapshot, however long it slept. A successful check also
+      RENEWS the lease, so a long multi-table commit keeps its lease
+      exactly as long as it keeps making progress.
+    - Lease mutations are serialized through a short-lived ``O_EXCL``
+      guard file (held for microseconds; a crash-orphaned guard names a
+      pid and is removed when that pid is dead, the `_takeover_dead`
+      pattern). On an object store the guard+replace pair collapses
+      into one conditional PUT (If-Match on the lease object's ETag) —
+      every operation here is a single-object GET/PUT/DELETE, inside
+      the same swap boundary the object-store double enforces.
+
+    Residual gap, documented not hidden: fencing guards PUBLICATION
+    (and fails staging fast), but staging directories are derived from
+    the current pointer, so a zombie that re-awakens MID-STAGE can
+    dirty a successor's identically-named staging dir before either
+    flips; the zombie's own flip is then refused, and the successor's
+    commit may publish mixed files. Full closure is token-qualified
+    staging paths (``v=N-tok{T}``), the Iceberg/Delta shape — noted as
+    the deployment step for a genuinely multi-writer object store."""
+
+    def __init__(self, cat: "Catalog", ttl: float):
+        self.cat = cat
+        self.ttl = float(ttl)
+        self.path = os.path.join(cat.root, "_writer.lease")
+        self.guard = self.path + ".guard"
+        self.token: int | None = None
+
+    # -- guarded lease mutation (object store: one conditional PUT) --
+    def _with_guard(self, fn):
+        import time
+
+        for _ in range(400):
+            try:
+                fd = os.open(self.guard, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+            except FileExistsError:
+                try:
+                    with open(self.guard) as f:
+                        graw = f.read().strip()
+                except FileNotFoundError:
+                    continue
+                if graw.isdigit() and not _pid_alive(int(graw)):
+                    with contextlib.suppress(FileNotFoundError):
+                        os.remove(self.guard)
+                else:
+                    time.sleep(0.005)
+                continue
+            try:
+                return fn()
+            finally:
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(self.guard)
+        raise ConcurrentWriterError(
+            f"lease guard {self.guard!r} contended beyond reason — "
+            "a live holder is wedged inside a microsecond critical "
+            "section, which should be impossible"
+        )
+
+    def _read(self) -> dict | None:
+        try:
+            with open(self.path) as f:
+                return json.loads(f.read())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _put(self, lease: dict) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(lease, f)
+        os.replace(tmp, self.path)
+
+    def _acquire(self, raise_on_live: bool = True) -> bool:
+        import time
+
+        def attempt():
+            cur = self._read()
+            now = time.time()
+            if cur is not None and cur.get("expires_at", 0) > now:
+                # live lease — loud failure outside the guard; the owner
+                # string is diagnostic only (two Catalog instances in
+                # one process share a pid, so identity is the TOKEN)
+                return (False, cur)
+            nxt = {
+                "token": (cur.get("token", 0) if cur else 0) + 1,
+                "owner": f"{os.uname().nodename}:{os.getpid()}",
+                "expires_at": now + self.ttl,
+            }
+            self._put(nxt)
+            return (True, nxt)
+
+        won, got = self._with_guard(attempt)
+        if won:
+            self.token = got["token"]
+            return True
+        if not raise_on_live:
+            return False
+        raise ConcurrentWriterError(
+            f"catalog {self.cat.root!r} lease is held by "
+            f"{got.get('owner')!r} (token {got.get('token')}) until "
+            f"{got.get('expires_at')}; refusing (single-writer contract) — "
+            "an expired lease is taken over automatically after its TTL"
+        )
+
+    def check_fence(self) -> None:
+        """Refuse-or-renew at every publication/staging point: the lease
+        must still carry OUR token. Called via ``Catalog._fence()``."""
+        import time
+
+        def attempt():
+            cur = self._read()
+            now = time.time()
+            if cur is None or cur.get("token") != self.token:
+                return cur
+            cur["expires_at"] = now + self.ttl  # progress renews
+            self._put(cur)
+            return True
+
+        got = self._with_guard(attempt)
+        if got is not True:
+            raise ConcurrentWriterError(
+                f"fencing check failed for catalog {self.cat.root!r}: "
+                f"our token {self.token} is no longer the lease "
+                f"({got!r}) — this writer stalled past its TTL and a "
+                "successor took over; refusing to publish a stale "
+                "snapshot"
+            )
+
+    def _release(self) -> None:
+        # expire in place, never delete: removing the file would reset
+        # the token counter to 1 and a zombie holding old token 1 would
+        # become undetectable — monotonicity is the whole fencing story
+        def attempt():
+            cur = self._read()
+            if cur is not None and cur.get("token") == self.token:
+                cur["expires_at"] = 0.0
+                self._put(cur)
+
+        self._with_guard(attempt)
+
+    def __enter__(self):
+        cat = self.cat
+        if cat._lock_depth > 0:
+            cat._lock_depth += 1
+            return self
+        self._acquire(raise_on_live=True)
+        cat._lock_depth = 1
+        cat._lock_tls.fence = self
+        return self
+
+    def __exit__(self, *exc):
+        cat = self.cat
+        cat._lock_depth -= 1
+        if cat._lock_depth == 0:
+            cat._lock_tls.fence = None
+            self._release()
+        return False
+
+
 def _batch_token(batch_id: int | str) -> str:
     """Injective, filesystem-safe encoding of a batch id. Alphanumerics
     map to themselves; every other character (including ``_`` itself, so
@@ -263,13 +472,38 @@ def _batch_token(batch_id: int | str) -> str:
 class Catalog:
     """Read/write named versioned tables under a root directory."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        lease_ttl: float | None = None,
+    ):
         self.spark = spark
         self.root = root
-        self._lock_depth = 0
+        # lease_ttl=None (default): single-host pid-liveness writer lock
+        # (_WriterLock). A float selects the multi-host TTL-lease lock
+        # with fencing tokens (_LeaseLock) — pick a TTL comfortably
+        # above the longest stall a live writer can hit (GC pause,
+        # object-store retry), since an expired lease is taken over.
+        self.lease_ttl = lease_ttl
+        # reentrancy depth is PER-THREAD (threading.local): two threads
+        # sharing one Catalog (foreachBatch worker + main thread) must
+        # not both pass the depth>0 fast path and silently co-hold the
+        # single-writer lock — the second thread instead hits _acquire,
+        # reads this process's live pid, and fails loudly with
+        # ConcurrentWriterError, the same contract as a second process.
+        self._lock_tls = threading.local()
         os.makedirs(root, exist_ok=True)
         self._recover()
         self._sweep_trash()
+
+    @property
+    def _lock_depth(self) -> int:
+        return getattr(self._lock_tls, "depth", 0)
+
+    @_lock_depth.setter
+    def _lock_depth(self, v: int) -> None:
+        self._lock_tls.depth = v
 
     def writer_lock(self):
         """Serialize writers on this catalog root. Every mutating method
@@ -292,8 +526,22 @@ class Catalog:
         is safe. Reentrant within one Catalog instance. On an object
         store the same contract is a lease object / conditional PUT.
         Pid liveness is same-host only — like the hardlink reuse, this
-        backend is explicitly single-node POSIX (see ``_reuse_file``)."""
+        backend is explicitly single-node POSIX (see ``_reuse_file``);
+        construct the catalog with ``lease_ttl=...`` to select the
+        multi-host TTL-lease lock with fencing tokens instead
+        (:class:`_LeaseLock`)."""
+        if self.lease_ttl is not None:
+            return _LeaseLock(self, self.lease_ttl)
         return _WriterLock(self)
+
+    def _fence(self) -> None:
+        """Publication/staging fence: under a lease lock, re-verify (and
+        renew) the fencing token before acting; a no-op under the pid
+        lock and when no lock is held on this thread (tests that stage
+        via _write_version by hand)."""
+        fence = getattr(self._lock_tls, "fence", None)
+        if fence is not None:
+            fence.check_fence()
 
     def _sweep_trash(self) -> None:
         """Re-enqueue deferred-deletion directories a previous process
@@ -445,6 +693,7 @@ class Catalog:
         pointer — invisible to readers until :meth:`_flip`. Split out so
         :meth:`commit_tables` can stage several tables and publish them
         under one intent manifest."""
+        self._fence()  # fail a zombie writer fast, before the Spark job
         tdir = self._table_dir(table)
         os.makedirs(tdir, exist_ok=True)
         new_v = (self.current_version(table) or 0) + 1
@@ -471,6 +720,10 @@ class Catalog:
         return new_v
 
     def _flip(self, table: str, version: int) -> None:
+        # the ONE publication point: under a lease lock the fencing
+        # token is re-verified here, so a stalled writer that lost its
+        # lease can never make a stale snapshot visible
+        self._fence()
         tmp = self._pointer(table) + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(version))
@@ -556,10 +809,12 @@ class Catalog:
         txn = os.path.join(self.root, "_txn.json")
         if not os.path.exists(txn):
             return
-        lk = _WriterLock(self)
+        lk = self.writer_lock()
         if not lk._acquire(raise_on_live=False):
             return  # live writer/recoverer owns the manifest's fate
         self._lock_depth = 1
+        if isinstance(lk, _LeaseLock):
+            self._lock_tls.fence = lk  # recovery flips are fenced too
         try:
             try:
                 with open(txn) as f:
@@ -578,6 +833,7 @@ class Catalog:
                 self._prune(table, int(v))
         finally:
             self._lock_depth = 0
+            self._lock_tls.fence = None
             lk._release()
 
     def file_sizes(self, table: str) -> dict[str, int]:
@@ -933,7 +1189,18 @@ class Catalog:
                 continue  # lost a race for the slot — next one
             _trash_submit(trash)
             return
-        # pathological (100 undrained slots): delete synchronously
+        # pathological (100 undrained slots): delete synchronously — and
+        # say so, because reaching here means the background drain has
+        # been failing persistently and retirement has silently regrown
+        # the inline-rmtree commit cost the drain exists to remove
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "catalog trash drain: 100 undrained _trash slots for %s — "
+            "background drain appears dead; deleting synchronously on "
+            "the commit path",
+            path,
+        )
         shutil.rmtree(path, ignore_errors=True)
 
     def register_views(self) -> None:

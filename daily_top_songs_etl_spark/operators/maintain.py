@@ -73,9 +73,12 @@ def maintain(
     partitioning zips 32-vs-64 partition RDDs.)
 
     False: a deployment whose dims are NOT bounded by this data model
-    (wider rank domain, unboundedly many sources) degrades to an
-    explicit repartition of each build side on the join key — a
-    co-partitioned shuffle join instead of a driver OOM. Pick this when
+    (wider rank domain, unboundedly many sources) drops the broadcast
+    hint — a shuffle join instead of a driver OOM. The build side is
+    pre-repartitioned on its join key (which also breaks the propagated
+    partitioning claim behind the AQE zip artifact above); the probe
+    side is left to the planner, which adds its own exchange — this is
+    NOT a co-located join, just a broadcast-free one. Pick this when
     the distinct-key set can exceed executor/driver broadcast memory."""
     _build = (
         F.broadcast

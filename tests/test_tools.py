@@ -100,3 +100,38 @@ def test_rows_only_expected_manifest_matches_live_counts(spark):
     qs = entrymod.queries()
     got = {name: qs[name](spark, sf_dir).count() for name in expected}
     assert got == expected
+
+
+def test_no_shadowed_top_level_definitions():
+    """Redefinition gate (round-10 verdict #1): a botched edit once left a
+    166-line dead duplicate of PartitionedIncrementalView in
+    operators/matview.py — Python silently keeps the LAST definition, so
+    a shadowed class/def ships as unreachable code and future edits can
+    land in the dead copy. This AST walk asserts no module in the repo
+    defines the same top-level name twice (plain ClassDef/FunctionDef at
+    module body level; conditional try/except or if/else fallbacks live
+    inside compound statements and are not flagged)."""
+    import ast
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    files = [repo / "__spark_entry__.py", repo / "bench.py"]
+    for root in ("daily_top_songs_etl_spark", "tools", "tests"):
+        files += sorted((repo / root).rglob("*.py"))
+    offenders = {}
+    for path in files:
+        seen: dict[str, int] = {}
+        dupes = []
+        for node in ast.parse(path.read_text()).body:
+            if isinstance(
+                node, (ast.ClassDef, ast.FunctionDef, ast.AsyncFunctionDef)
+            ):
+                if node.name in seen:
+                    dupes.append(
+                        f"{node.name} (lines {seen[node.name]} and "
+                        f"{node.lineno})"
+                    )
+                seen[node.name] = node.lineno
+        if dupes:
+            offenders[str(path.relative_to(repo))] = dupes
+    assert not offenders, f"shadowed top-level definitions: {offenders}"

@@ -25,8 +25,10 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def _expected_rows(sf_dir: str) -> dict:
     """Committed expected row counts for rows_only() queries at this
     SF (ROWS_ONLY_EXPECTED.json, keyed by the sfX token of the data
-    dir). Empty dict if the SF has no committed entry — the check then
-    degrades to rows>0 rather than inventing a number."""
+    dir). An SF with no committed entry makes every rows-only face RED
+    (missing-manifest is a loud failure, never a silent degrade to the
+    unfalsifiable rows>0 check the round-9 verdict rejected — add the
+    SF's block to the manifest before running a window there)."""
     import re
 
     # matches single-digit tokens too (sf1), not just dotted ones —
@@ -109,11 +111,16 @@ def main() -> int:
                 expected = _expected_rows(args.sf_dir).get(name)
                 rec["spark_rows"] = len(srows)
                 rec["expected_rows"] = expected
-                rec["rows_match"] = (
-                    len(srows) == expected
-                    if expected is not None
-                    else len(srows) > 0
-                )
+                if expected is None:
+                    # no committed count for this SF: fail LOUDLY — a
+                    # silent >0 degrade is the unfalsifiable check the
+                    # round-9 verdict rejected
+                    rec["rows_match"] = False
+                    rec["err"] = (
+                        "no ROWS_ONLY_EXPECTED.json entry for this SF"
+                    )
+                else:
+                    rec["rows_match"] = len(srows) == expected
                 rec["schema_match"] = len(scols) > 0
                 rec["hash_match"] = None  # exempt, not compared
                 rec["rows_only"] = True
