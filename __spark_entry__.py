@@ -7055,11 +7055,33 @@ def q_matview_partition_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("b1b", ev.filter(mid & (F.col("event_id") % 2 == 1))),
         ("b2", ev.filter(F.col("ts") >= c2)),
     ]
-    for bid, b in batches:
-        applied = view.refresh(b.drop("event_id", "ts"), bid)
-        assert applied, f"batch {bid} unexpectedly marked already-applied"
+    # run the refreshes WITHOUT AQE partition coalescing so every
+    # touched partition is written by several shuffle tasks (the
+    # at-scale physical shape) — that makes the compaction below do
+    # real work instead of vacuously finding one file per partition
+    coal_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    coal = spark.conf.get(coal_key, "true")
+    spark.conf.set(coal_key, "false")
+    try:
+        for bid, b in batches:
+            applied = view.refresh(b.drop("event_id", "ts"), bid)
+            assert applied, f"batch {bid} unexpectedly marked already-applied"
+    finally:
+        spark.conf.set(coal_key, coal)
     replay = batches[2][1].drop("event_id", "ts")
     assert view.refresh(replay, "b1b") is False, "replayed batch re-applied"
+    # partition-local compaction (round-10 verdict #7): rewrite only the
+    # partitions holding several per-task files into one file each; the
+    # oracle hash below then proves compaction changed NOTHING but the
+    # physical layout, and the ledger still refuses the replay
+    compacted = view.compact(1)
+    assert compacted, "expected at least one over-bound partition"
+    part_files: dict = {}
+    for rel in view.catalog.file_sizes("mv"):
+        head = rel.partition("/")[0]
+        part_files[head] = part_files.get(head, 0) + 1
+    assert part_files and all(n == 1 for n in part_files.values()), part_files
+    assert view.refresh(replay, "b1b") is False, "replay after compaction"
     out = view.read()
     # partition-column inference reads the date-shaped key back as DATE;
     # emit the string form both engines print identically

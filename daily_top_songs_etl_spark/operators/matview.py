@@ -229,6 +229,19 @@ class PartitionedIncrementalView:
             self.catalog.commit_tables({}, staged=staged)
         return True
 
+    def compact(self, max_files_per_partition: int) -> list:
+        """Rewrite only the partitions holding more than
+        ``max_files_per_partition`` data files into one file each,
+        reusing the rest byte-identically; content, finalized view, and
+        ledger are unchanged (see :func:`compact_view_partitions`)."""
+        return compact_view_partitions(
+            self.catalog,
+            self.name,
+            self.partition_key,
+            self._canon,
+            max_files_per_partition,
+        )
+
     def read(self) -> DataFrame:
         """The user-facing finalized view (avg/sum/min/max projection)."""
         return finalize(self.catalog.read(self.name), self.keys)
@@ -482,6 +495,19 @@ class PartitionedRetractableView:
             self.catalog.commit_tables({}, staged=staged)
         return True
 
+    def compact(self, max_files_per_partition: int) -> list:
+        """Rewrite only the partitions holding more than
+        ``max_files_per_partition`` data files into one file each,
+        reusing the rest byte-identically; content, finalized view, and
+        ledger are unchanged (see :func:`compact_view_partitions`)."""
+        return compact_view_partitions(
+            self.catalog,
+            self.name,
+            self.partition_key,
+            self._canon,
+            max_files_per_partition,
+        )
+
     def read(self) -> DataFrame:
         """Finalized view: n_rows / sum_value / avg_value (the
         group-invertible measures only)."""
@@ -495,3 +521,49 @@ class PartitionedRetractableView:
                 6,
             ).alias("avg_value"),
         )
+
+
+def compact_view_partitions(
+    catalog: Catalog,
+    name: str,
+    partition_key: str,
+    canon,
+    max_files_per_partition: int,
+) -> list:
+    """Partition-local compaction for the partitioned matviews
+    (round-10 verdict next-round #7): rewrite ONLY the partitions whose
+    data-file count exceeds ``max_files_per_partition`` — each merged
+    refresh writes a touched partition with one file per shuffle task
+    carrying rows for it, so a hot partition can sit at dozens of tiny
+    files — and republish every other partition byte-identically via
+    ``stage_partition_delta``. The rewrite repartitions by the
+    partition column, so every compacted partition lands as ONE file.
+
+    Pure physical reorganization: row content, the finalized view, and
+    the applied-batch ledger are all unchanged (``meta=None`` rides the
+    current ``_meta.json`` into the new version), which the face's
+    recompute oracle and the unit test's hash check both pin. File
+    counts come from :meth:`Catalog.file_sizes` — the sanctioned
+    physical-info boundary — never a filesystem walk. Returns the list
+    of partition values rewritten (empty = nothing over bound, no new
+    version committed)."""
+    if max_files_per_partition < 1:
+        raise ValueError("max_files_per_partition must be >= 1")
+    prefix = f"{partition_key}="
+    counts: dict[str, int] = {}
+    for rel in catalog.file_sizes(name):
+        head, _, _tail = rel.partition("/")
+        if head.startswith(prefix):
+            counts[head[len(prefix):]] = counts.get(head[len(prefix):], 0) + 1
+    over = sorted(v for v, n in counts.items() if n > max_files_per_partition)
+    if not over:
+        return []
+    with catalog.writer_lock():
+        state = catalog.read(name)
+        pruned = state.filter(F.col(partition_key).isin(over))
+        compacted = canon(pruned).repartition(F.col(partition_key))
+        staged_v = catalog.stage_partition_delta(
+            compacted, name, over, partition_by=[partition_key]
+        )
+        catalog.commit_tables({}, staged={name: staged_v})
+    return over

@@ -1662,6 +1662,69 @@ def test_partitioned_incremental_view_partition_scoped_refresh(spark, tmp_path):
     assert {tuple(r) for r in view.read().collect()} == expect
 
 
+def test_matview_partition_compaction(spark, tmp_path):
+    """compact() (round-10 verdict next-round #7): only partitions over
+    the file bound are rewritten (to one file each), the rest stay
+    hardlinked; content, finalized view, and the applied-batch ledger
+    are unchanged; a second compact is a no-op (no new version); the
+    view keeps refreshing and refusing replays afterwards."""
+    import os
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.operators.matview import (
+        PartitionedIncrementalView,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    view = PartitionedIncrementalView(cat, "mv", ["day", "typ"], "v", "day")
+    sch = "day string, typ string, v double"
+    rows = [("d1", f"t{i}", float(i)) for i in range(20)] + [("d2", "a", 1.0)]
+    # AQE coalescing would collapse this toy shuffle to one task (one
+    # file); disable it for the writes to reproduce the at-scale shape —
+    # a hot partition written by many shuffle tasks, one file per task
+    coal_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    coal = spark.conf.get(coal_key, "true")
+    spark.conf.set(coal_key, "false")
+    try:
+        assert view.refresh(spark.createDataFrame(rows, sch), "b0")
+    finally:
+        spark.conf.set(coal_key, coal)
+
+    def files_in(part):
+        d = os.path.join(cat.path("mv"), part)
+        if not os.path.isdir(d):
+            return []
+        return [f for f in os.listdir(d) if not f.startswith(("_", "."))]
+
+    # precondition: the 20-key partition was written by several shuffle
+    # tasks, so it holds several small files
+    assert len(files_in("day=d1")) > 1
+    before = sorted(map(tuple, view.read().collect()))
+    v_before = cat.current_version("mv")
+    compacted = view.compact(1)
+    assert compacted == ["d1"]
+    assert len(files_in("day=d1")) == 1
+    # under-bound partition was reused, not rewritten (shared inode)
+    d2 = files_in("day=d2")
+    assert d2 and all(
+        os.stat(os.path.join(cat.path("mv"), "day=d2", f)).st_nlink >= 2
+        for f in d2
+    )
+    # pure physical reorganization: content and ledger unchanged
+    assert sorted(map(tuple, view.read().collect())) == before
+    assert view.applied_count() == 1
+    # idempotent: nothing over bound now, no version churn
+    assert view.compact(1) == []
+    assert cat.current_version("mv") == v_before + 1
+    # the view still works: refresh applies, replay refused
+    assert view.refresh(
+        spark.createDataFrame([("d2", "a", 2.0)], sch), "b1"
+    )
+    assert view.refresh(
+        spark.createDataFrame([("d2", "a", 2.0)], sch), "b1"
+    ) is False
+
+
 def test_partitioned_retractable_view_partition_scoped_deletes(spark, tmp_path):
     """PartitionedRetractableView (round-10 verdict next-round #3): a
     DELETE batch merges as a negated delta into ONLY the partitions it
