@@ -1822,6 +1822,55 @@ def test_daily_batch_and_matview_publish_under_one_manifest(spark, tmp_path):
         assert view.stage_refresh(day, "day3") is None  # replay refused
 
 
+def test_retention_purge_retracts_matview_under_one_manifest(spark, tmp_path):
+    """The reference's T1 retention purge composed with a downstream
+    materialization at the 100 TB shape (round-10 verdict next-round
+    #3): the fact's partition-DROP and the matview's partition-scoped
+    RETRACTION stage under one held writer lock and publish under ONE
+    commit_tables manifest — no crash window where the fact has dropped
+    a date the materialization still counts. The expired partition
+    disappears from both; the replayed delete is refused."""
+    from daily_top_songs_etl_spark.catalog import Catalog
+    from daily_top_songs_etl_spark.operators.matview import (
+        PartitionedRetractableView,
+    )
+
+    root = str(tmp_path / "cat")
+    cat = Catalog(spark, root)
+    sch = "k long, d string, v double"
+    rows = [(1, "d1", 1.0), (2, "d1", 2.0), (3, "d2", 3.0), (4, "d3", 4.0)]
+    base = spark.createDataFrame(rows, sch)
+    cat.write(base, "fact", partition_by=["d"])
+    view = PartitionedRetractableView(cat, "mv", ["d"], "v", "d")
+    assert view.refresh(base, "seed")
+
+    expired = base.filter(F.col("d") == "d1")
+    empty = spark.createDataFrame([], sch)
+    with cat.writer_lock():
+        fact_v = cat.stage_partition_delta(
+            empty, "fact", [], drop=["d1"], partition_by=["d"]
+        )
+        staged = view.stage_refresh(expired, "purge-d1", delete=True)
+        assert staged is not None
+        # crash window: nothing visible yet — a fresh reader still sees
+        # d1 in BOTH the fact and the materialization
+        cat2 = Catalog(spark, root)
+        assert {r.d for r in cat2.read("fact").collect()} == {"d1", "d2", "d3"}
+        assert {r.d for r in view.read().collect()} == {"d1", "d2", "d3"}
+        cat.commit_tables({}, staged={"fact": fact_v, **staged})
+    # published atomically: d1 gone from both, content consistent
+    assert {r.d for r in cat.read("fact").collect()} == {"d2", "d3"}
+    assert {(r.d, r.n_rows, r.sum_value) for r in view.read().collect()} == {
+        ("d2", 1, 3.0),
+        ("d3", 1, 4.0),
+    }
+    import os
+
+    assert not os.path.exists(os.path.join(cat.path("mv"), "d=d1"))
+    with cat.writer_lock():
+        assert view.stage_refresh(expired, "purge-d1", delete=True) is None
+
+
 def test_commit_survives_reader_opening_mid_flip(spark, tmp_path, monkeypatch):
     """ADVICE r9 #2 follow-through: a reader process opening the catalog
     mid-commit must NOT fight the live writer for the manifest —
