@@ -1050,13 +1050,6 @@ class Catalog:
             pcol = part_cols[0]
             touched_dirs = {f"{pcol}={v}" for v in touched}
             drop_dirs = {f"{pcol}={v}" for v in (drop or [])}
-            stray = (
-                df.filter(~F.col(pcol).isin(list(touched))).limit(1).count()
-            )
-            if stray:
-                raise ValueError(
-                    f"df contains partitions outside touched={touched}"
-                )
             entries = os.listdir(cur)
             foreign = [
                 e
@@ -1096,6 +1089,26 @@ class Catalog:
                 old_meta = os.path.join(cur, "_meta.json")
                 if os.path.exists(old_meta):
                     shutil.copy(old_meta, os.path.join(target, "_meta.json"))
+            # Fresh partitions FIRST, then the stray guard as a directory
+            # listing, then the hardlink reuse loop. Writing first means
+            # the guard ("df contains only touched partitions") costs an
+            # O(dirs) listdir of what the write actually produced instead
+            # of a second full execution of df's plan (the previous
+            # filter+count guard re-ran the whole merge lineage once per
+            # staged delta). Staging stays invisible until the pointer
+            # flip, and a raise abandons the staging dir exactly as
+            # before (the next attempt's rmtree rebuilds it).
+            df.write.mode("append").partitionBy(*part_cols).parquet(target)
+            stray = sorted(
+                e
+                for e in os.listdir(target)
+                if e.startswith(f"{pcol}=") and e not in touched_dirs
+            )
+            if stray:
+                raise ValueError(
+                    f"df contains partitions outside touched={touched}: "
+                    f"{stray[:5]}"
+                )
             for entry in entries:
                 src = os.path.join(cur, entry)
                 if (
@@ -1112,7 +1125,6 @@ class Catalog:
                                 os.path.join(src, fname),
                                 os.path.join(dst, fname),
                             )
-            df.write.mode("append").partitionBy(*part_cols).parquet(target)
             return new_v
 
     @staticmethod

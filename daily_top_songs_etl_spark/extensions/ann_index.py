@@ -35,23 +35,47 @@ def _centroid_rel(centroids: DataFrame) -> DataFrame:
 
 def _assign_clusters(base: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest-centroid (cosine) assignment of quantized vectors ``base``
-    (vec_id, v, nv) against the broadcast centroid relation ``cent`` —
-    ties break on the lower centroid id. One broadcast nested-loop over
-    k centroids per vector; no corpus shuffle."""
-    cos_c = F.round(
-        _dot(F.col("v"), F.col("cv")).cast("double")
-        / (F.col("nv") * F.col("cn")),
-        6,
+    (vec_id, v, nv) against the centroid relation ``cent`` — ties break
+    on the lower centroid id.
+
+    The k centroids collapse to ONE broadcast row holding an array of
+    structs, and the argmax is ``array_max`` over that array — a pure
+    projection. The previous shape (crossJoin to k rows per vector +
+    ``row_number`` window over ``vec_id``) shuffled AND sorted k× the
+    corpus; this shuffles nothing. Tie-break equivalence is exact:
+    ``array_max(struct(cos, -cent_id))`` picks max cosine then min
+    cent_id, with the same NaN-largest / null-smallest / -0.0 == 0.0
+    ordering as the window's ``cos DESC, cent_id ASC`` (verified against
+    Spark's struct comparator). An empty centroid relation yields a NULL
+    argmax, filtered to reproduce the old empty-join result."""
+    cents = cent.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cent_id", "cv", "cn"))
+        ).alias("__cents")
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("__cos").desc(), F.col("cent_id")
+    best = F.array_max(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                F.round(
+                    _dot(F.col("v"), c["cv"]).cast("double")
+                    / (F.col("nv") * c["cn"]),
+                    6,
+                ).alias("cos"),
+                (-c["cent_id"]).alias("negid"),
+            ),
+        )
     )
     return (
-        base.crossJoin(F.broadcast(cent))
-        .withColumn("__cos", cos_c)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cluster"), "v", "nv")
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("__best", best)
+        .filter(F.col("__best").isNotNull())
+        .select(
+            "vec_id",
+            (-F.col("__best.negid")).alias("cluster"),
+            "v",
+            "nv",
+        )
     )
 
 
@@ -84,9 +108,12 @@ def build_ann_index(
     (vector, centroids), the merged lists are bit-identical to a
     one-shot build of the union."""
     if centroids is None:
+        # k tiny rows, referenced twice (the assignment broadcast AND the
+        # centroid-table write) — pin so the iterative Lloyd lineage
+        # executes once, not once per reference
         centroids = kmeans_fit(
             embeddings, k=n_centroids, iters=iters, id_col=id_col
-        )
+        ).localCheckpoint(eager=True)
     cent = _centroid_rel(centroids)
     base = quantize_embeddings(embeddings).select(
         F.col(id_col).alias("vec_id"),
@@ -530,19 +557,23 @@ def build_ivfpq_index(
     consolidate with :func:`merge_ann_index`). Supplied together or
     not at all: codes under one codebook are meaningless against
     another's centroids."""
-    from .pq import pq_encode, pq_train
+    from .pq import _dim, pq_encode, pq_train
 
     if (centroids is None) != (codebook is None):
         raise ValueError(
             "build_ivfpq_index: supply centroids AND codebook together "
             "(codes under one codebook are not comparable under another)"
         )
+    d = _dim(embeddings, "embedding")
     if centroids is None:
+        # k tiny rows referenced twice (the assignment broadcast AND the
+        # centroid-table write) — pin so the iterative Lloyd lineage
+        # executes once, not once per reference
         centroids = kmeans_fit(
             embeddings, k=n_centroids, iters=iters, id_col=id_col
-        )
+        ).localCheckpoint(eager=True)
         codebook = pq_train(
-            embeddings, m=m, k=k_codes, iters=iters, id_col=id_col
+            embeddings, m=m, k=k_codes, iters=iters, id_col=id_col, d=d
         )
     catalog.write(codebook, f"{name}__codebook")
     cent = _centroid_rel(centroids)
@@ -573,7 +604,8 @@ def build_ivfpq_index(
         f"{name}__centroids",
     )
     codes = pq_encode(
-        embeddings, catalog.read(f"{name}__codebook"), m=m, id_col=id_col
+        embeddings, catalog.read(f"{name}__codebook"), m=m, id_col=id_col,
+        d=d,
     ).withColumnRenamed(id_col, "vec_id")
     lists = assigned.join(codes, "vec_id").select(
         "vec_id", "cluster", *[f"code_{j}" for j in range(m)]

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .similarity import QUANT_SCALE
@@ -47,6 +47,7 @@ def pq_train(
     iters: int = 2,
     id_col: str = "vec_id",
     col: str = "embedding",
+    d: int | None = None,
 ) -> DataFrame:
     """Train all ``m`` subspace codebooks in ONE fused Lloyd loop.
 
@@ -63,8 +64,12 @@ def pq_train(
     iteration rather than m, and locally it collapses ~4× the stage
     count the sequential unionByName plan paid.
 
-    Returns (subspace, code, centroid array<double>, n_vectors)."""
-    d = _dim(embeddings, col)
+    Returns (subspace, code, centroid array<double>, n_vectors).
+
+    ``d`` — the (constant) embedding dimension; pass it when the caller
+    already knows it to skip the one-row probe job ``_dim`` costs."""
+    if d is None:
+        d = _dim(embeddings, col)
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
     sub = d // m
@@ -97,23 +102,50 @@ def pq_train(
             F.col("qvec").alias("cvec"),
         )
     )
-    dist = F.aggregate(
-        F.zip_with("qvec", "cvec", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
-        lambda a, x: a + x,
-    )
-    for _ in range(iters):
-        assigned = (
-            subs.join(F.broadcast(centroids), "subspace")
-            .withColumn("d", dist)
-            .groupBy(id_col, "subspace", "qvec")
-            .agg(F.min(F.struct("d", "cluster")).alias("best"))
-            .select(
-                id_col,
-                "subspace",
-                "qvec",
-                F.col("best.cluster").alias("cluster"),
+    # Per-iteration assignment is a PURE PROJECTION: the m·k codewords
+    # collapse to one broadcast row holding an array of (subspace,
+    # cluster, cvec) structs; each melted (vec, subspace) row filters its
+    # subspace's codewords and takes array_min(struct(d, cluster)) —
+    # identical exact-BIGINT distances and struct-ordered tie-break to
+    # the previous broadcast-join + groupBy(id, subspace) shape, WITHOUT
+    # that shape's per-iteration corpus-wide shuffle. The only exchange
+    # left per iteration is the (subspace, cluster, dim) partial-sum
+    # centroid update.
+    def _cb_arr(cent: DataFrame) -> DataFrame:
+        return cent.agg(
+            F.array_sort(
+                F.collect_list(F.struct("subspace", "cluster", "cvec"))
+            ).alias("__cb")
+        )
+
+    def _best_cluster() -> Column:
+        return F.array_min(
+            F.transform(
+                F.filter(
+                    F.col("__cb"),
+                    lambda c: c["subspace"] == F.col("subspace"),
+                ),
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("qvec"),
+                            c["cvec"],
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda a, x: a + x,
+                    ).alias("d"),
+                    c["cluster"].alias("cluster"),
+                ),
             )
+        )["cluster"]
+
+    for _ in range(iters):
+        assigned = subs.crossJoin(F.broadcast(_cb_arr(centroids))).select(
+            id_col,
+            "subspace",
+            "qvec",
+            _best_cluster().alias("cluster"),
         )
         per_dim = (
             assigned.select(
@@ -131,11 +163,9 @@ def pq_train(
             ).alias("cvec")
         )
     sizes = (
-        subs.join(F.broadcast(centroids), "subspace")
-        .withColumn("d", dist)
-        .groupBy(id_col, "subspace")
-        .agg(F.min(F.struct("d", "cluster")).alias("best"))
-        .groupBy("subspace", F.col("best.cluster").alias("cluster"))
+        subs.crossJoin(F.broadcast(_cb_arr(centroids)))
+        .select("subspace", _best_cluster().alias("cluster"))
+        .groupBy("subspace", "cluster")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
     return (
@@ -157,51 +187,69 @@ def pq_encode(
     m: int = 4,
     id_col: str = "vec_id",
     col: str = "embedding",
+    d: int | None = None,
 ) -> DataFrame:
     """Encode vectors as m integer codes (columns ``code_0..code_{m-1}``)
     plus the total quantization error ``q_err`` (exact integer math in
-    the quantized domain). One broadcast join + one hash aggregate."""
-    d = _dim(embeddings, col)
+    the quantized domain).
+
+    PURE PROJECTION: the m·k codebook collapses to ONE broadcast row
+    holding an array of (subspace, code, cvec) structs, and each vector
+    computes all m argmins inline — per subspace j, ``array_min`` of
+    ``struct(d2, code)`` over the filtered subspace-j codewords. This
+    replaces the previous melt (m rows per vector) + broadcast join +
+    corpus-wide hash re-aggregation on vec_id: same exact-BIGINT
+    distances, same struct-ordered tie-break (min d2, then min code),
+    but zero shuffle and zero row inflation.
+
+    ``d`` — the (constant) embedding dimension; pass it when known to
+    skip the one-row probe job ``_dim`` costs."""
+    if d is None:
+        d = _dim(embeddings, col)
     sub = d // m
-    # (vec, subspace) relation: quantized subvectors
-    subs = embeddings.select(
-        id_col,
-        F.posexplode(
-            F.array(*[F.slice(col, j * sub + 1, sub) for j in range(m)])
-        ).alias("subspace", "svec_f"),
-    ).select(
-        id_col,
-        "subspace",
-        F.transform(
-            "svec_f",
-            lambda x: F.round(x.cast("double") * QUANT_SCALE, 0).cast("bigint"),
-        ).alias("svec"),
-    )
-    cb = codebook.select(
+    cb_arr = codebook.select(
         "subspace",
         "code",
         F.transform(
             "centroid",
             lambda x: F.round(x * QUANT_SCALE, 0).cast("bigint"),
         ).alias("cvec"),
+    ).agg(
+        F.array_sort(
+            F.collect_list(F.struct("subspace", "code", "cvec"))
+        ).alias("__cb")
     )
-    dist = F.aggregate(
-        F.zip_with("svec", "cvec", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
-        lambda a, x: a + x,
+
+    def _best(j: int) -> Column:
+        svec = F.transform(
+            F.slice(col, j * sub + 1, sub),
+            lambda x: F.round(x.cast("double") * QUANT_SCALE, 0).cast(
+                "bigint"
+            ),
+        )
+        return F.array_min(
+            F.transform(
+                F.filter(F.col("__cb"), lambda c: c["subspace"] == F.lit(j)),
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            svec, c["cvec"], lambda x, y: (x - y) * (x - y)
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda a, x: a + x,
+                    ).alias("d2"),
+                    c["code"].alias("code"),
+                ),
+            )
+        )
+
+    enc = embeddings.crossJoin(F.broadcast(cb_arr)).select(
+        id_col, *[_best(j).alias(f"_best_{j}") for j in range(m)]
     )
-    scored = subs.join(F.broadcast(cb), "subspace").withColumn("d2", dist)
-    best_per_sub = [
-        F.min(
-            F.when(F.col("subspace") == j, F.struct("d2", "code"))
-        ).alias(f"_best_{j}")
-        for j in range(m)
-    ]
-    agg = scored.groupBy(id_col).agg(*best_per_sub)
     total_err = reduce(
         lambda a, b: a + b, [F.col(f"_best_{j}.d2") for j in range(m)]
     )
-    return agg.select(
+    return enc.select(
         id_col,
         *[F.col(f"_best_{j}.code").alias(f"code_{j}") for j in range(m)],
         total_err.cast("bigint").alias("q_err"),
@@ -251,6 +299,7 @@ def adc_lut(
     id_col: str = "vec_id",
     col: str = "embedding",
     query_id_col: str = "query_id",
+    d: int | None = None,
 ) -> DataFrame:
     """Per-query ADC lookup table: the quantized distance from each query
     subvector to every codeword — |Q|·m·k tiny rows, meant to be
@@ -258,7 +307,8 @@ def adc_lut(
     (query, vector) instead of a D-dim multiply-accumulate. Shared by
     :func:`pq_topk` (flat ADC) and
     :func:`ann_index.query_ivfpq_index` (IVF-pruned ADC)."""
-    d = _dim(queries, col)
+    if d is None:
+        d = _dim(queries, col)
     sub = d // m
     qsubs = queries.select(
         F.col(id_col).alias(query_id_col),
@@ -316,7 +366,8 @@ def pq_topk(
     """
     from pyspark.sql import Window
 
-    codes = pq_encode(embeddings, codebook, m=m, id_col=id_col, col=col)
+    d = _dim(embeddings, col)
+    codes = pq_encode(embeddings, codebook, m=m, id_col=id_col, col=col, d=d)
     melted = codes.select(
         F.col(id_col).alias("neighbor_id"),
         F.posexplode(
@@ -325,7 +376,7 @@ def pq_topk(
     )
     lut = adc_lut(
         queries, codebook, m=m, id_col=id_col, col=col,
-        query_id_col=query_id_col,
+        query_id_col=query_id_col, d=d,
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()

@@ -258,7 +258,35 @@ def ivf_topk(
         F.col("qvec").alias("v"),
         _norm(F.col("qvec")).alias("nv"),
     )
-    assign = _assign(base, "id", "v", "nv", 1).withColumnRenamed("cent_id", "cluster")
+    # Corpus-side argmax (rn_max=1) as a pure projection over a one-row
+    # broadcast centroid array — no corpus shuffle/sort (the query-side
+    # probe keeps the window: |Q| rows, top-n_probe > 1). Tie-break
+    # equivalence: array_max(struct(cos, -cent_id)) == cos DESC,
+    # cent_id ASC (same struct comparator as ann_index._assign_clusters).
+    cents_arr = cent.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cent_id", "cv", "cn"))
+        ).alias("__cents")
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                F.round(
+                    _dot(F.col("v"), c["cv"]).cast("double")
+                    / (F.col("nv") * c["cn"]),
+                    6,
+                ).alias("cos"),
+                (-c["cent_id"]).alias("negid"),
+            ),
+        )
+    )
+    assign = (
+        base.crossJoin(F.broadcast(cents_arr))
+        .withColumn("__best", best)
+        .filter(F.col("__best").isNotNull())
+        .select("id", "v", "nv", (-F.col("__best.negid")).alias("cluster"))
+    )
     q = quantize_embeddings(queries).select(
         F.col(id_col).alias("query_id"),
         F.col("qvec").alias("q"),
@@ -530,13 +558,47 @@ def kmeans_fit(
                 F.col("qvec").alias("cvec"),
             )
         )
+    # Assignment is a PURE PROJECTION: the k centroids collapse to one
+    # broadcast row holding an array of (cluster, cvec) structs and the
+    # argmin is array_min(struct(d, cluster)) — identical exact-BIGINT
+    # distances and identical struct-ordered tie-break to the previous
+    # groupBy(id).agg(min(struct)) shape, WITHOUT the per-iteration
+    # corpus-wide shuffle that shape paid. Per iteration the only
+    # remaining exchange is the (cluster, dim) partial-sum update.
+    def _best_cluster(carr: Column) -> Column:
+        return F.array_min(
+            F.transform(
+                carr,
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("qvec"),
+                            c["cvec"],
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda a, x: a + x,
+                    ).alias("d"),
+                    c["cluster"].alias("cluster"),
+                ),
+            )
+        )["cluster"]
+
+    def _cent_arr(cent: DataFrame) -> DataFrame:
+        return cent.agg(
+            F.array_sort(
+                F.collect_list(F.struct("cluster", "cvec"))
+            ).alias("__cents")
+        )
+
     for _ in range(iters):
         assigned = (
-            q.crossJoin(F.broadcast(centroids))
-            .withColumn("d", dist)
-            .groupBy(id_col, "qvec")
-            .agg(F.min(F.struct("d", "cluster")).alias("best"))
-            .select(id_col, "qvec", F.col("best.cluster").alias("cluster"))
+            q.crossJoin(F.broadcast(_cent_arr(centroids)))
+            .select(
+                id_col,
+                "qvec",
+                _best_cluster(F.col("__cents")).alias("cluster"),
+            )
         )
         per_dim = (
             assigned.select("cluster", F.posexplode("qvec").alias("pos", "v"))
@@ -552,11 +614,9 @@ def kmeans_fit(
             ).alias("cvec")
         )
     sizes = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("d", dist)
-        .groupBy(id_col)
-        .agg(F.min(F.struct("d", "cluster")).alias("best"))
-        .groupBy(F.col("best.cluster").alias("cluster"))
+        q.crossJoin(F.broadcast(_cent_arr(centroids)))
+        .select(_best_cluster(F.col("__cents")).alias("cluster"))
+        .groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
     return (

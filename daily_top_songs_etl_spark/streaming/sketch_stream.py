@@ -62,13 +62,16 @@ def build_sketch_state(
 def _merge_kmv(
     catalog: Catalog, name: str, batch: DataFrame, col: str, kmv_k: int
 ) -> None:
+    # No pin: the relation is referenced exactly once (the write), and
+    # the versioned catalog makes read-then-overwrite safe — the write
+    # stages v+1 while the plan reads v, so the single write action is
+    # the one and only execution of this lineage.
     merged = (
         catalog.read(f"{name}__kmv")
         .unionByName(kmv_sketch(batch, col, k=kmv_k))
         .distinct()
         .orderBy("hv")
         .limit(kmv_k)
-        .localCheckpoint(eager=True)
     )
     catalog.write(merged, f"{name}__kmv")
 
@@ -104,12 +107,13 @@ def merge_sketch_batch(
     width, depth, kmv_k = meta["width"], meta["depth"], meta["kmv_k"]
     # KMV first: idempotent under replay, needs no marker.
     _merge_kmv(catalog, name, batch, col, kmv_k)
+    # Single-reference like the KMV merge above — the write executes the
+    # union+fold once against the still-current version; no pin needed.
     merged_cms = (
         catalog.read(f"{name}__cms")
         .unionByName(cms_build(batch, col, width=width, depth=depth))
         .groupBy("i", "bucket")
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
-        .localCheckpoint(eager=True)
     )
     new_meta = {k: v for k, v in meta.items() if k != "last_merged_batch"}
     if batch_id is not None:
