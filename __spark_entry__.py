@@ -51,6 +51,21 @@ _SPLIT_TABLES = {
 }
 _layout_root: list[str] = []  # single mutable slot
 _layout_cache: dict[tuple[str, str], str] = {}
+# Inferred-schema memo per parquet path (metadata only, never results):
+# every bare spark.read.parquet pays a footer-inference Spark job at
+# DataFrame construction; the inputs under a given path are immutable for
+# the session, so the first inference is replayed as an explicit reader
+# schema on every later load of the same path.
+_schema_memo: dict[str, object] = {}
+
+
+def _read_pq(spark: SparkSession, path: str) -> DataFrame:
+    st = _schema_memo.get(path)
+    if st is not None:
+        return spark.read.schema(st).parquet(path)
+    df = spark.read.parquet(path)
+    _schema_memo[path] = df.schema
+    return df
 
 
 def _split_layout(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> DataFrame:
@@ -63,7 +78,7 @@ def _split_layout(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) ->
     key = (os.path.abspath(sf_dir), name)
     cached = _layout_cache.get(key)
     if cached:
-        return spark.read.parquet(cached)
+        return _read_pq(spark, cached)
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
@@ -75,14 +90,14 @@ def _split_layout(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) ->
     )
     df.repartition(target).write.mode("overwrite").parquet(path)
     _layout_cache[key] = path
-    return spark.read.parquet(path)
+    return _read_pq(spark, path)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return _events(spark, sf_dir)
     return _split_layout(
-        spark, sf_dir, name, spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        spark, sf_dir, name, _read_pq(spark, f"{sf_dir}/{name}.parquet")
     )
 
 
@@ -99,6 +114,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     restoring it here would fail the very read being returned. Every
     consumer in this registry tolerates the setting (it only affects
     parquet NANOS columns, which only this loader reads)."""
+    # The split layout persists the NORMALIZED form, so once it exists
+    # every later load skips the probe read and the nanos dance outright.
+    cached = _layout_cache.get((os.path.abspath(sf_dir), "events"))
+    if cached:
+        return _read_pq(spark, cached)
     try:
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
     except Exception as e:  # noqa: BLE001 — classified below, else re-raised

@@ -493,6 +493,14 @@ class Catalog:
         # reads this process's live pid, and fails loudly with
         # ConcurrentWriterError, the same contract as a second process.
         self._lock_tls = threading.local()
+        # Inferred-schema cache keyed by snapshot path. A ``v=N``
+        # directory's schema is immutable once written (new content
+        # always means a new version directory; in-place appends carry
+        # the same table schema by contract), so the first read's
+        # inference result can be replayed as an explicit reader schema
+        # on every later read of the same path — skipping the
+        # footer-inference Spark job each inference-schema read pays.
+        self._schema_cache: dict[str, object] = {}
         os.makedirs(root, exist_ok=True)
         self._recover()
         self._sweep_trash()
@@ -623,8 +631,17 @@ class Catalog:
         from pyspark.errors import AnalysisException
         from pyspark.sql.types import StructType
 
+        cached = self._schema_cache.get(p)
+        if cached is not None:
+            return self.spark.read.schema(cached).parquet(p)
+        sidecar = self._sidecar_schema(p)
+        if sidecar is not None:
+            self._schema_cache[p] = sidecar
+            return self.spark.read.schema(sidecar).parquet(p)
         try:
-            return self.spark.read.parquet(p)
+            df = self.spark.read.parquet(p)
+            self._schema_cache[p] = df.schema
+            return df
         except AnalysisException as e:
             get_class = getattr(e, "getCondition", None) or e.getErrorClass
             klass = get_class() or ""
@@ -642,6 +659,38 @@ class Catalog:
             return self.spark.createDataFrame(
                 [], StructType.fromJson(json.loads(sj))
             )
+
+    def _sidecar_schema(self, p: str):
+        """Read schema for an UNPARTITIONED snapshot from its
+        ``_meta.json`` ``__schema`` sidecar (recorded unconditionally by
+        ``write``) — the Delta/Iceberg shape: schema is table metadata,
+        not a per-read footer-inference Spark job. Returns None (caller
+        falls back to inference) when the snapshot is partitioned — a
+        partitioned dir's read schema moves the partition columns to the
+        end and re-derives their types from directory names
+        (``term_mod=3`` infers INT where the writer had BIGINT), so only
+        footer inference reproduces it — or when no sidecar exists
+        (pre-upgrade snapshots). For unpartitioned snapshots the sidecar
+        IS the parquet round-trip schema: same columns, same order, same
+        types; appended batch files carry the same table schema by the
+        append contract."""
+        from pyspark.sql.types import StructType
+
+        try:
+            with open(os.path.join(p, "_meta.json")) as f:
+                sj = json.load(f).get("__schema")
+        except (FileNotFoundError, ValueError):
+            return None
+        if sj is None:
+            return None
+        try:
+            entries = os.listdir(p)
+        except OSError:
+            return None
+        for e in entries:
+            if "=" in e and os.path.isdir(os.path.join(p, e)):
+                return None  # partitioned: footer+dirname inference only
+        return StructType.fromJson(json.loads(sj))
 
     def read_at(self, table: str, version: int) -> DataFrame:
         """Time-travel read of a retained snapshot version (Iceberg/Delta
@@ -924,7 +973,7 @@ class Catalog:
         table: str,
         batch_id: int | str,
         partition_by: list[str] | None = None,
-    ) -> None:
+    ) -> bool:
         """Idempotent append keyed by ``batch_id`` — the primitive that
         makes ``foreachBatch`` growth exactly-once. Structured Streaming
         replays a failed batch with the SAME batch_id and the same rows,
@@ -949,9 +998,14 @@ class Catalog:
         prefix of one batch can never match another batch's files even
         when one id is a dash-prefix of the other (``merge-x`` vs
         ``merge-x-y``, the documented ledgerless-merge path).
+
+        Returns True when ``df``'s plan was executed (the batch was
+        staged/written), False when the append short-circuited because
+        this very batch created the table — callers riding an
+        ``Observation`` on ``df`` must not block on it in that case.
         """
         with self.writer_lock():
-            self._append_once_locked(df, table, batch_id, partition_by)
+            return self._append_once_locked(df, table, batch_id, partition_by)
 
     def _append_once_locked(
         self,
@@ -959,7 +1013,7 @@ class Catalog:
         table: str,
         batch_id: int | str,
         partition_by: list[str] | None = None,
-    ) -> None:
+    ) -> bool:
         p = self.path(table)
         if p is None:
             # first batch: versioned write — a replay writes an identical
@@ -972,10 +1026,10 @@ class Catalog:
                 meta={"created_by_batch": str(batch_id)},
                 partition_by=partition_by,
             )
-            return
+            return True
         meta = self.read_meta(table) or {}
         if str(meta.get("created_by_batch")) == str(batch_id):
-            return
+            return False
         tok = _batch_token(batch_id)
         tdir = self._table_dir(table)
         staging = os.path.join(tdir, f"_staging_batch_{tok}")
@@ -1007,6 +1061,55 @@ class Catalog:
                 os.path.join(dst_dir, f"{prefix}{i:05d}.parquet"),
             )
         shutil.rmtree(staging, ignore_errors=True)
+        return True
+
+    def append_once_files(
+        self, table: str, src_path: str, batch_id: int | str
+    ) -> bool:
+        """FILE-level idempotent append: every data file under
+        ``src_path`` (an immutable snapshot directory whose partition
+        layout is ALIGNED with ``table``'s — the caller's contract,
+        guarded upstream by e.g. equal ``probe_partitions`` / shared
+        centroid geometry) is reused into ``table``'s current snapshot
+        under the deterministic ``batch-{tok}-{seq}`` names — the
+        Lucene segment-merge / Iceberg fast-append shape. Rows never
+        pass through Spark: the merge is O(files) driver metadata work
+        (hardlink on POSIX, manifest reuse / server-side COPY on an
+        object store via :meth:`_reuse_file`), and the appended bytes
+        are identical to the source's by construction rather than by
+        re-encode. ``src_path`` is left untouched (the source snapshot
+        stays independently readable).
+
+        Replay protocol is ``append_once`` steps 2-3: delete any
+        ``batch-{tok}-*`` files a crashed attempt already placed, then
+        re-link — a replay converges to exactly one copy. Returns True
+        (the batch is now in place); the table must already exist (the
+        merge callers' builds create it)."""
+        with self.writer_lock():
+            p = self.path(table)
+            if p is None:
+                raise ValueError(
+                    f"append_once_files: {table!r} does not exist"
+                )
+            tok = _batch_token(batch_id)
+            prefix = f"batch-{tok}-"
+            for rel in self._list_files(p):
+                if os.path.basename(rel).startswith(prefix):
+                    os.remove(os.path.join(p, rel))
+            seq: dict[str, int] = {}
+            for rel in self._list_files(src_path):
+                if os.path.basename(rel).startswith(("_", ".")):
+                    continue
+                rel_dir = os.path.dirname(rel)
+                dst_dir = p if not rel_dir else os.path.join(p, rel_dir)
+                i = seq.get(rel_dir, 0)
+                seq[rel_dir] = i + 1
+                os.makedirs(dst_dir, exist_ok=True)
+                self._reuse_file(
+                    os.path.join(src_path, rel),
+                    os.path.join(dst_dir, f"{prefix}{i:05d}.parquet"),
+                )
+            return True
 
     def stage_partition_delta(
         self,

@@ -337,10 +337,14 @@ def merge_ann_index(
                 f"merge_ann_index: {src!r} and {dst!r} have different PQ "
                 "codebooks — codes are not comparable across codebooks"
             )
-        table, src_rows = f"{dst}__pqlists", catalog.read(f"{src}__pqlists")
+        table, src_table = f"{dst}__pqlists", f"{src}__pqlists"
     else:
-        table, src_rows = f"{dst}__lists", catalog.read(f"{src}__lists")
-    catalog.append_once(src_rows, table, batch_id, partition_by=["cluster"])
+        table, src_table = f"{dst}__lists", f"{src}__lists"
+    # FILE-level append: src's stored lists are partitioned on the same
+    # cluster ids as dst's (shared centroid geometry, guarded above), so
+    # the merge reuses src's files as-is (hardlink / manifest reuse)
+    # instead of re-encoding every src row through a Spark read+write.
+    catalog.append_once_files(table, catalog.path(src_table), batch_id)
     updated = dst_cent.join(
         src_cent.select("cluster", F.col("n_vectors").alias("__s")),
         "cluster",

@@ -1603,17 +1603,17 @@ def merge_dedup_index(
             )
     if batch_id is None:
         batch_id = f"merge-{src}"
-    catalog.append_once(
-        catalog.read(f"{src}__signatures"),
-        f"{dst}__signatures",
-        batch_id,
+    # FILE-level appends: the n_hashes/band_size/probe_partitions
+    # equality guard above makes src's stored signature and band files
+    # layout-aligned with dst's, so both merges reuse the bytes as-is
+    # (hardlink / manifest reuse) instead of re-encoding every src row
+    # through a Spark read+write.
+    catalog.append_once_files(
+        f"{dst}__signatures", catalog.path(f"{src}__signatures"), batch_id
     )
     if dmeta.get("probe_partitions"):
-        catalog.append_once(
-            catalog.read(f"{src}__bands"),
-            f"{dst}__bands",
-            batch_id,
-            partition_by=["bucket_mod"],
+        catalog.append_once_files(
+            f"{dst}__bands", catalog.path(f"{src}__bands"), batch_id
         )
 
 

@@ -1198,6 +1198,24 @@ def append_to_text_index(
     happen on vocabulary-drift cadence (`oov_rate` is the trigger)."""
     from .fanout import fan_out_small_scan
 
+    from ..operators.ledger import (
+        LEDGER_META_KEYS,
+        ledger_add,
+        ledger_load,
+        ledger_meta,
+        ledger_seen,
+    )
+
+    stats_meta = catalog.read_meta(f"{name}__stats") or {}
+    led = ledger_load(stats_meta)
+    if batch_id is not None and ledger_seen(led, batch_id):
+        # Replay of a FULLY applied batch (the stats flip is the last
+        # step, so a seen marker proves the postings append completed
+        # too): refuse before re-tokenizing — the merge_text_index
+        # ordering. A crash BETWEEN postings append and stats flip
+        # leaves the marker unseen, so that replay still re-runs the
+        # (idempotent) postings append below.
+        return
     meta = catalog.read_meta(f"{name}__postings") or {}
     nparts = int(meta["probe_partitions"])
     t = tokens()
@@ -1213,38 +1231,41 @@ def append_to_text_index(
         .withColumn(
             "term_mod", F.pmod(F.xxhash64("term"), F.lit(nparts))
         )
-        .localCheckpoint(eager=True)
     )
+    # Batch token count rides the postings append itself (``observe`` —
+    # the build_text_index pattern): sum(tf) over the rows as they flow
+    # to the staging write IS the batch's sum_dl, so the batch is
+    # tokenized exactly once with no pin and no second aggregation job
+    # (the previous shape localCheckpointed the postings, then ran a
+    # separate sum over the pinned rows).
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = postings.observe(obs, F.sum("tf").alias("sum_dl"))
     if batch_id is None:
         catalog.append(
-            postings, f"{name}__postings", partition_by=["term_mod"]
+            observed, f"{name}__postings", partition_by=["term_mod"]
         )
+        executed = True
     else:
-        catalog.append_once(
-            postings, f"{name}__postings", batch_id,
+        executed = catalog.append_once(
+            observed, f"{name}__postings", batch_id,
             partition_by=["term_mod"],
         )
-    from ..operators.ledger import (
-        LEDGER_META_KEYS,
-        ledger_add,
-        ledger_load,
-        ledger_meta,
-        ledger_seen,
-    )
-
-    stats_meta = catalog.read_meta(f"{name}__stats") or {}
-    led = ledger_load(stats_meta)
-    if batch_id is not None and ledger_seen(led, batch_id):
-        return  # replay arriving after the stats flip: already folded
     srow = catalog.read(f"{name}__stats").first()
-    # batch stats come from the CHECKPOINTED postings (sum(tf) over its
-    # rows IS the batch token count — no third tokenize pass) plus a
-    # tokenization-free count for n_docs (zero-token docs carry no
-    # postings rows but still count), mirroring build_text_index's
-    # observe-on-write contract: stats derive from what was stored.
+    # n_docs stays a tokenization-free count over the batch (zero-token
+    # docs carry no postings rows but still count). sum_dl comes from
+    # the observation when the append executed the plan; the
+    # created-by-this-batch replay (crash between postings and stats)
+    # never ran it, so that rare path re-aggregates instead of blocking
+    # on an observation that will never fire.
     drow = {
         "n_docs": batch.count(),
-        "sum_dl": postings.agg(F.sum("tf")).first()[0],
+        "sum_dl": (
+            obs.get["sum_dl"]
+            if executed
+            else postings.agg(F.sum("tf")).first()[0]
+        ),
     }
     spark = batch.sparkSession
     new_meta = {
@@ -1328,11 +1349,15 @@ def merge_text_index(
     led = ledger_load(stats_meta)
     if ledger_seen(led, batch_id):
         return
-    catalog.append_once(
-        catalog.read(f"{src}__postings"),
-        f"{dst}__postings",
-        batch_id,
-        partition_by=["term_mod"],
+    # FILE-level append (``append_once_files``): src's stored postings
+    # files are partition-aligned with dst's by the equal-
+    # ``probe_partitions`` guard above, so the merge reuses the bytes
+    # as-is (hardlink / manifest reuse) instead of re-encoding every
+    # src row through a Spark read+write — zero Spark jobs, O(files)
+    # metadata work, and the appended rows are byte-identical to the
+    # shard build's by construction.
+    catalog.append_once_files(
+        f"{dst}__postings", catalog.path(f"{src}__postings"), batch_id
     )
     drow = catalog.read(f"{dst}__stats").first()
     srow = catalog.read(f"{src}__stats").first()

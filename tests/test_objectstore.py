@@ -141,6 +141,34 @@ def test_objectstore_append_once_replay_converges(spark, tmp_path, forbid_posix)
     assert sorted(r.k for r in cat.read("t").collect()) == [0, 1, 2]
 
 
+def test_objectstore_append_once_files_replay_converges(
+    spark, tmp_path, forbid_posix
+):
+    """File-level merge append (`append_once_files`) under the double:
+    src's partition-aligned data files are reused via server-side COPY
+    (no Spark read+write, no hardlink), a replay converges to one copy,
+    and the source snapshot stays independently readable."""
+    cat = ObjectStoreCatalog(spark, str(tmp_path / "os"))
+    dst = spark.createDataFrame(
+        [(1, 0), (2, 1)], "k long, bucket_mod long"
+    )
+    src = spark.createDataFrame(
+        [(10, 0), (11, 2)], "k long, bucket_mod long"
+    )
+    cat.write(dst, "d", partition_by=["bucket_mod"])
+    cat.write(src, "s", partition_by=["bucket_mod"])
+    cat.append_once_files("d", cat.path("s"), "merge-s")
+    cat.append_once_files("d", cat.path("s"), "merge-s")  # replay
+    spark.catalog.refreshByPath(cat.path("d"))
+    assert sorted(
+        (r.k, r.bucket_mod) for r in cat.read("d").collect()
+    ) == [(1, 0), (2, 1), (10, 0), (11, 2)]
+    # source snapshot untouched and still readable
+    assert sorted(r.k for r in cat.read("s").collect()) == [10, 11]
+    with pytest.raises(ValueError, match="does not exist"):
+        cat.append_once_files("missing", cat.path("s"), "merge-s")
+
+
 def test_objectstore_partition_delta_commit(spark, tmp_path, forbid_posix):
     """stage_partition_delta under the double: untouched partitions are
     REUSED (copied, not hardlinked), touched written fresh, dropped

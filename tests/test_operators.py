@@ -1076,6 +1076,13 @@ def test_catalog_inferred_read_reraises_non_zero_footer_errors(
     p = cat.path("t")
 
     class _FailingReader:
+        # schema() is what the sidecar-/cache-schema fast path calls;
+        # returning self makes BOTH read shapes (explicit-schema and
+        # inference) hit the same failing parquet() — the errors must
+        # propagate from either path.
+        def schema(self, _st):
+            return self
+
         def parquet(self, _path):
             raise AnalysisException("[FAILED_READ_FILE] corrupt footer")
 
@@ -1146,6 +1153,54 @@ def test_append_once_dash_prefix_batch_ids_do_not_collide(spark, tmp_path):
     )
     spark.catalog.refreshByPath(cat.path("t"))
     assert cat.read("t").count() == 4
+
+
+def test_append_once_reports_whether_the_plan_executed(spark, tmp_path):
+    """`append_once` returns True when the batch's plan ran (staged or
+    first-write) and False on the created-by-this-batch short-circuit —
+    the contract Observation-riding callers (append_to_text_index) use
+    to avoid blocking on a metric that will never fire."""
+    from daily_top_songs_etl_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    df = spark.createDataFrame([(1,)], "k long")
+    assert cat.append_once(df, "t", "b0") is True  # creates the table
+    # replay of the creating batch after the pointer flip: no execution
+    assert cat.append_once(df, "t", "b0") is False
+    assert cat.append_once(df, "t", "b1") is True  # new batch stages
+    assert cat.read("t").count() == 2
+
+
+def test_append_once_files_is_zero_copy_on_posix(spark, tmp_path):
+    """`append_once_files` on the POSIX backend must reuse the source
+    bytes by hardlink (shared inode — no re-encode through Spark, no
+    byte copy), place them under the deterministic batch-prefixed
+    names, and leave the rows readable as a plain union."""
+    import os as _os
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.write(spark.createDataFrame([(1,)], "k long"), "d")
+    cat.write(spark.createDataFrame([(2,), (3,)], "k long"), "s")
+    cat.append_once_files("d", cat.path("s"), "merge-s")
+    spark.catalog.refreshByPath(cat.path("d"))
+    assert sorted(r.k for r in cat.read("d").collect()) == [1, 2, 3]
+    src_inodes = {
+        _os.stat(_os.path.join(cat.path("s"), f)).st_ino
+        for f in _os.listdir(cat.path("s"))
+        if not f.startswith("_")
+    }
+    linked = [
+        f
+        for f in _os.listdir(cat.path("d"))
+        if f.startswith("batch-merge") and f.endswith(".parquet")
+    ]
+    assert linked, "no batch-prefixed files were placed"
+    for f in linked:
+        st = _os.stat(_os.path.join(cat.path("d"), f))
+        assert st.st_ino in src_inodes  # same inode: zero bytes moved
+        assert st.st_nlink >= 2
 
 
 def test_merge_dedup_index_requires_hashing_meta(spark, tmp_path):
