@@ -9421,14 +9421,18 @@ def q_cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = _t(spark, sf_dir, "lineitem")
-    merged = None
-    for i in range(5):
-        s = cms_build(
-            li.filter(F.col("l_orderkey") % 5 == i).select("l_partkey"),
-            "l_partkey", width=8192, depth=4,
-        )
-        merged = s if merged is None else merged.unionByName(s)
-    merged = merged.groupBy("i", "bucket").agg(
+    # Five per-batch sketches from ONE corpus scan (cms_build's grouped
+    # form) — five filtered builds would scan lineitem five times for
+    # the identical cells. The cell-wise merge is unchanged: per
+    # (i, bucket), the batch counts sum to exactly what the five
+    # unioned builds produced (every row lands in exactly one batch).
+    batched = cms_build(
+        li.select(
+            "l_partkey", (F.col("l_orderkey") % 5).alias("__batch")
+        ),
+        "l_partkey", width=8192, depth=4, by=["__batch"],
+    )
+    merged = batched.groupBy("i", "bucket").agg(
         F.sum("cnt").cast("bigint").alias("cnt")
     )
     items = li.select("l_partkey")

@@ -86,7 +86,11 @@ def _cms_bucket(key, i: int, width: int):
 
 
 def cms_build(
-    items: DataFrame, col: str, width: int = 8192, depth: int = 4
+    items: DataFrame,
+    col: str,
+    width: int = 8192,
+    depth: int = 4,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Count-min sketch (Cormode–Muthukrishnan) over an integer key
     column: a depth×width counter matrix where row i counts collisions
@@ -100,11 +104,19 @@ def cms_build(
     sketch sees each row once. Build cost: one map-side-combinable
     aggregate over depth·N expanded rows to depth·width cells — no
     corpus shuffle (the exchange carries per-partition cell partials).
+
+    ``by`` builds one sketch PER GROUP in the same single pass
+    (output gains the group columns; depth·width cells per group) —
+    the per-batch/per-hour shape a pipeline later merges cell-wise.
+    N separate filtered builds would scan the corpus N times for the
+    identical cells.
     """
     if not 1 <= depth <= len(CMS_A):
         raise ValueError(f"depth must be 1..{len(CMS_A)}")
     key = F.col(col).cast("bigint")
+    grp = [F.col(c) for c in (by or [])]
     rows = items.select(
+        *grp,
         F.explode(
             F.array(
                 *[
@@ -115,10 +127,10 @@ def cms_build(
                     for i in range(depth)
                 ]
             )
-        ).alias("rb")
+        ).alias("rb"),
     )
     return rows.groupBy(
-        F.col("rb.i").alias("i"), F.col("rb.bucket").alias("bucket")
+        *grp, F.col("rb.i").alias("i"), F.col("rb.bucket").alias("bucket")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
 
 
