@@ -201,9 +201,18 @@ def append_to_ann_index(
         from .pq import pq_encode
 
         codebook = catalog.read(f"{name}__codebook")
-        m = int(codebook.agg(F.max("subspace")).first()[0]) + 1
+        # geometry from the codebook's table meta (recorded at build);
+        # pre-upgrade indexes without it fall back to deriving each
+        # with a Spark job, exactly as before
+        cb_meta = catalog.read_meta(f"{name}__codebook") or {}
+        m = (
+            int(cb_meta["m"])
+            if "m" in cb_meta
+            else int(codebook.agg(F.max("subspace")).first()[0]) + 1
+        )
         codes = pq_encode(
-            embeddings, codebook, m=m, id_col=id_col
+            embeddings, codebook, m=m, id_col=id_col,
+            d=int(cb_meta["d"]) if "d" in cb_meta else None,
         ).withColumnRenamed(id_col, "vec_id")
         rows = (
             assigned.select("vec_id", "cluster")
@@ -579,7 +588,13 @@ def build_ivfpq_index(
         codebook = pq_train(
             embeddings, m=m, k=k_codes, iters=iters, id_col=id_col, d=d
         )
-    catalog.write(codebook, f"{name}__codebook")
+    # m and d are index GEOMETRY — record them as table metadata so the
+    # append/query paths read them for free instead of re-deriving each
+    # with a Spark job (a codebook max(subspace) agg + a one-row
+    # dimension probe per call).
+    catalog.write(
+        codebook, f"{name}__codebook", meta={"m": int(m), "d": int(d)}
+    )
     cent = _centroid_rel(centroids)
     base = quantize_embeddings(embeddings).select(
         F.col(id_col).alias("vec_id"),
@@ -669,7 +684,11 @@ def query_ivfpq_index(
     probe_clusters = [
         r.cluster for r in probes.select("cluster").distinct().collect()
     ]
-    lut = adc_lut(queries, codebook, m=m, id_col=id_col)
+    cb_meta = catalog.read_meta(f"{name}__codebook") or {}
+    lut = adc_lut(
+        queries, codebook, m=m, id_col=id_col,
+        d=int(cb_meta["d"]) if "d" in cb_meta else None,
+    )
     melted = pqlists.filter(F.col("cluster").isin(probe_clusters)).select(
         F.col("vec_id").alias("neighbor_id"),
         "cluster",

@@ -271,8 +271,13 @@ def build_pq_index(
     :func:`ann_index.build_ann_index`. The codebook is m·k tiny rows;
     rebuilds write a new snapshot version, so encodes racing a retrain
     read a consistent older codebook."""
-    cb = pq_train(embeddings, m=m, k=k, iters=iters, id_col=id_col, col=col)
-    catalog.write(cb, f"{name}__codebook")
+    d = _dim(embeddings, col)
+    cb = pq_train(
+        embeddings, m=m, k=k, iters=iters, id_col=id_col, col=col, d=d
+    )
+    # geometry as table metadata: steady-state encodes read m and d for
+    # free instead of paying a one-row dimension-probe job per call
+    catalog.write(cb, f"{name}__codebook", meta={"m": int(m), "d": int(d)})
 
 
 def encode_with_pq_index(
@@ -289,7 +294,11 @@ def encode_with_pq_index(
     every call. This is the path a 100 TB ingest pipeline runs per
     batch; the codebook retrains only on drift."""
     cb = catalog.read(f"{name}__codebook")
-    return pq_encode(embeddings, cb, m=m, id_col=id_col, col=col)
+    meta = catalog.read_meta(f"{name}__codebook") or {}
+    return pq_encode(
+        embeddings, cb, m=m, id_col=id_col, col=col,
+        d=int(meta["d"]) if "d" in meta else None,
+    )
 
 
 def adc_lut(
