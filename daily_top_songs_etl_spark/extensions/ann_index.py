@@ -269,9 +269,10 @@ def merge_ann_index(
     of shard indexes is bit-identical to a one-shot build of the union
     corpus — the invariance ``q_ann_index_merge``'s oracle hash-checks.
 
-    Physical shape: the lists union is a partition-aligned file append
-    (``append_once`` moves staged files into the per-cluster partition
-    directories — no shuffle, no read of ``dst``'s existing lists) and
+    Physical shape: the lists union is a partition-aligned FILE-level
+    append (``append_once_files`` reuses src's stored data files into
+    the per-cluster partition directories — hardlink / manifest reuse,
+    no Spark read+write, no read of ``dst``'s existing lists) and
     the occupancy update is O(k): merged ``n_vectors`` = dst stored +
     src stored, both already truthful for their own lists. Nothing
     scans either corpus.
@@ -283,7 +284,7 @@ def merge_ann_index(
     its quantizer.
 
     Crash/replay safety (same contract as :func:`append_to_ann_index`):
-    list growth goes through ``append_once`` keyed by ``batch_id``
+    list growth goes through ``append_once_files`` keyed by ``batch_id``
     (default ``"merge-{src}"`` — batch ids become snapshot file
     names, so no URI-reserved characters) and the occupancy increment
     commits WITH

@@ -1567,10 +1567,12 @@ def merge_dedup_index(
     MinHash signatures are content-deterministic with NO trained state
     (no quantizer, no corpus stats), so shard-build + merge is
     row-identical to a one-shot build of the union corpus, and the
-    whole merge reduces to idempotent appends — every write is an
-    ``append_once`` keyed by ``batch_id`` (default ``"merge-{src}"``),
-    so a replay or crash-window rerun converges with NO applied-batch
-    ledger and no ordering argument.
+    whole merge reduces to idempotent FILE-level appends — every move
+    is an ``append_once_files`` keyed by ``batch_id`` (default
+    ``"merge-{src}"``), reusing src's stored data files (hardlink /
+    manifest reuse, no Spark read+write), so a replay or crash-window
+    rerun converges with NO applied-batch ledger and no ordering
+    argument.
 
     Guards: ``n_hashes`` / ``band_size`` / ``probe_partitions`` must
     match — signatures hashed differently are not comparable, and

@@ -1307,13 +1307,15 @@ def merge_text_index(
     merge is row-identical to a one-shot build of the union corpus —
     the invariance ``q_text_index_merge``'s BM25 oracle hash-checks.
 
-    Physical shape: the postings union is a partition-aligned file
-    append (``append_once`` moves src's rows into the per-``term_mod``
-    directories — src's stored ``term_mod`` values are valid in dst
-    BECAUSE the guard below pins equal ``probe_partitions``; neither
-    corpus is re-tokenized, neither index re-read beyond src's rows)
-    and the stats update is one row: dst + src's immutable STORED
-    (n_docs, sum_dl) — replay-proof by construction.
+    Physical shape: the postings union is a partition-aligned
+    FILE-level append (``append_once_files`` reuses src's stored data
+    files into the per-``term_mod`` directories — hardlink / manifest
+    reuse, no Spark read+write; src's stored ``term_mod`` values are
+    valid in dst BECAUSE the guard below pins equal
+    ``probe_partitions``; neither corpus is re-tokenized, neither
+    index's rows pass through the engine) and the stats update is one
+    row: dst + src's immutable STORED (n_docs, sum_dl) — replay-proof
+    by construction.
 
     Caller contract: shards must be doc-disjoint (the same contract as
     appending a batch of genuinely-new documents — a doc present in
