@@ -447,6 +447,65 @@ class _LeaseLock:
         return False
 
 
+# Characters Spark Hive-escapes in partition directory names
+# (ExternalCatalogUtils.charToEscape — Hive's FileUtils list): ASCII
+# control chars, DEL, and the reserved set below. Escape format is
+# ``%XX`` with UPPERCASE hex, exactly as Spark writes it.
+_HIVE_ESCAPE = set(chr(c) for c in range(0x20)) | {
+    '"', "#", "%", "'", "*", "/", ":", "=", "?", "\\", "\x7f",
+    "{", "[", "]", "^",
+}
+
+
+def _fmt_partition_value(v) -> str:
+    """Render a partition VALUE the way Spark renders it into a
+    directory name (before escaping): NULL keys become the Hive default
+    partition sentinel, Python booleans lowercase (Spark writes
+    ``true``/``false``, ``str(True)`` is ``'True'``), dates/ints/strings
+    via ``str`` (``str(date)`` is the ISO form Spark writes)."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def _escape_path_name(s: str) -> str:
+    """Replicate Spark's ``ExternalCatalogUtils.escapePathName`` so
+    in-Python directory-name comparisons agree with the names Spark
+    actually writes (``a/b`` → ``a%2Fb``, ``x=y`` → ``x%3Dy``, …)."""
+    return "".join(
+        f"%{ord(c):02X}" if c in _HIVE_ESCAPE else c for c in s
+    )
+
+
+def _unescape_path_name(s: str) -> str:
+    """Inverse of :func:`_escape_path_name` (Spark's
+    ``unescapePathName``): every ``%XX`` hex pair decodes to its
+    character; malformed escapes pass through literally, as in Spark."""
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "%" and i + 3 <= len(s):
+            hx = s[i + 1 : i + 3]
+            try:
+                out.append(chr(int(hx, 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _partition_dir_name(pcol: str, v) -> str:
+    """The exact directory name Spark writes for partition value ``v``
+    of column ``pcol`` — format + Hive escaping in one place."""
+    return f"{pcol}={_escape_path_name(_fmt_partition_value(v))}"
+
+
 def _batch_token(batch_id: int | str) -> str:
     """Injective, filesystem-safe encoding of a batch id. Alphanumerics
     map to themselves; every other character (including ``_`` itself, so
@@ -1085,6 +1144,15 @@ class Catalog:
         re-link — a replay converges to exactly one copy. Returns True
         (the batch is now in place); the table must already exist (the
         merge callers' builds create it)."""
+        if src_path is None or not os.path.isdir(src_path):
+            # merge callers pass catalog.path(src_table) straight in,
+            # which is None when the src table was never built — fail
+            # with the same clean contract error catalog.read(src)
+            # used to raise, not an opaque os.walk TypeError
+            raise ValueError(
+                f"append_once_files: src_path {src_path!r} is not an "
+                "existing snapshot directory (missing source table?)"
+            )
         with self.writer_lock():
             p = self.path(table)
             if p is None:
@@ -1151,8 +1219,19 @@ class Catalog:
                     df, table, meta=meta, partition_by=part_cols
                 )
             pcol = part_cols[0]
-            touched_dirs = {f"{pcol}={v}" for v in touched}
-            drop_dirs = {f"{pcol}={v}" for v in (drop or [])}
+            # Directory names via the Spark-faithful formatter+escaper:
+            # raw f"{pcol}={v}" interpolation diverges from what Spark
+            # writes for string values with reserved chars ('/', ':',
+            # '=', '%', … are %XX-escaped), Python booleans ('True' vs
+            # 'true'), and NULL keys (__HIVE_DEFAULT_PARTITION__) — a
+            # legit touched value then looked like a stray and the
+            # commit raised spuriously. A NULL partition key is only
+            # accepted when the caller listed None in touched/drop
+            # explicitly; an unexpected NULL dir stays a loud stray.
+            touched_dirs = {_partition_dir_name(pcol, v) for v in touched}
+            drop_dirs = {
+                _partition_dir_name(pcol, v) for v in (drop or [])
+            }
             entries = os.listdir(cur)
             foreign = [
                 e

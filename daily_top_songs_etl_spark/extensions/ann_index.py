@@ -589,6 +589,27 @@ def build_ivfpq_index(
         codebook = pq_train(
             embeddings, m=m, k=k_codes, iters=iters, id_col=id_col, d=d
         )
+    else:
+        # externally trained codebook: the meta recorded below is what
+        # every later append/encode trusts, so it must be truthful to
+        # the STORED codebook, not to the caller's parameters — verify
+        # the supplied geometry (max subspace + 1 == m, centroid width
+        # == d/m) before recording it. One tiny agg over m·k rows.
+        row = codebook.agg(
+            (F.max("subspace") + F.lit(1)).alias("m_cb"),
+            F.max(F.size("centroid")).alias("w_cb"),
+        ).first()
+        if row is None or row["m_cb"] is None:
+            raise ValueError(
+                "build_ivfpq_index: supplied codebook is empty"
+            )
+        if int(row["m_cb"]) != int(m) or int(row["w_cb"]) * int(m) != int(d):
+            raise ValueError(
+                f"build_ivfpq_index: supplied codebook geometry "
+                f"(m={int(row['m_cb'])}, subspace width={int(row['w_cb'])}) "
+                f"does not match m={m}, d={d} — appends would silently "
+                "encode with the wrong geometry"
+            )
     # m and d are index GEOMETRY — record them as table metadata so the
     # append/query paths read them for free instead of re-deriving each
     # with a Spark job (a codebook max(subspace) agg + a one-row

@@ -1614,9 +1614,27 @@ def merge_dedup_index(
         f"{dst}__signatures", catalog.path(f"{src}__signatures"), batch_id
     )
     if dmeta.get("probe_partitions"):
-        catalog.append_once_files(
-            f"{dst}__bands", catalog.path(f"{src}__bands"), batch_id
-        )
+        src_bands = catalog.path(f"{src}__bands")
+        # file-level reuse assumes src's bands files physically live
+        # under bucket_mod= partition dirs; a src snapshot stored FLAT
+        # (pre-partitioned-layout build) would hardlink its files to
+        # dst's top level and produce a mixed flat+partitioned dir that
+        # Spark's partition discovery rejects. Fall back to the
+        # row-level append (which normalizes any layout) in that case.
+        # Listed through the catalog's swappable primitive, never a
+        # direct filesystem walk in operator code.
+        if src_bands is not None and any(
+            rel.startswith("bucket_mod=")
+            for rel in catalog._list_files(src_bands)
+        ):
+            catalog.append_once_files(f"{dst}__bands", src_bands, batch_id)
+        else:
+            catalog.append_once(
+                catalog.read(f"{src}__bands"),
+                f"{dst}__bands",
+                batch_id,
+                partition_by=["bucket_mod"],
+            )
 
 
 def compact_dedup_index(

@@ -246,6 +246,17 @@ def pq_encode(
     enc = embeddings.crossJoin(F.broadcast(cb_arr)).select(
         id_col, *[_best(j).alias(f"_best_{j}") for j in range(m)]
     )
+    # An EMPTY codebook must yield 0 rows (the pre-projection inner-join
+    # shape's result), not N rows of NULL codes: collect_list over zero
+    # codewords still emits one agg row holding an empty array, the
+    # crossJoin keeps every vector, and array_min(empty) = NULL — filter
+    # those out, mirroring _assign_clusters' isNotNull guard.
+    enc = enc.filter(
+        reduce(
+            lambda a, b: a & b,
+            [F.col(f"_best_{j}").isNotNull() for j in range(m)],
+        )
+    )
     total_err = reduce(
         lambda a, b: a + b, [F.col(f"_best_{j}.d2") for j in range(m)]
     )

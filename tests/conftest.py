@@ -12,6 +12,40 @@ from daily_top_songs_etl_spark.session import get_spark  # noqa: E402
 SEED_DIR = "/root/reference/db/csv"
 TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
 
+# Two-tier suite (round-12 verdict item 1): the DEFAULT run is the fast
+# tier — it must finish inside the driver's pytest window with margin
+# (the round-11 driver run was cut off at ~94% of the grown suite and
+# reported tests_ok=false despite zero failures). Tests carrying
+# ``@pytest.mark.slow`` — the randomized hypothesis replay ladders, the
+# streaming restart/exactly-once ladders, the exhaustive crash-point
+# sweeps, and the long tail of the per-query oracle sweep — are SKIPPED
+# unless ``SPARK_GRAFT_SLOW_TESTS=1``. The builder runs the full
+# two-tier suite in-session before committing; the driver's unattended
+# gate runs the fast tier, which keeps every operator's focused
+# correctness tests and a ~70-query oracle core (headline band + every
+# face touched in rounds 11-12 + one per family).
+RUN_SLOW = bool(os.environ.get("SPARK_GRAFT_SLOW_TESTS"))
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: slow-tier test, skipped unless SPARK_GRAFT_SLOW_TESTS=1 "
+        "(randomized replay ladders, exhaustive crash sweeps, oracle "
+        "long tail)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if RUN_SLOW:
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier (set SPARK_GRAFT_SLOW_TESTS=1 to run)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
 
 @pytest.fixture(scope="session")
 def spark():

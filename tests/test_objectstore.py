@@ -194,6 +194,7 @@ def test_objectstore_partition_delta_commit(spark, tmp_path, forbid_posix):
     assert cat.read("dim").first().x == 7
 
 
+@pytest.mark.slow
 def test_objectstore_every_crash_point_recovers(spark, tmp_path, forbid_posix):
     """The full 7-crash-point commit_tables protocol, re-run against the
     object-store double: consistency must come from the manifest + the

@@ -3,6 +3,8 @@ update, trigger-cascade maintenance, CSV mirror dialect, validation."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from pyspark.sql import functions as F
@@ -1309,6 +1311,7 @@ def test_commit_tables_crash_before_manifest_keeps_old_state(spark, tmp_path):
     assert cat2.read("a").first().k == 2
 
 
+@pytest.mark.slow
 def test_commit_tables_every_crash_point_recovers(spark, tmp_path):
     """Enumerate EVERY crash point in the commit_tables protocol for a
     3-table commit: after staging 0..3 version dirs (no manifest yet),
@@ -1999,3 +2002,87 @@ def test_recover_after_crash_with_dead_lock(spark, tmp_path):
     assert not os.path.exists(os.path.join(root, "_txn.json"))
     assert not os.path.exists(os.path.join(root, "_writer.lock"))
     assert cat2.read("a").first().k == 10
+
+
+def test_stage_partition_delta_hive_escaped_values(spark, tmp_path):
+    """Partition values Spark Hive-escapes in directory names (reserved
+    chars like '/' and ':'), Python booleans, and explicit NULL keys
+    must round-trip through stage_partition_delta's touched/stray
+    comparison: the raw f"{pcol}={v}" interpolation raised a spurious
+    'partitions outside touched' for every such value (round-11 ADVICE
+    medium). Also pins the in-Python escaper against what Spark
+    ACTUALLY writes — the two must never drift."""
+    import os
+
+    from daily_top_songs_etl_spark.catalog import (
+        Catalog,
+        _partition_dir_name,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    vals = ["a/b", "x:y", "p=q", "50%", "plain"]
+    df0 = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                                "k long, p string")
+    cat.write(df0, "t", partition_by=["p"])
+    # the escaper must reproduce Spark's actual directory names
+    written = {e for e in os.listdir(cat.path("t")) if e.startswith("p=")}
+    assert written == {_partition_dir_name("p", v) for v in vals}
+    # a delta touching the escaped values must stage without a spurious
+    # stray raise, and the commit must merge correctly
+    delta = spark.createDataFrame(
+        [(100, "a/b"), (101, "x:y")], "k long, p string"
+    )
+    v = cat.stage_partition_delta(delta, "t", ["a/b", "x:y"],
+                                  partition_by=["p"])
+    cat._flip("t", v)
+    got = {(r.k, r.p) for r in cat.read("t").collect()}
+    assert got == {(100, "a/b"), (101, "x:y"), (2, "p=q"), (3, "50%"),
+                   (4, "plain")}
+    # boolean partition values: Spark writes true/false directory names
+    # (not Python's True/False) — the delta must stage without a
+    # spurious stray raise. Partition-type INFERENCE has no boolean
+    # candidate, so the values read back as the strings 'true'/'false'.
+    bdf = spark.createDataFrame([(1, True), (2, False)], "k long, b boolean")
+    cat.write(bdf, "tb", partition_by=["b"])
+    v = cat.stage_partition_delta(
+        spark.createDataFrame([(10, True)], "k long, b boolean"),
+        "tb", [True], partition_by=["b"],
+    )
+    cat._flip("tb", v)
+    assert {(r.k, r.b) for r in cat.read("tb").collect()} == {
+        (10, "true"), (2, "false")
+    }
+    # NULL partition key: stray unless the caller names None explicitly
+    ndf = spark.createDataFrame([(1, "x"), (2, None)], "k long, p string")
+    cat.write(ndf, "tn", partition_by=["p"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="outside touched"):
+        cat.stage_partition_delta(
+            spark.createDataFrame([(10, "x"), (20, None)],
+                                  "k long, p string"),
+            "tn", ["x"], partition_by=["p"],
+        )
+    v = cat.stage_partition_delta(
+        spark.createDataFrame([(10, "x"), (20, None)], "k long, p string"),
+        "tn", ["x", None], partition_by=["p"],
+    )
+    cat._flip("tn", v)
+    assert {(r.k, r.p) for r in cat.read("tn").collect()} == {
+        (10, "x"), (20, None)
+    }
+
+
+def test_append_once_files_missing_src_raises_cleanly(spark, tmp_path):
+    """catalog.path(missing_table) is None; merge callers pass it
+    straight into append_once_files, which must raise the clean
+    contract ValueError, not an opaque os.walk TypeError (round-11
+    ADVICE low)."""
+    import pytest
+
+    from daily_top_songs_etl_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.write(spark.createDataFrame([(1,)], "k long"), "d")
+    with pytest.raises(ValueError, match="src_path"):
+        cat.append_once_files("d", cat.path("never_built"), "merge-x")

@@ -72,8 +72,65 @@ def _rows_to_multiset(columns, rows):
 
 QUERY_NAMES = sorted(entrymod.queries().keys())
 
+# Fast-tier oracle core (round-12 verdict item 1): the default suite run
+# checks this band — the headline 7, every face the round-11/12
+# optimization waves touched (index lifecycles, merges, matviews,
+# streams, kmeans/pq families, the profiled §2 walls), and at least one
+# face per remaining family — and defers the long tail of the 225-query
+# sweep to the slow tier (SPARK_GRAFT_SLOW_TESTS=1 runs all of them,
+# which the builder does in-session before committing; the driver's own
+# oracle harness independently samples the full registry every round).
+ORACLE_FAST = {
+    # headline band
+    "pricing_summary", "flagship_delta", "priority_dedup",
+    "topk_per_group", "string_agg", "left_join", "window_gap",
+    # index lifecycles + merges (round-11 waves; round-12 commit work)
+    "ann_index_build", "ann_index_append", "ann_index_refine",
+    "ann_index_delete", "ann_index_merge", "ann_index_query",
+    "ivfpq_index_build", "ivfpq_append", "ivfpq_merge", "ivfpq_query",
+    "pq_index_build", "pq_codes", "pq_encode_apply",
+    "pq_subspace_assign", "pq_topk_adc",
+    "text_index_build", "text_index_append", "text_index_compact",
+    "text_index_merge", "text_index_query",
+    "dedup_index_build", "dedup_index_compact", "dedup_index_merge",
+    "dedup_index_query",
+    # kmeans / similarity family (argmin-as-projection rewrites)
+    "kmeans", "kmeans_assign", "kmeans_update", "cluster_drift",
+    "embedding_centroids", "sim_topk_ivf", "sim_topk_bruteforce",
+    # matviews + streams (exactly-once state)
+    "matview_refresh", "matview_retract", "matview_partition_refresh",
+    "matview_partition_retract", "sketch_stream_state",
+    "vector_stream_state", "stream_dedup", "stream_source_quota",
+    "incremental_agg", "cms_incremental", "cms_topk",
+    # round-12 profiled walls (§2/§3 targets this round)
+    "dedup_apply", "robust_outliers", "triangle_count",
+    "funnel_conversion", "gapfill_daily", "fuzzy_pairs", "dedup_exact",
+    # one per remaining family
+    "bm25_topk", "tfidf_topk", "decontaminate", "bloom_decontaminate",
+    "dedup_jaccard_lsh", "dedup_simhash", "sessionize", "pagerank",
+    "bpe_train", "bpe_encode", "vocab_build", "mixture_sample",
+    "source_quota", "multimodal_features", "exact_quartiles",
+    "heavy_hitters", "asof_join", "range_join", "scd2_apply",
+    "pretrain_funnel", "text_normalize", "pack_chunks", "pmi_topk",
+}
 
-@pytest.mark.parametrize("name", QUERY_NAMES)
+
+def test_oracle_fast_band_is_a_registry_subset():
+    """Every ORACLE_FAST name must exist in the registry — a renamed or
+    dropped face must fail HERE, not silently shrink the fast gate."""
+    missing = ORACLE_FAST - set(QUERY_NAMES)
+    assert not missing, f"ORACLE_FAST names not in registry: {sorted(missing)}"
+
+
+QUERY_PARAMS = [
+    name
+    if name in ORACLE_FAST
+    else pytest.param(name, marks=pytest.mark.slow)
+    for name in QUERY_NAMES
+]
+
+
+@pytest.mark.parametrize("name", QUERY_PARAMS)
 def test_query_matches_oracle(spark, duck, name):
     q = entrymod.queries()[name]
     sql = entrymod.oracle_sql().get(name)

@@ -10,6 +10,8 @@ schema enforces, after EVERY micro-batch:
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from hypothesis import HealthCheck, given, settings
@@ -109,6 +111,7 @@ def _assert_invariants(cat: Catalog, purge_watermark: dt.date | None = None) -> 
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(batches=st.lists(daily_batch(), min_size=1, max_size=3))
 def test_random_batches_preserve_invariants(spark, tmp_path_factory, batches):
     wh = str(tmp_path_factory.mktemp("pbt_wh"))
@@ -204,6 +207,7 @@ def test_sessionize_invariants(spark, data):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_scd2_invariants_under_random_batches(spark, data, n_batches):
     """After any sequence of random snapshot batches: at most one open
     row per key; closed intervals are well-formed (from < to) and never
@@ -252,6 +256,7 @@ def test_scd2_invariants_under_random_batches(spark, data, n_batches):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(batches=st.lists(daily_batch(), min_size=2, max_size=4))
 def test_multi_day_replay_matches_reference_model(
     spark, tmp_path_factory, batches
@@ -334,6 +339,7 @@ def test_multi_day_replay_matches_reference_model(
         max_size=12,
     )
 )
+@pytest.mark.slow
 def test_dedup_apply_idempotent(spark, docs):
     """For ANY corpus: applying LSH dedup to its own survivors drops
     nothing. Sound because signatures are per-document (unchanged by
@@ -540,6 +546,7 @@ def _tiny_corpus(draw):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(docs=_tiny_corpus())
 def test_stripped_jaccard_matches_python_reference(spark, docs):
     """ngram_jaccard_pairs with the strip knobs reproduces a direct
@@ -707,6 +714,7 @@ def test_importance_resample_matches_reference_model(spark, docs, n):
     ),
     cap=st.integers(1, 6),
 )
+@pytest.mark.slow
 def test_cluster_quota_matches_model_on_random_corpora(spark, vecs, cap):
     """For ANY integer corpus (duplicate vectors and exact distance
     ties included, n possibly < k): cluster_quota equals the direct
@@ -769,6 +777,7 @@ def test_cluster_quota_matches_model_on_random_corpora(spark, vecs, cap):
     ),
     split_mod=st.integers(2, 3),
 )
+@pytest.mark.slow
 def test_text_index_shard_merge_invariant(
     spark, tmp_path_factory, docs, split_mod
 ):

@@ -3,6 +3,8 @@ daily-cron replacement) and watermark-windowed aggregation on a stream."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import os
 
@@ -38,6 +40,7 @@ def _batch_rows(day: dt.date, seed: int):
     return rows
 
 
+@pytest.mark.slow
 def test_landing_stream_drains_backlog(spark, tmp_path):
     landing = str(tmp_path / "landing")
     ckpt = str(tmp_path / "ckpt")
@@ -295,6 +298,7 @@ def test_streaming_enrichment_matches_batch(spark, tmp_path):
     assert got == want and len(got) == 1000
 
 
+@pytest.mark.slow
 def test_distinct_state_stream_matches_batch_and_is_replay_safe(spark, tmp_path):
     """Drain three landed event files through the sketch-state stream:
     the final estimate must match a single-shot batch sketch within the
@@ -372,6 +376,7 @@ def test_distinct_state_stream_matches_batch_and_is_replay_safe(spark, tmp_path)
     assert replayed == streamed  # register max(x, x) = x — exact
 
 
+@pytest.mark.slow
 def test_incremental_view_stream_exactly_once_under_restart(spark, tmp_path):
     """Drain event batches into an IncrementalView via foreachBatch with a
     checkpoint; then land NEW files and drain again under the SAME
@@ -446,6 +451,7 @@ def test_incremental_view_stream_exactly_once_under_restart(spark, tmp_path):
     assert third == expect
 
 
+@pytest.mark.slow
 def test_dedup_index_stream_routes_and_grows(spark, tmp_path):
     """Streaming dedup against HISTORY: micro-batches route near-dups of
     the persisted corpus (and non-representatives of within-batch
@@ -523,6 +529,7 @@ def test_dedup_index_stream_routes_and_grows(spark, tmp_path):
     assert cat.read("dd__signatures").count() == sig_count
 
 
+@pytest.mark.slow
 def test_pretrain_ingest_stream_end_to_end(spark, tmp_path):
     """The full incremental corpus-ingest funnel over micro-batches:
     quality-gate rejects, history dedup kills a near-copy of the seed
@@ -679,6 +686,7 @@ def test_append_once_replay_converges(spark, tmp_path):
     assert cat.read("pt").filter("part = 'x'").count() == 2
 
 
+@pytest.mark.slow
 def test_dedup_stream_replay_after_append_before_marker(spark, tmp_path):
     """The at-least-once corner from the round-4 advice: a batch crashes
     AFTER its signatures were appended to the index but BEFORE the
@@ -750,6 +758,7 @@ def test_dedup_stream_replay_after_append_before_marker(spark, tmp_path):
     assert cat.read("dd__signatures").filter("doc_id = 202").count() == 1
 
 
+@pytest.mark.slow
 def test_pretrain_stream_replay_after_append_before_marker(spark, tmp_path):
     """Same crash window for the corpus-ingest funnel: corpus + index
     appends done, marker missing. The replay must neither duplicate
