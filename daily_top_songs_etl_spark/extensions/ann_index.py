@@ -125,21 +125,28 @@ def build_ann_index(
     occ = lists.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vectors")
     )
-    catalog.write(
-        centroids.select("cluster", "centroid")
-        .join(occ, "cluster", "left")
-        .select(
-            "cluster",
-            "centroid",
-            F.coalesce("n_vectors", F.lit(0)).alias("n_vectors"),
-        ),
-        f"{name}__centroids",
-    )
+    # Both index tables publish under ONE staged multi-table commit
+    # (one writer lock, one intent manifest, atomic pointer flips with
+    # roll-forward recovery): a crash can never leave the new centroid
+    # occupancy visible next to the old inverted lists — the
+    # cross-table torn-index window per-table write() left open.
     # The inverted lists are PARTITIONED by cluster, so a probe is a
     # partition-pruned read of ~n_probe/n_centroids of the index — the
     # on-disk analogue of an IVF posting list (query_ann_index collects
     # the ≤ |Q|·n_probe probe clusters into a static partition filter).
-    catalog.write(lists, f"{name}__lists", partition_by=["cluster"])
+    catalog.commit_tables(
+        {
+            f"{name}__centroids": centroids.select("cluster", "centroid")
+            .join(occ, "cluster", "left")
+            .select(
+                "cluster",
+                "centroid",
+                F.coalesce("n_vectors", F.lit(0)).alias("n_vectors"),
+            ),
+            f"{name}__lists": lists,
+        },
+        partition_bys={f"{name}__lists": ["cluster"]},
+    )
 
 
 def append_to_ann_index(
@@ -182,76 +189,84 @@ def append_to_ann_index(
         ledger_seen,
     )
 
-    cent_table = f"{name}__centroids"
-    cent_meta = catalog.read_meta(cent_table) or {}
-    led = ledger_load(cent_meta)
-    legacy = cent_meta.get("last_appended_batch")  # pre-ledger marker
-    if legacy is not None and not ledger_seen(led, legacy):
-        ledger_add(led, legacy)
-    if batch_id is not None and ledger_seen(led, batch_id):
-        return
-    cent = _centroid_rel(catalog.read(cent_table))
-    base = quantize_embeddings(embeddings).select(
-        F.col(id_col).alias("vec_id"),
-        F.col("qvec").alias("v"),
-        _norm(F.col("qvec")).alias("nv"),
-    )
-    assigned = _assign_clusters(base, cent).localCheckpoint(eager=True)
-    if catalog.exists(f"{name}__pqlists"):
-        from .pq import pq_encode
+    # ONE writer lock spans the ledger check, the list append and the
+    # occupancy commit (see merge_ann_index — closes the concurrent
+    # read-occupancy → write-occupancy lost-update interleave).
+    with catalog.writer_lock():
+        cent_table = f"{name}__centroids"
+        cent_meta = catalog.read_meta(cent_table) or {}
+        led = ledger_load(cent_meta)
+        legacy = cent_meta.get("last_appended_batch")  # pre-ledger marker
+        if legacy is not None and not ledger_seen(led, legacy):
+            ledger_add(led, legacy)
+        if batch_id is not None and ledger_seen(led, batch_id):
+            return
+        cent = _centroid_rel(catalog.read(cent_table))
+        base = quantize_embeddings(embeddings).select(
+            F.col(id_col).alias("vec_id"),
+            F.col("qvec").alias("v"),
+            _norm(F.col("qvec")).alias("nv"),
+        )
+        assigned = _assign_clusters(base, cent).localCheckpoint(eager=True)
+        if catalog.exists(f"{name}__pqlists"):
+            from .pq import pq_encode
 
-        codebook = catalog.read(f"{name}__codebook")
-        # geometry from the codebook's table meta (recorded at build);
-        # pre-upgrade indexes without it fall back to deriving each
-        # with a Spark job, exactly as before
-        cb_meta = catalog.read_meta(f"{name}__codebook") or {}
-        m = (
-            int(cb_meta["m"])
-            if "m" in cb_meta
-            else int(codebook.agg(F.max("subspace")).first()[0]) + 1
+            codebook = catalog.read(f"{name}__codebook")
+            # geometry from the codebook's table meta (recorded at
+            # build); pre-upgrade indexes without it fall back to
+            # deriving each with a Spark job, exactly as before
+            cb_meta = catalog.read_meta(f"{name}__codebook") or {}
+            m = (
+                int(cb_meta["m"])
+                if "m" in cb_meta
+                else int(codebook.agg(F.max("subspace")).first()[0]) + 1
+            )
+            codes = pq_encode(
+                embeddings, codebook, m=m, id_col=id_col,
+                d=int(cb_meta["d"]) if "d" in cb_meta else None,
+            ).withColumnRenamed(id_col, "vec_id")
+            rows = (
+                assigned.select("vec_id", "cluster")
+                .join(codes, "vec_id")
+                .select(
+                    "vec_id", "cluster", *[f"code_{j}" for j in range(m)]
+                )
+            )
+            table = f"{name}__pqlists"
+        else:
+            rows = assigned
+            table = f"{name}__lists"
+        if batch_id is None:
+            catalog.append(rows, table, partition_by=["cluster"])
+        else:
+            catalog.append_once(
+                rows, table, batch_id, partition_by=["cluster"]
+            )
+        batch_counts = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("__b")
         )
-        codes = pq_encode(
-            embeddings, codebook, m=m, id_col=id_col,
-            d=int(cb_meta["d"]) if "d" in cb_meta else None,
-        ).withColumnRenamed(id_col, "vec_id")
-        rows = (
-            assigned.select("vec_id", "cluster")
-            .join(codes, "vec_id")
-            .select("vec_id", "cluster", *[f"code_{j}" for j in range(m)])
+        updated = (
+            catalog.read(cent_table)
+            .join(batch_counts, "cluster", "left")
+            .select(
+                "cluster",
+                "centroid",
+                (F.col("n_vectors") + F.coalesce("__b", F.lit(0))).alias(
+                    "n_vectors"
+                ),
+            )
         )
-        table = f"{name}__pqlists"
-    else:
-        rows = assigned
-        table = f"{name}__lists"
-    if batch_id is None:
-        catalog.append(rows, table, partition_by=["cluster"])
-    else:
-        catalog.append_once(rows, table, batch_id, partition_by=["cluster"])
-    batch_counts = assigned.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("__b")
-    )
-    updated = (
-        catalog.read(cent_table)
-        .join(batch_counts, "cluster", "left")
-        .select(
-            "cluster",
-            "centroid",
-            (F.col("n_vectors") + F.coalesce("__b", F.lit(0))).alias(
-                "n_vectors"
-            ),
-        )
-    )
-    meta = {
-        k: v for k, v in cent_meta.items() if k != "last_appended_batch"
-    }
-    if batch_id is not None:
-        ledger_add(led, batch_id)
-    if led["count"] or led["hwm"] or led["recent"]:
-        meta.update(ledger_meta(led))
-    # the ledger commits WITH the counts under one pointer flip,
-    # AFTER the (idempotent) list append — a crash anywhere replays to
-    # the same final state
-    catalog.write(updated, cent_table, meta=meta or None)
+        meta = {
+            k: v for k, v in cent_meta.items() if k != "last_appended_batch"
+        }
+        if batch_id is not None:
+            ledger_add(led, batch_id)
+        if led["count"] or led["hwm"] or led["recent"]:
+            meta.update(ledger_meta(led))
+        # the ledger commits WITH the counts under one pointer flip,
+        # AFTER the (idempotent) list append — a crash anywhere replays
+        # to the same final state
+        catalog.write(updated, cent_table, meta=meta or None)
 
 
 def merge_ann_index(
@@ -299,77 +314,88 @@ def merge_ann_index(
         ledger_seen,
     )
 
-    cent_table = f"{dst}__centroids"
-    cent_meta = catalog.read_meta(cent_table) or {}
-    led = ledger_load(cent_meta)
     if batch_id is None:
         batch_id = f"merge-{src}"
-    if ledger_seen(led, batch_id):
-        return
-    dst_cent = catalog.read(cent_table)
-    src_cent = catalog.read(f"{src}__centroids")
+    # ONE writer lock spans the ledger check, the file-level append and
+    # the occupancy commit: two concurrent merges into the same dst
+    # would otherwise interleave their read-occupancy → write-occupancy
+    # steps and lose one increment (each inner call self-locks, so the
+    # interleave raises no error). Reads resolve the current version
+    # INSIDE the hold, so the occupancy we increment is the occupancy
+    # we publish against.
+    with catalog.writer_lock():
+        cent_table = f"{dst}__centroids"
+        cent_meta = catalog.read_meta(cent_table) or {}
+        led = ledger_load(cent_meta)
+        if ledger_seen(led, batch_id):
+            return
+        dst_cent = catalog.read(cent_table)
+        src_cent = catalog.read(f"{src}__centroids")
 
-    def _geom(cent_df: DataFrame) -> dict:
-        rel = _centroid_rel(cent_df)
-        return {
-            int(r["cent_id"]): [int(x) for x in r["cv"]]
-            for r in rel.select("cent_id", "cv").collect()
-        }
-
-    if _geom(dst_cent) != _geom(src_cent):
-        raise ValueError(
-            f"merge_ann_index: {src!r} was not built under {dst!r}'s "
-            "coarse quantizer — shard indexes must share centroid "
-            "geometry (build shards with build_ann_index(centroids=...))"
-        )
-    if catalog.exists(f"{dst}__pqlists") or catalog.exists(f"{src}__pqlists"):
-        if not (
-            catalog.exists(f"{dst}__pqlists")
-            and catalog.exists(f"{src}__pqlists")
-        ):
-            raise ValueError(
-                "merge_ann_index: cannot merge a PQ-coded index with a "
-                "flat-list index"
-            )
-
-        def _cb(cb: DataFrame) -> dict:
+        def _geom(cent_df: DataFrame) -> dict:
+            rel = _centroid_rel(cent_df)
             return {
-                (int(r["subspace"]), int(r["code"])): [
-                    int(round(float(x) * QUANT_SCALE)) for x in r["centroid"]
-                ]
-                for r in cb.collect()
+                int(r["cent_id"]): [int(x) for x in r["cv"]]
+                for r in rel.select("cent_id", "cv").collect()
             }
 
-        if _cb(catalog.read(f"{dst}__codebook")) != _cb(
-            catalog.read(f"{src}__codebook")
-        ):
+        if _geom(dst_cent) != _geom(src_cent):
             raise ValueError(
-                f"merge_ann_index: {src!r} and {dst!r} have different PQ "
-                "codebooks — codes are not comparable across codebooks"
+                f"merge_ann_index: {src!r} was not built under {dst!r}'s "
+                "coarse quantizer — shard indexes must share centroid "
+                "geometry (build shards with build_ann_index(centroids=...))"
             )
-        table, src_table = f"{dst}__pqlists", f"{src}__pqlists"
-    else:
-        table, src_table = f"{dst}__lists", f"{src}__lists"
-    # FILE-level append: src's stored lists are partitioned on the same
-    # cluster ids as dst's (shared centroid geometry, guarded above), so
-    # the merge reuses src's files as-is (hardlink / manifest reuse)
-    # instead of re-encoding every src row through a Spark read+write.
-    catalog.append_once_files(table, catalog.path(src_table), batch_id)
-    updated = dst_cent.join(
-        src_cent.select("cluster", F.col("n_vectors").alias("__s")),
-        "cluster",
-        "left",
-    ).select(
-        "cluster",
-        "centroid",
-        (F.col("n_vectors") + F.coalesce("__s", F.lit(0))).alias(
-            "n_vectors"
-        ),
-    )
-    ledger_add(led, batch_id)
-    meta = {k: v for k, v in cent_meta.items() if k != "last_appended_batch"}
-    meta.update(ledger_meta(led))
-    catalog.write(updated, cent_table, meta=meta or None)
+        has_pq = catalog.exists(f"{dst}__pqlists")
+        if has_pq or catalog.exists(f"{src}__pqlists"):
+            if not (has_pq and catalog.exists(f"{src}__pqlists")):
+                raise ValueError(
+                    "merge_ann_index: cannot merge a PQ-coded index with a "
+                    "flat-list index"
+                )
+
+            def _cb(cb: DataFrame) -> dict:
+                return {
+                    (int(r["subspace"]), int(r["code"])): [
+                        int(round(float(x) * QUANT_SCALE))
+                        for x in r["centroid"]
+                    ]
+                    for r in cb.collect()
+                }
+
+            if _cb(catalog.read(f"{dst}__codebook")) != _cb(
+                catalog.read(f"{src}__codebook")
+            ):
+                raise ValueError(
+                    f"merge_ann_index: {src!r} and {dst!r} have different "
+                    "PQ codebooks — codes are not comparable across "
+                    "codebooks"
+                )
+            table, src_table = f"{dst}__pqlists", f"{src}__pqlists"
+        else:
+            table, src_table = f"{dst}__lists", f"{src}__lists"
+        # FILE-level append: src's stored lists are partitioned on the
+        # same cluster ids as dst's (shared centroid geometry, guarded
+        # above), so the merge reuses src's files as-is (hardlink /
+        # manifest reuse) instead of re-encoding every src row through
+        # a Spark read+write.
+        catalog.append_once_files(table, catalog.path(src_table), batch_id)
+        updated = dst_cent.join(
+            src_cent.select("cluster", F.col("n_vectors").alias("__s")),
+            "cluster",
+            "left",
+        ).select(
+            "cluster",
+            "centroid",
+            (F.col("n_vectors") + F.coalesce("__s", F.lit(0))).alias(
+                "n_vectors"
+            ),
+        )
+        ledger_add(led, batch_id)
+        meta = {
+            k: v for k, v in cent_meta.items() if k != "last_appended_batch"
+        }
+        meta.update(ledger_meta(led))
+        catalog.write(updated, cent_table, meta=meta or None)
 
 
 def delete_from_ann_index(
@@ -413,58 +439,65 @@ def delete_from_ann_index(
         ledger_seen,
     )
 
-    cent_table = f"{name}__centroids"
-    cent_meta = catalog.read_meta(cent_table) or {}
-    led = ledger_load(cent_meta)
-    if batch_id is not None and ledger_seen(led, batch_id):
-        return
-    table = (
-        f"{name}__pqlists"
-        if catalog.exists(f"{name}__pqlists")
-        else f"{name}__lists"
-    )
-    ids = vec_ids.select(F.col(id_col).alias("vec_id")).distinct()
-    lists = catalog.read(table)
-    present = lists.join(F.broadcast(ids), "vec_id", "left_semi")
-    # the touched-partition set — bounded by n_centroids values, the
-    # same O(k) collect as occupancy
-    touched = sorted(
-        r["cluster"]
-        for r in present.select("cluster").distinct().collect()
-    )
-    if touched:
-        survivors = (
-            lists.filter(F.col("cluster").isin(touched))
-            .join(F.broadcast(ids), "vec_id", "left_anti")
+    # ONE writer lock spans the ledger check, the partition rewrite and
+    # the occupancy recount-commit (see merge_ann_index — closes the
+    # concurrent read-modify-write interleave on the centroid table).
+    with catalog.writer_lock():
+        cent_table = f"{name}__centroids"
+        cent_meta = catalog.read_meta(cent_table) or {}
+        led = ledger_load(cent_meta)
+        if batch_id is not None and ledger_seen(led, batch_id):
+            return
+        table = (
+            f"{name}__pqlists"
+            if catalog.exists(f"{name}__pqlists")
+            else f"{name}__lists"
         )
-        catalog.overwrite_partitions(
-            survivors, table, touched, partition_by=["cluster"]
+        ids = vec_ids.select(F.col(id_col).alias("vec_id")).distinct()
+        lists = catalog.read(table)
+        present = lists.join(F.broadcast(ids), "vec_id", "left_semi")
+        # the touched-partition set — bounded by n_centroids values, the
+        # same O(k) collect as occupancy
+        touched = sorted(
+            r["cluster"]
+            for r in present.select("cluster").distinct().collect()
         )
-    # idempotent occupancy: recount the STORED lists (post-flip read) —
-    # partition-column-only aggregation, every data column pruned. Runs
-    # even when touched is empty so a crash-replay (ids already gone)
-    # still converges n_vectors to the stored truth.
-    occ = (
-        catalog.read(table)
-        .groupBy("cluster")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
-    )
-    cent = (
-        catalog.read(cent_table)
-        .select("cluster", "centroid")
-        .join(F.broadcast(occ), "cluster", "left")
-        .select(
-            "cluster",
-            "centroid",
-            F.coalesce("__n", F.lit(0)).alias("n_vectors"),
+        if touched:
+            survivors = (
+                lists.filter(F.col("cluster").isin(touched))
+                .join(F.broadcast(ids), "vec_id", "left_anti")
+            )
+            catalog.overwrite_partitions(
+                survivors, table, touched, partition_by=["cluster"]
+            )
+        # idempotent occupancy: recount the STORED lists (post-flip
+        # read) — partition-column-only aggregation, every data column
+        # pruned. Runs even when touched is empty so a crash-replay
+        # (ids already gone) still converges n_vectors to the stored
+        # truth.
+        occ = (
+            catalog.read(table)
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
         )
-    )
-    meta = {k: v for k, v in cent_meta.items() if k != "last_appended_batch"}
-    if batch_id is not None:
-        ledger_add(led, batch_id)
-    if led["count"] or led["hwm"] or led["recent"]:
-        meta.update(ledger_meta(led))
-    catalog.write(cent, cent_table, meta=meta or None)
+        cent = (
+            catalog.read(cent_table)
+            .select("cluster", "centroid")
+            .join(F.broadcast(occ), "cluster", "left")
+            .select(
+                "cluster",
+                "centroid",
+                F.coalesce("__n", F.lit(0)).alias("n_vectors"),
+            )
+        )
+        meta = {
+            k: v for k, v in cent_meta.items() if k != "last_appended_batch"
+        }
+        if batch_id is not None:
+            ledger_add(led, batch_id)
+        if led["count"] or led["hwm"] or led["recent"]:
+            meta.update(ledger_meta(led))
+        catalog.write(cent, cent_table, meta=meta or None)
 
 
 def query_ann_index(
@@ -586,9 +619,13 @@ def build_ivfpq_index(
         centroids = kmeans_fit(
             embeddings, k=n_centroids, iters=iters, id_col=id_col
         ).localCheckpoint(eager=True)
+        # m·k tiny rows referenced twice (the codebook-table stage AND
+        # the encode broadcast below) — pin so the iterative subspace
+        # train executes once, not once per reference (this replaces
+        # the old write-then-read-back materialization)
         codebook = pq_train(
             embeddings, m=m, k=k_codes, iters=iters, id_col=id_col, d=d
-        )
+        ).localCheckpoint(eager=True)
     else:
         # externally trained codebook: the meta recorded below is what
         # every later append/encode trusts, so it must be truthful to
@@ -610,13 +647,6 @@ def build_ivfpq_index(
                 f"does not match m={m}, d={d} — appends would silently "
                 "encode with the wrong geometry"
             )
-    # m and d are index GEOMETRY — record them as table metadata so the
-    # append/query paths read them for free instead of re-deriving each
-    # with a Spark job (a codebook max(subspace) agg + a one-row
-    # dimension probe per call).
-    catalog.write(
-        codebook, f"{name}__codebook", meta={"m": int(m), "d": int(d)}
-    )
     cent = _centroid_rel(centroids)
     base = quantize_embeddings(embeddings).select(
         F.col(id_col).alias("vec_id"),
@@ -634,24 +664,38 @@ def build_ivfpq_index(
     occ = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vectors")
     )
-    catalog.write(
-        centroids.select("cluster", "centroid")
-        .join(occ, "cluster", "left")
-        .select(
-            "cluster",
-            "centroid",
-            F.coalesce("n_vectors", F.lit(0)).alias("n_vectors"),
-        ),
-        f"{name}__centroids",
-    )
+    # the encode uses the codebook RELATION directly (pinned above in
+    # the self-trained branch; parquet round-trips doubles exactly, so
+    # this is value-identical to the old read-back of the stored table)
     codes = pq_encode(
-        embeddings, catalog.read(f"{name}__codebook"), m=m, id_col=id_col,
-        d=d,
+        embeddings, codebook, m=m, id_col=id_col, d=d
     ).withColumnRenamed(id_col, "vec_id")
     lists = assigned.join(codes, "vec_id").select(
         "vec_id", "cluster", *[f"code_{j}" for j in range(m)]
     )
-    catalog.write(lists, f"{name}__pqlists", partition_by=["cluster"])
+    # All three index tables publish under ONE staged multi-table
+    # commit (one writer lock, one intent manifest, atomic flips with
+    # roll-forward recovery): no crash window where fresh centroids are
+    # visible next to stale code lists or a codebook that doesn't match
+    # the stored codes — the torn-index state three per-table write()
+    # calls left possible. m and d are index GEOMETRY — recorded as
+    # table metadata so append/query paths read them for free instead
+    # of re-deriving each with a Spark job.
+    catalog.commit_tables(
+        {
+            f"{name}__codebook": codebook,
+            f"{name}__centroids": centroids.select("cluster", "centroid")
+            .join(occ, "cluster", "left")
+            .select(
+                "cluster",
+                "centroid",
+                F.coalesce("n_vectors", F.lit(0)).alias("n_vectors"),
+            ),
+            f"{name}__pqlists": lists,
+        },
+        metas={f"{name}__codebook": {"m": int(m), "d": int(d)}},
+        partition_bys={f"{name}__pqlists": ["cluster"]},
+    )
 
 
 def query_ivfpq_index(

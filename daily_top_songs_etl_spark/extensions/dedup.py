@@ -1400,23 +1400,32 @@ def build_dedup_index(
     IVF-posting-list read pattern for dedup (the unpartitioned path
     scans the whole signature table per probe). Costs n_bands× storage
     of the (already tiny) signature index."""
-    catalog.write(
-        minhash_signatures(documents, n_hashes),
-        f"{name}__signatures",
-        meta={
-            "n_hashes": n_hashes,
-            "band_size": band_size,
-            "probe_partitions": probe_partitions,
-        },
+    meta = {
+        "n_hashes": n_hashes,
+        "band_size": band_size,
+        "probe_partitions": probe_partitions,
+    }
+    sig = minhash_signatures(documents, n_hashes)
+    if not probe_partitions:
+        catalog.write(sig, f"{name}__signatures", meta=meta)
+        return
+    # signatures are referenced twice (their own table + the band
+    # explode) — pin so the shingle/minhash pass executes once (this
+    # replaces the old write-then-read-back materialization). Both
+    # layouts publish under ONE staged multi-table commit: no crash
+    # window where the band layout is visible without (or next to a
+    # different version of) its signature table.
+    sig = sig.localCheckpoint(eager=True)
+    bands = (
+        _band_buckets(sig, "doc_id", n_hashes, band_size)
+        .join(sig, "doc_id")
+        .withColumn("bucket_mod", F.pmod("bucket", F.lit(probe_partitions)))
     )
-    if probe_partitions:
-        sig = catalog.read(f"{name}__signatures")
-        bands = (
-            _band_buckets(sig, "doc_id", n_hashes, band_size)
-            .join(sig, "doc_id")
-            .withColumn("bucket_mod", F.pmod("bucket", F.lit(probe_partitions)))
-        )
-        catalog.write(bands, f"{name}__bands", partition_by=["bucket_mod"])
+    catalog.commit_tables(
+        {f"{name}__signatures": sig, f"{name}__bands": bands},
+        metas={f"{name}__signatures": meta},
+        partition_bys={f"{name}__bands": ["bucket_mod"]},
+    )
 
 
 def append_to_dedup_index(

@@ -48,6 +48,7 @@ def pq_train(
     id_col: str = "vec_id",
     col: str = "embedding",
     d: int | None = None,
+    centroid_state: str = "recompute",
 ) -> DataFrame:
     """Train all ``m`` subspace codebooks in ONE fused Lloyd loop.
 
@@ -67,7 +68,18 @@ def pq_train(
     Returns (subspace, code, centroid array<double>, n_vectors).
 
     ``d`` — the (constant) embedding dimension; pass it when the caller
-    already knows it to skip the one-row probe job ``_dim`` costs."""
+    already knows it to skip the one-row probe job ``_dim`` costs.
+
+    ``centroid_state`` — the same measured materialization knob as
+    :func:`similarity.kmeans_fit` (both paths bit-identical):
+    ``"recompute"`` keeps the codewords a lazily chained relation
+    (round i re-executes rounds 1..i-1 from the cached melted corpus —
+    measured faster at local scale); ``"driver"`` collects the m·k
+    BIGINT codewords each round and inlines them as literals —
+    O(iters) corpus scans instead of O(iters²), the cluster-scale
+    path, and ~3× fewer driver-sequenced jobs."""
+    if centroid_state not in ("recompute", "driver"):
+        raise ValueError(f"unknown centroid_state {centroid_state!r}")
     if d is None:
         d = _dim(embeddings, col)
     if d % m != 0:
@@ -118,11 +130,11 @@ def pq_train(
             ).alias("__cb")
         )
 
-    def _best_cluster() -> Column:
+    def _best_cluster(cb_col: Column) -> Column:
         return F.array_min(
             F.transform(
                 F.filter(
-                    F.col("__cb"),
+                    cb_col,
                     lambda c: c["subspace"] == F.col("subspace"),
                 ),
                 lambda c: F.struct(
@@ -140,13 +152,7 @@ def pq_train(
             )
         )["cluster"]
 
-    for _ in range(iters):
-        assigned = subs.crossJoin(F.broadcast(_cb_arr(centroids))).select(
-            id_col,
-            "subspace",
-            "qvec",
-            _best_cluster().alias("cluster"),
-        )
+    def _per_dim_update(assigned: DataFrame) -> DataFrame:
         per_dim = (
             assigned.select(
                 "subspace", "cluster", F.posexplode("qvec").alias("pos", "v")
@@ -154,7 +160,7 @@ def pq_train(
             .groupBy("subspace", "cluster", "pos")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
         )
-        centroids = per_dim.groupBy("subspace", "cluster").agg(
+        return per_dim.groupBy("subspace", "cluster").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "s", "c"))),
                 lambda x: F.round(
@@ -162,23 +168,85 @@ def pq_train(
                 ).cast("bigint"),
             ).alias("cvec")
         )
+
+    def _finish(centroids: DataFrame, sizes: DataFrame) -> DataFrame:
+        return (
+            centroids.join(sizes, ["subspace", "cluster"], "left")
+            .select(
+                "subspace",
+                F.col("cluster").alias("code"),
+                F.transform(
+                    "cvec", lambda x: x.cast("double") / QUANT_SCALE
+                ).alias("centroid"),
+                F.coalesce("n_vectors", F.lit(0)).alias("n_vectors"),
+            )
+        )
+
+    if centroid_state == "driver":
+        spark = embeddings.sparkSession
+
+        def _cb_df(rows) -> DataFrame:
+            return spark.createDataFrame(
+                [(s, c, cv) for s, c, cv in rows],
+                "subspace int, cluster int, cvec array<bigint>",
+            )
+
+        def _assign(rows) -> DataFrame:
+            # driver-held codewords re-enter as a LITERAL one-row
+            # broadcast relation (not inline literal expressions — a
+            # constant array this size embedded in the plan defeats
+            # whole-stage codegen and ran 2-5x slower when measured):
+            # same broadcast + array_min projection as the recompute
+            # path, but the subtree under the broadcast is a local
+            # literal relation instead of the prior iterations' nested
+            # aggregation lineage.
+            if not rows:  # empty corpus: no codewords, empty assignment
+                return subs.select(
+                    id_col,
+                    "subspace",
+                    "qvec",
+                    F.lit(None).cast("int").alias("cluster"),
+                ).filter(F.lit(False))
+            return subs.crossJoin(
+                F.broadcast(_cb_arr(_cb_df(rows)))
+            ).select(
+                id_col,
+                "subspace",
+                "qvec",
+                _best_cluster(F.col("__cb")).alias("cluster"),
+            )
+
+        cb_rows = sorted(
+            (int(r["subspace"]), int(r["cluster"]), [int(x) for x in r["cvec"]])
+            for r in centroids.collect()
+        )
+        for _ in range(iters):
+            cb_rows = sorted(
+                (int(r["subspace"]), int(r["cluster"]), [int(x) for x in r["cvec"]])
+                for r in _per_dim_update(_assign(cb_rows)).collect()
+            )
+        sizes = (
+            _assign(cb_rows)
+            .groupBy("subspace", "cluster")
+            .agg(F.count(F.lit(1)).alias("n_vectors"))
+        )
+        return _finish(_cb_df(cb_rows), sizes)
+
+    for _ in range(iters):
+        assigned = subs.crossJoin(F.broadcast(_cb_arr(centroids))).select(
+            id_col,
+            "subspace",
+            "qvec",
+            _best_cluster(F.col("__cb")).alias("cluster"),
+        )
+        centroids = _per_dim_update(assigned)
     sizes = (
         subs.crossJoin(F.broadcast(_cb_arr(centroids)))
-        .select("subspace", _best_cluster().alias("cluster"))
+        .select("subspace", _best_cluster(F.col("__cb")).alias("cluster"))
         .groupBy("subspace", "cluster")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
-    return (
-        centroids.join(sizes, ["subspace", "cluster"], "left")
-        .select(
-            "subspace",
-            F.col("cluster").alias("code"),
-            F.transform(
-                "cvec", lambda x: x.cast("double") / QUANT_SCALE
-            ).alias("centroid"),
-            F.coalesce("n_vectors", F.lit(0)).alias("n_vectors"),
-        )
-    )
+    return _finish(centroids, sizes)
 
 
 def pq_encode(

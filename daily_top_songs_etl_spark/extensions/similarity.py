@@ -471,20 +471,31 @@ def kmeans_fit(
     """
     if centroid_state not in ("recompute", "driver"):
         raise ValueError(f"unknown centroid_state {centroid_state!r}")
-    if init_centroids is not None and centroid_state != "recompute":
-        raise ValueError("init_centroids requires centroid_state='recompute'")
     spark = embeddings.sparkSession
     q = quantize_embeddings(embeddings).select(id_col, "qvec").cache()
-    dist = F.aggregate(
-        F.zip_with("qvec", "cvec", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
-        lambda a, x: a + x,
-    )
     if centroid_state == "driver":
-        init = sorted(
-            (r[0], list(r[1])) for r in q.orderBy(id_col).limit(k).collect()
-        )
-        cent_rows = [(i, cv) for i, (_, cv) in enumerate(init)]
+        if init_centroids is not None:
+            # warm start: collect the (tiny) stored centroids,
+            # re-quantized exactly as _centroid_rel does — bit-identical
+            # to the recompute path's warm-start relation
+            cent_rows = sorted(
+                (int(r["cluster"]), [int(x) for x in r["cvec"]])
+                for r in init_centroids.select(
+                    F.col("cluster").cast("int").alias("cluster"),
+                    F.transform(
+                        "centroid",
+                        lambda x: F.round(x * QUANT_SCALE, 0).cast(
+                            "bigint"
+                        ),
+                    ).alias("cvec"),
+                ).collect()
+            )
+        else:
+            init = sorted(
+                (r[0], list(r[1]))
+                for r in q.orderBy(id_col).limit(k).collect()
+            )
+            cent_rows = [(i, cv) for i, (_, cv) in enumerate(init)]
 
         def _cent_df(rows):
             return spark.createDataFrame(
@@ -492,14 +503,43 @@ def kmeans_fit(
             )
 
         def _assign(rows):
-            return (
-                q.crossJoin(F.broadcast(_cent_df(rows)))
-                .withColumn("d", dist)
-                .groupBy(id_col, "qvec")
-                .agg(F.min(F.struct("d", "cluster")).alias("best"))
-                .select(
-                    id_col, "qvec", F.col("best.cluster").alias("cluster")
+            # driver-held centroids re-enter as a LITERAL one-row
+            # broadcast relation (not inline literal expressions — a
+            # constant array this size embedded in the plan defeats
+            # whole-stage codegen and measured 2-5x slower): the same
+            # broadcast + array_min projection as the recompute path —
+            # identical exact-BIGINT distances and min(struct(d,
+            # cluster)) tie-break — but the subtree under the broadcast
+            # is a local literal relation instead of the prior
+            # iterations' nested aggregation lineage.
+            if not rows:  # empty corpus: no clusters, empty assignment
+                return q.select(
+                    id_col, "qvec", F.lit(None).cast("int").alias("cluster")
+                ).filter(F.lit(False))
+            cents = _cent_df(rows).agg(
+                F.array_sort(
+                    F.collect_list(F.struct("cluster", "cvec"))
+                ).alias("__cents")
+            )
+            best = F.array_min(
+                F.transform(
+                    F.col("__cents"),
+                    lambda c: F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("qvec"),
+                                c["cvec"],
+                                lambda x, y: (x - y) * (x - y),
+                            ),
+                            F.lit(0).cast("bigint"),
+                            lambda a, x: a + x,
+                        ).alias("d"),
+                        c["cluster"].alias("cluster"),
+                    ),
                 )
+            )
+            return q.crossJoin(F.broadcast(cents)).select(
+                id_col, "qvec", best["cluster"].alias("cluster")
             )
 
         for _ in range(iters):

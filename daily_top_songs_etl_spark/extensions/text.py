@@ -1105,27 +1105,38 @@ def build_text_index(catalog, name: str, documents: DataFrame,
     # (zero-token docs carry no postings rows but still count).
     from pyspark.sql import Observation
 
-    obs = Observation()
-    catalog.write(
-        postings.observe(obs, F.sum("tf").alias("sum_dl")),
-        f"{name}__postings",
-        partition_by=["term_mod"],
-        meta={"probe_partitions": int(probe_partitions)},
-    )
-    sum_dl = obs.get["sum_dl"]
-    n_docs = documents.count()
-    # Corpus stats live in their OWN one-row versioned table (not the
-    # postings meta): incremental ingest must update them per batch, and
-    # a one-row versioned rewrite with a marker in ITS meta is the
-    # established exactly-once shape (the ANN occupancy pattern).
+    # Postings and stats publish under ONE staged multi-table commit:
+    # the postings version is STAGED first (invisible to readers) so
+    # the Observation riding its write yields sum_dl, the one-row stats
+    # table stages from that, and both flip under one intent manifest —
+    # a probe can never pair fresh postings with stale normalization
+    # constants, even across a crash (roll-forward recovery completes
+    # both flips or neither is visible).
     spark = documents.sparkSession
-    catalog.write(
-        spark.createDataFrame(
-            [(int(n_docs), int(sum_dl or 0))],
-            "n_docs long, sum_dl long",
-        ),
-        f"{name}__stats",
-    )
+    obs = Observation()
+    with catalog.writer_lock():
+        staged_v = catalog.stage_table(
+            postings.observe(obs, F.sum("tf").alias("sum_dl")),
+            f"{name}__postings",
+            partition_by=["term_mod"],
+            meta={"probe_partitions": int(probe_partitions)},
+        )
+        sum_dl = obs.get["sum_dl"]
+        n_docs = documents.count()
+        # Corpus stats live in their OWN one-row versioned table (not
+        # the postings meta): incremental ingest must update them per
+        # batch, and a one-row versioned rewrite with a marker in ITS
+        # meta is the established exactly-once shape (the ANN occupancy
+        # pattern).
+        catalog.commit_tables(
+            {
+                f"{name}__stats": spark.createDataFrame(
+                    [(int(n_docs), int(sum_dl or 0))],
+                    "n_docs long, sum_dl long",
+                )
+            },
+            staged={f"{name}__postings": staged_v},
+        )
 
 
 def query_text_index(
@@ -1206,90 +1217,98 @@ def append_to_text_index(
         ledger_seen,
     )
 
-    stats_meta = catalog.read_meta(f"{name}__stats") or {}
-    led = ledger_load(stats_meta)
-    if batch_id is not None and ledger_seen(led, batch_id):
-        # Replay of a FULLY applied batch (the stats flip is the last
-        # step, so a seen marker proves the postings append completed
-        # too): refuse before re-tokenizing — the merge_text_index
-        # ordering. A crash BETWEEN postings append and stats flip
-        # leaves the marker unseen, so that replay still re-runs the
-        # (idempotent) postings append below.
-        return
-    meta = catalog.read_meta(f"{name}__postings") or {}
-    nparts = int(meta["probe_partitions"])
-    t = tokens()
-    postings = (
-        fan_out_small_scan(batch)
-        .select(
-            "doc_id",
-            F.size(t).alias("dl"),
-            F.explode(t).alias("term"),
+    # ONE writer lock spans the ledger check, the postings append and
+    # the stats commit (the merge_ann_index argument): two concurrent
+    # appends would otherwise interleave their read-stats → write-stats
+    # steps and lose one batch's counts.
+    with catalog.writer_lock():
+        stats_meta = catalog.read_meta(f"{name}__stats") or {}
+        led = ledger_load(stats_meta)
+        if batch_id is not None and ledger_seen(led, batch_id):
+            # Replay of a FULLY applied batch (the stats flip is the
+            # last step, so a seen marker proves the postings append
+            # completed too): refuse before re-tokenizing — the
+            # merge_text_index ordering. A crash BETWEEN postings
+            # append and stats flip leaves the marker unseen, so that
+            # replay still re-runs the (idempotent) postings append.
+            return
+        meta = catalog.read_meta(f"{name}__postings") or {}
+        nparts = int(meta["probe_partitions"])
+        t = tokens()
+        postings = (
+            fan_out_small_scan(batch)
+            .select(
+                "doc_id",
+                F.size(t).alias("dl"),
+                F.explode(t).alias("term"),
+            )
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+            .withColumn(
+                "term_mod", F.pmod(F.xxhash64("term"), F.lit(nparts))
+            )
         )
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
-        .withColumn(
-            "term_mod", F.pmod(F.xxhash64("term"), F.lit(nparts))
-        )
-    )
-    # Batch token count rides the postings append itself (``observe`` —
-    # the build_text_index pattern): sum(tf) over the rows as they flow
-    # to the staging write IS the batch's sum_dl, so the batch is
-    # tokenized exactly once with no pin and no second aggregation job
-    # (the previous shape localCheckpointed the postings, then ran a
-    # separate sum over the pinned rows).
-    from pyspark.sql import Observation
+        # Batch token count rides the postings append itself
+        # (``observe`` — the build_text_index pattern): sum(tf) over
+        # the rows as they flow to the staging write IS the batch's
+        # sum_dl, so the batch is tokenized exactly once with no pin
+        # and no second aggregation job (the previous shape
+        # localCheckpointed the postings, then ran a separate sum over
+        # the pinned rows).
+        from pyspark.sql import Observation
 
-    obs = Observation()
-    observed = postings.observe(obs, F.sum("tf").alias("sum_dl"))
-    if batch_id is None:
-        catalog.append(
-            observed, f"{name}__postings", partition_by=["term_mod"]
+        obs = Observation()
+        observed = postings.observe(obs, F.sum("tf").alias("sum_dl"))
+        if batch_id is None:
+            catalog.append(
+                observed, f"{name}__postings", partition_by=["term_mod"]
+            )
+            executed = True
+        else:
+            executed = catalog.append_once(
+                observed, f"{name}__postings", batch_id,
+                partition_by=["term_mod"],
+            )
+        srow = catalog.read(f"{name}__stats").first()
+        # n_docs stays a tokenization-free count over the batch
+        # (zero-token docs carry no postings rows but still count).
+        # sum_dl comes from the observation when the append executed
+        # the plan; the created-by-this-batch replay (crash between
+        # postings and stats) never ran it, so that rare path
+        # re-aggregates instead of blocking on an observation that
+        # will never fire.
+        drow = {
+            "n_docs": batch.count(),
+            "sum_dl": (
+                obs.get["sum_dl"]
+                if executed
+                else postings.agg(F.sum("tf")).first()[0]
+            ),
+        }
+        spark = batch.sparkSession
+        new_meta = {
+            k: v
+            for k, v in stats_meta.items()
+            if k not in LEDGER_META_KEYS and k != "applied_batches"
+        }
+        if batch_id is not None:
+            ledger_add(led, batch_id)
+        if led["count"] or led["hwm"] or led["recent"]:
+            # ledger state (possibly migrated from a legacy
+            # applied_batches list) rides the new snapshot, even on
+            # unguarded appends
+            new_meta.update(ledger_meta(led))
+        catalog.write(
+            spark.createDataFrame(
+                [(
+                    int(srow["n_docs"]) + int(drow["n_docs"]),
+                    int(srow["sum_dl"]) + int(drow["sum_dl"] or 0),
+                )],
+                "n_docs long, sum_dl long",
+            ),
+            f"{name}__stats",
+            meta=new_meta,
         )
-        executed = True
-    else:
-        executed = catalog.append_once(
-            observed, f"{name}__postings", batch_id,
-            partition_by=["term_mod"],
-        )
-    srow = catalog.read(f"{name}__stats").first()
-    # n_docs stays a tokenization-free count over the batch (zero-token
-    # docs carry no postings rows but still count). sum_dl comes from
-    # the observation when the append executed the plan; the
-    # created-by-this-batch replay (crash between postings and stats)
-    # never ran it, so that rare path re-aggregates instead of blocking
-    # on an observation that will never fire.
-    drow = {
-        "n_docs": batch.count(),
-        "sum_dl": (
-            obs.get["sum_dl"]
-            if executed
-            else postings.agg(F.sum("tf")).first()[0]
-        ),
-    }
-    spark = batch.sparkSession
-    new_meta = {
-        k: v
-        for k, v in stats_meta.items()
-        if k not in LEDGER_META_KEYS and k != "applied_batches"
-    }
-    if batch_id is not None:
-        ledger_add(led, batch_id)
-    if led["count"] or led["hwm"] or led["recent"]:
-        # ledger state (possibly migrated from a legacy applied_batches
-        # list) rides the new snapshot, even on unguarded appends
-        new_meta.update(ledger_meta(led))
-    catalog.write(
-        spark.createDataFrame(
-            [(
-                int(srow["n_docs"]) + int(drow["n_docs"]),
-                int(srow["sum_dl"]) + int(drow["sum_dl"] or 0),
-            )],
-            "n_docs long, sum_dl long",
-        ),
-        f"{name}__stats",
-        meta=new_meta,
-    )
 
 
 def merge_text_index(
@@ -1336,51 +1355,56 @@ def merge_text_index(
 
     if batch_id is None:
         batch_id = f"merge-{src}"
-    dst_meta = catalog.read_meta(f"{dst}__postings") or {}
-    src_meta = catalog.read_meta(f"{src}__postings") or {}
-    if int(dst_meta["probe_partitions"]) != int(
-        src_meta["probe_partitions"]
-    ):
-        raise ValueError(
-            f"merge_text_index: {src!r} hashes terms over "
-            f"{src_meta['probe_partitions']} partitions but {dst!r} over "
-            f"{dst_meta['probe_partitions']} — stored term_mod values "
-            "are not transferable; rebuild one side"
+    # ONE writer lock spans the ledger check, the file-level append and
+    # the stats commit (the merge_ann_index argument): two concurrent
+    # merges into dst would otherwise interleave read-stats →
+    # write-stats and lose one increment.
+    with catalog.writer_lock():
+        dst_meta = catalog.read_meta(f"{dst}__postings") or {}
+        src_meta = catalog.read_meta(f"{src}__postings") or {}
+        if int(dst_meta["probe_partitions"]) != int(
+            src_meta["probe_partitions"]
+        ):
+            raise ValueError(
+                f"merge_text_index: {src!r} hashes terms over "
+                f"{src_meta['probe_partitions']} partitions but {dst!r} "
+                f"over {dst_meta['probe_partitions']} — stored term_mod "
+                "values are not transferable; rebuild one side"
+            )
+        stats_meta = catalog.read_meta(f"{dst}__stats") or {}
+        led = ledger_load(stats_meta)
+        if ledger_seen(led, batch_id):
+            return
+        # FILE-level append (``append_once_files``): src's stored
+        # postings files are partition-aligned with dst's by the equal-
+        # ``probe_partitions`` guard above, so the merge reuses the
+        # bytes as-is (hardlink / manifest reuse) instead of re-encoding
+        # every src row through a Spark read+write — zero Spark jobs,
+        # O(files) metadata work, and the appended rows are
+        # byte-identical to the shard build's by construction.
+        catalog.append_once_files(
+            f"{dst}__postings", catalog.path(f"{src}__postings"), batch_id
         )
-    stats_meta = catalog.read_meta(f"{dst}__stats") or {}
-    led = ledger_load(stats_meta)
-    if ledger_seen(led, batch_id):
-        return
-    # FILE-level append (``append_once_files``): src's stored postings
-    # files are partition-aligned with dst's by the equal-
-    # ``probe_partitions`` guard above, so the merge reuses the bytes
-    # as-is (hardlink / manifest reuse) instead of re-encoding every
-    # src row through a Spark read+write — zero Spark jobs, O(files)
-    # metadata work, and the appended rows are byte-identical to the
-    # shard build's by construction.
-    catalog.append_once_files(
-        f"{dst}__postings", catalog.path(f"{src}__postings"), batch_id
-    )
-    drow = catalog.read(f"{dst}__stats").first()
-    srow = catalog.read(f"{src}__stats").first()
-    new_meta = {
-        k: v
-        for k, v in stats_meta.items()
-        if k not in LEDGER_META_KEYS and k != "applied_batches"
-    }
-    ledger_add(led, batch_id)
-    new_meta.update(ledger_meta(led))
-    catalog.write(
-        catalog.spark.createDataFrame(
-            [(
-                int(drow["n_docs"]) + int(srow["n_docs"]),
-                int(drow["sum_dl"]) + int(srow["sum_dl"]),
-            )],
-            "n_docs long, sum_dl long",
-        ),
-        f"{dst}__stats",
-        meta=new_meta,
-    )
+        drow = catalog.read(f"{dst}__stats").first()
+        srow = catalog.read(f"{src}__stats").first()
+        new_meta = {
+            k: v
+            for k, v in stats_meta.items()
+            if k not in LEDGER_META_KEYS and k != "applied_batches"
+        }
+        ledger_add(led, batch_id)
+        new_meta.update(ledger_meta(led))
+        catalog.write(
+            catalog.spark.createDataFrame(
+                [(
+                    int(drow["n_docs"]) + int(srow["n_docs"]),
+                    int(drow["sum_dl"]) + int(srow["sum_dl"]),
+                )],
+                "n_docs long, sum_dl long",
+            ),
+            f"{dst}__stats",
+            meta=new_meta,
+        )
 
 
 def compact_text_index(

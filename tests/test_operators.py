@@ -2086,3 +2086,66 @@ def test_append_once_files_missing_src_raises_cleanly(spark, tmp_path):
     cat.write(spark.createDataFrame([(1,)], "k long"), "d")
     with pytest.raises(ValueError, match="src_path"):
         cat.append_once_files("d", cat.path("never_built"), "merge-x")
+
+
+def test_partitioned_sidecar_schema_matches_inference(spark, tmp_path):
+    """The partitioned sidecar read-schema (round-11 verdict item 6)
+    must be INDISTINGUISHABLE from a footer-inference read for every
+    value class it claims to replicate — same schema (partition column
+    type + position + nullability), same rows — and must DECLINE
+    (return None → real inference) on any class outside the replica:
+    that is what makes the optimization drift-proof."""
+    from daily_top_songs_etl_spark.catalog import Catalog
+
+    cases = {
+        # name → (rows, schema) with partition col 'p' of varying class
+        "smallint": ([(1, 3), (2, 4)], "k long, p long"),
+        "bigint": ([(1, 2**40), (2, 3)], "k long, p long"),
+        "dates": (
+            [(1, "2024-01-02"), (2, "2024-02-29")],
+            "k long, p string",
+        ),
+        "strings": ([(1, "us"), (2, "eu")], "k long, p string"),
+        "escaped": ([(1, "a/b"), (2, "x:y")], "k long, p string"),
+    }
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    for name, (rows, schema) in cases.items():
+        df = spark.createDataFrame(rows, schema)
+        if name == "dates":
+            df = df.select("k", F.col("p").cast("date").alias("p"))
+        cat.write(df, name, partition_by=["p"])
+        p = cat.path(name)
+        sidecar = cat._sidecar_schema(p)
+        assert sidecar is not None, f"{name}: sidecar path must engage"
+        inferred = spark.read.parquet(p)
+        via_sidecar = spark.read.schema(sidecar).parquet(p)
+        assert via_sidecar.schema == inferred.schema, (
+            f"{name}: sidecar {via_sidecar.schema} != "
+            f"inference {inferred.schema}"
+        )
+        assert sorted(map(str, via_sidecar.collect())) == sorted(
+            map(str, inferred.collect())
+        ), name
+        # term_mod-style check: a BIGINT-written small-int partition col
+        # must read back as INT (the inference round-trip), not BIGINT
+        if name == "smallint":
+            assert dict(via_sidecar.dtypes)["p"] == "int"
+    # classes OUTSIDE the replica must decline to inference
+    floats = spark.createDataFrame([(1, 1.5), (2, 2.5)], "k long, p double")
+    cat.write(floats, "floats", partition_by=["p"])
+    assert cat._sidecar_schema(cat.path("floats")) is None
+    # NULL partition keys (__HIVE_DEFAULT_PARTITION__) decline too
+    nulls = spark.createDataFrame(
+        [(1, "x"), (2, None)], "k long, p string"
+    )
+    cat.write(nulls, "nulls", partition_by=["p"])
+    assert cat._sidecar_schema(cat.path("nulls")) is None
+    # mixed classes decline
+    mixed = spark.createDataFrame(
+        [(1, "7"), (2, "us")], "k long, p string"
+    )
+    cat.write(mixed, "mixed", partition_by=["p"])
+    assert cat._sidecar_schema(cat.path("mixed")) is None
+    # and cat.read still serves every declined table (via inference)
+    for t in ("floats", "nulls", "mixed"):
+        assert cat.read(t).count() == 2
