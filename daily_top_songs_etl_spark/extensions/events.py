@@ -79,38 +79,81 @@ def funnel_steps(
     the number of users whose earliest qualifying completion of this
     step follows their qualifying completion of the previous step.
 
-    The per-stage relation keeps one row per surviving user (the
-    earliest qualifying timestamp), so each successive join's build side
-    shrinks monotonically — at scale every stage after the first is a
-    broadcast-able survivor set.
+    Single-shuffle shape (round 12, guide §2.1/§2.4 — the ClickHouse
+    ``windowFunnel`` plan): the previous per-stage chain of
+    filter→join→min-aggregate branches re-derived stage i inside every
+    later stage AND inside its own count branch (the union'd plan held
+    ~6 scans of the events table and 22 exchanges at 3 steps, with no
+    exchange reuse under AQE). Now ONE pass: filter to step-typed
+    events, ONE shuffle keyed on the user collecting the sorted
+    (ts, type) array, then a linear fold per user computes every
+    stage's earliest qualifying timestamp — t_i = first event of type
+    steps[i] strictly after t_{i-1} — which over a ts-sorted array is
+    exactly the chained-min semantics the per-stage joins computed
+    (verified against the DuckDB oracle). One corpus scan and one
+    exchange regardless of step count, instead of O(steps²) scan work.
+
+    Skew note: the per-user array holds that user's step-typed events;
+    a pathological single user with a large fraction of the corpus
+    would concentrate in one task (the standard funnel-operator
+    caveat — salt or pre-cap per-user events if such a key exists).
     """
     if not steps:
         raise ValueError("funnel_steps requires at least one step")
-    user, ts = F.col(user_col).alias("user_id"), F.col(ts_col)
+    n = len(steps)
+    ts_type = events.schema[ts_col].dataType
 
-    survivors: DataFrame | None = None
-    counts: list[DataFrame] = []
-    for i, step in enumerate(steps):
-        stage = events.filter(F.col(type_col) == step).select(user, ts.alias("_ts"))
-        if survivors is not None:
-            # No broadcast hint: the survivor set starts as "every user who
-            # did step 0" (possibly huge); AQE downgrades to broadcast when
-            # a stage's survivors actually fit.
-            stage = stage.join(survivors, "user_id").filter(
-                F.col("_ts") > F.col("_prev_ts")
+    per_user = events.filter(
+        F.col(type_col).isin(list(set(steps)))
+    ).groupBy(F.col(user_col).alias("user_id")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).alias("ts"), F.col(type_col).alias("t")
+                )
             )
-        survivors = stage.groupBy("user_id").agg(F.min("_ts").alias("_prev_ts"))
-        counts.append(
-            survivors.agg(
-                F.lit(i).alias("step_index"),
-                F.lit(step).alias("step"),
-                F.count(F.lit(1)).alias("users"),
+        ).alias("evs")
+    )
+
+    def _upd(a, e, i: int):
+        cond = a[f"t{i}"].isNull() & (e["t"] == F.lit(steps[i]))
+        if i > 0:
+            cond = (
+                cond
+                & a[f"t{i-1}"].isNotNull()
+                & (e["ts"] > a[f"t{i-1}"])
             )
-        )
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionByName(c)
-    return out
+        return F.when(cond, e["ts"]).otherwise(a[f"t{i}"])
+
+    acc0 = F.struct(
+        *[F.lit(None).cast(ts_type).alias(f"t{i}") for i in range(n)]
+    )
+    folded = per_user.select(
+        F.aggregate(
+            "evs",
+            acc0,
+            lambda a, e: F.struct(
+                *[_upd(a, e, i).alias(f"t{i}") for i in range(n)]
+            ),
+        ).alias("f")
+    )
+    counts = folded.agg(
+        *[F.count(F.col(f"f.t{i}")).alias(f"c{i}") for i in range(n)]
+    )
+    return counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("step_index"),
+                        F.lit(step).alias("step"),
+                        F.col(f"c{i}").cast("bigint").alias("users"),
+                    )
+                    for i, step in enumerate(steps)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
 
 
 def rolling_range_sum(

@@ -179,12 +179,26 @@ def robust_outliers(
     exact BIGINT, so the flagged set is engine-reproducible. Returns
     (group, n, med, mad, n_outliers).
     """
-    med = grouped_exact_quantiles(
-        df, group_col, value_col, quantiles=((1, 2),), n_buckets=n_buckets
-    ).select(
-        F.col(group_col).alias("__g"),
-        F.col("n"),
-        F.col("value").alias("med"),
+    # med is ONE ROW PER GROUP but embeds the full two-pass median
+    # selection — and it is referenced by every downstream consumer
+    # (the dev projection feeding the MAD selection's two pinned
+    # passes, the final join). Unpinned, each of those re-executed the
+    # entire first selection (profiled: the MAD selection's stats/tgt
+    # pins dominated the face at 4-5 re-executions of the median
+    # lineage). Pinning the tiny relation truncates that: dev recomputes
+    # as scan + broadcast join only — the right shape at 100 TB, where
+    # re-running a selection pass costs two corpus reads.
+    med = (
+        grouped_exact_quantiles(
+            df, group_col, value_col, quantiles=((1, 2),),
+            n_buckets=n_buckets,
+        )
+        .select(
+            F.col(group_col).alias("__g"),
+            F.col("n"),
+            F.col("value").alias("med"),
+        )
+        .localCheckpoint(eager=True)
     )
     dev = (
         df.select(
@@ -194,9 +208,16 @@ def robust_outliers(
         .join(F.broadcast(med), "__g")
         .withColumn("adev", F.abs(F.col("v") - F.col("med")))
     )
-    mad = grouped_exact_quantiles(
-        dev, "__g", "adev", quantiles=((1, 2),), n_buckets=n_buckets
-    ).select(F.col("__g"), F.col("value").alias("mad"))
+    # mad: same argument — one row per group, referenced twice (the
+    # outlier-count aggregate and the final join), embeds the second
+    # two-pass selection.
+    mad = (
+        grouped_exact_quantiles(
+            dev, "__g", "adev", quantiles=((1, 2),), n_buckets=n_buckets
+        )
+        .select(F.col("__g"), F.col("value").alias("mad"))
+        .localCheckpoint(eager=True)
+    )
     flagged = (
         dev.join(F.broadcast(mad), "__g")
         .groupBy("__g")

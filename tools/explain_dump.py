@@ -1,9 +1,9 @@
-"""Dump .explain("formatted") for named registry queries to plans/r11/.
+"""Dump .explain("formatted") for named registry queries to plans/<round>/.
 
 Usage:
     python tools/explain_dump.py <tag> <query> [<query> ...]
 
-Writes plans/r11/<query>_<tag>.txt for each named query. Construction of a
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt (default r12). Construction of a
 query DataFrame may itself run driver-side work (the lifecycle faces build
 their index before returning the read-back frame); the dumped plan is the
 plan of the RETURNED frame — the artifact the driver hashes.
@@ -28,7 +28,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r11",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="explain_dump")
