@@ -240,6 +240,12 @@ def pq_train(
             _best_cluster(F.col("__cb")).alias("cluster"),
         )
         centroids = _per_dim_update(assigned)
+    # The FINAL codeword relation (m·k tiny rows) is referenced twice —
+    # the occupancy pass's broadcast and the returned join's left side —
+    # and each reference re-derives the whole nested iteration tree over
+    # the cached melted corpus. Pin it so the train lineage executes
+    # once (the kmeans_fit shape).
+    centroids = centroids.localCheckpoint(eager=True)
     sizes = (
         subs.crossJoin(F.broadcast(_cb_arr(centroids)))
         .select("subspace", _best_cluster(F.col("__cb")).alias("cluster"))

@@ -653,6 +653,11 @@ def kmeans_fit(
                 ).cast("bigint"),
             ).alias("cvec")
         )
+    # The FINAL centroid relation (k tiny rows) is referenced twice —
+    # the occupancy pass's broadcast and the returned join's left side —
+    # and each reference re-derives the whole nested iteration tree over
+    # the cached corpus. Pin it so the train lineage executes once.
+    centroids = centroids.localCheckpoint(eager=True)
     sizes = (
         q.crossJoin(F.broadcast(_cent_arr(centroids)))
         .select(_best_cluster(F.col("__cents")).alias("cluster"))
