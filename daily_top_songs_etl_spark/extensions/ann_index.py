@@ -803,9 +803,12 @@ def cluster_drift(
     Returns one row per centroid: counts, shares, and share drift
     (current − baseline; positive = cluster growing).
     """
+    # k tiny rows referenced three times (both snapshots' assignment
+    # broadcasts + the per-cluster spine) — pin so the iterative Lloyd
+    # lineage executes once, not once per reference
     centroids = kmeans_fit(
         baseline, k=n_centroids, iters=iters, id_col=id_col
-    )
+    ).localCheckpoint(eager=True)
     cent = _centroid_rel(centroids)
 
     def _prep(df: DataFrame) -> DataFrame:
@@ -825,6 +828,9 @@ def cluster_drift(
         .groupBy("cluster")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_cur"))
     )
+    # k tiny rows that EMBED both corpus-assignment passes, referenced
+    # twice (the totals aggregate + the returned select) — pin so each
+    # snapshot is scanned once, not twice
     per_cluster = (
         cent.select(F.col("cent_id").alias("cluster"))
         .join(n_base, "cluster", "left")
@@ -834,6 +840,7 @@ def cluster_drift(
             F.coalesce("n_base", F.lit(0)).cast("bigint").alias("n_base"),
             F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
         )
+        .localCheckpoint(eager=True)
     )
     totals = per_cluster.agg(
         F.sum("n_base").cast("bigint").alias("tb"),
@@ -874,9 +881,12 @@ def refine_ann_index(
     older index.
     """
     stored = catalog.read(f"{name}__centroids").select("cluster", "centroid")
+    # k tiny rows referenced twice (the assignment broadcast AND the
+    # centroid-table write) — pin so the warm-started Lloyd lineage
+    # executes once, not once per reference (the build_ann_index shape)
     refined = kmeans_fit(
         embeddings, iters=iters, id_col=id_col, init_centroids=stored
-    )
+    ).localCheckpoint(eager=True)
     cent = _centroid_rel(refined)
     base = quantize_embeddings(embeddings).select(
         F.col(id_col).alias("vec_id"),
@@ -889,15 +899,19 @@ def refine_ann_index(
         F.count(F.lit(1)).cast("bigint").alias("n_vectors")
     )
     # stored occupancy = occupancy of the STORED lists (see
-    # build_ann_index)
-    catalog.write(
-        refined.select("cluster", "centroid")
-        .join(occ, "cluster", "left")
-        .select(
-            "cluster",
-            "centroid",
-            F.coalesce("n_vectors", F.lit(0)).alias("n_vectors"),
-        ),
-        f"{name}__centroids",
+    # build_ann_index). Both tables publish under ONE staged commit —
+    # no crash window where refined centroids are visible next to the
+    # pre-refine lists.
+    catalog.commit_tables(
+        {
+            f"{name}__centroids": refined.select("cluster", "centroid")
+            .join(occ, "cluster", "left")
+            .select(
+                "cluster",
+                "centroid",
+                F.coalesce("n_vectors", F.lit(0)).alias("n_vectors"),
+            ),
+            f"{name}__lists": lists,
+        },
+        partition_bys={f"{name}__lists": ["cluster"]},
     )
-    catalog.write(lists, f"{name}__lists", partition_by=["cluster"])
