@@ -10477,27 +10477,81 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- registry head: the first 50 entries are the driver's correctness
     # window (CORRECTNESS_r{N}.json samples exactly these slots in order).
-    # Round-11 rotation (VERDICT r10 "Next round" #3, #6):
-    #   slot 1      — flagship anchor (every round).
-    #   slots 2-15  — the reference-surface §2 core band (joins, dedup
-    #     upsert, retention/GC, window family), unchanged from r10.
-    #   slots 16-44 — the STALEST driver rows in the registry: the six
-    #     faces the r10 window displaced (source_quota,
-    #     importance_resample, cluster_quota, dedup_apply_soft,
-    #     quality_drift, fuzzy_decontaminate — r9 rows) plus the 23
-    #     oracle-paired faces whose most recent driver row is r1-r3
-    #     (setop_intersect r1; the r2 band; the oldest r3 band incl.
-    #     left_join / pricing_summary / window_rank_family, which are
-    #     ALSO §2 surface). Relative order preserved from the registry
-    #     so build entries stay before their steady-state consumers.
-    #   slot 45     — the round-11 NEW face (matview_partition_retract:
-    #     partition-scoped IVM retraction — verdict r10 #3); new faces
-    #     sit last among oracle-paired slots (round-1 lesson).
-    #   slots 46-50 — ALL FIVE rows_only() faces, pinned to the exact
+    # Round-12 rotation (VERDICT r11 "Next round" #2): the window points
+    # at EVERY face the round-11 and round-12 optimization waves touched,
+    # so the driver independently re-verifies the rewritten paths:
+    #   slot 1      - flagship anchor (every round).
+    #   slots 2-23  - the index lifecycles (text/ann/ivfpq/pq/dedup builds,
+    #     queries, appends, compactions, FILE-level merges) + cms_incremental
+    #     - the r11 file-level-append + schema-sidecar waves and the r12
+    #     multi-table staged commits, in build-before-consumer order.
+    #   slots 24-31 - streams + matviews (exactly-once state: observe-on-
+    #     append, partition-scoped refresh/retract, the r12 hive-escaped
+    #     partition guard and partitioned sidecar schemas).
+    #   slots 32-40 - the kmeans / PQ family (argmin-as-projection + the
+    #     r12 final-centroid pin in both Lloyd trains).
+    #   slots 41-45 - the r12 profiled walls (single-shuffle funnel,
+    #     gapfill observed-pin, robust_outliers med/mad pins, the
+    #     quantile selection family, dedup_apply cold-run adjudication).
+    #   slots 46-50 - ALL FIVE rows_only() faces, pinned to the exact
     #     committed row counts in ROWS_ONLY_EXPECTED.json (no oracle can
     #     exist BY NATURE; engine-side epsilon-bound tests named in
     #     rows_only() carry the value verification).
+    # Every face displaced below slot 50 has a driver-verified green row
+    # in CORRECTNESS_r11 (the previous window) or earlier; old relative
+    # order kept so build entries stay before their steady-state
+    # consumers.
     "flagship_delta": q_flagship_delta,
+    "text_index_build": q_text_index_build,
+    "text_index_query": q_text_index_query,
+    "text_index_append": q_text_index_append,
+    "text_index_compact": q_text_index_compact,
+    "text_index_merge": q_text_index_merge,
+    "ann_index_build": q_ann_index_build,
+    "ann_index_query": q_ann_index_query,
+    "ann_index_append": q_ann_index_append,
+    "ann_index_refine": q_ann_index_refine,
+    "ann_index_delete": q_ann_index_delete,
+    "ann_index_merge": q_ann_index_merge,
+    "ivfpq_index_build": q_ivfpq_index_build,
+    "ivfpq_query": q_ivfpq_query,
+    "ivfpq_append": q_ivfpq_append,
+    "ivfpq_merge": q_ivfpq_merge,
+    "pq_index_build": q_pq_index_build,
+    "pq_encode_apply": q_pq_encode_apply,
+    "dedup_index_build": q_dedup_index_build,
+    "dedup_index_query": q_dedup_index_query,
+    "dedup_index_compact": q_dedup_index_compact,
+    "dedup_index_merge": q_dedup_index_merge,
+    "cms_incremental": q_cms_incremental,
+    "vector_stream_state": q_vector_stream_state,
+    "sketch_stream_state": q_sketch_stream_state,
+    "stream_dedup": q_stream_dedup,
+    "stream_source_quota": q_stream_source_quota,
+    "matview_refresh": q_matview_refresh,
+    "matview_retract": q_matview_retract,
+    "matview_partition_refresh": q_matview_partition_refresh,
+    "matview_partition_retract": q_matview_partition_retract,
+    "kmeans": q_kmeans,
+    "kmeans_assign": q_kmeans_assign,
+    "kmeans_update": q_kmeans_update,
+    "cluster_drift": q_cluster_drift,
+    "embedding_centroids": q_embedding_centroids,
+    "sim_topk_ivf": q_sim_topk_ivf,
+    "pq_codes": q_pq_codes,
+    "pq_subspace_assign": q_pq_subspace_assign,
+    "pq_topk_adc": q_pq_topk,
+    "funnel_conversion": q_funnel_conversion,
+    "gapfill_daily": q_gapfill_daily,
+    "robust_outliers": q_robust_outliers,
+    "exact_quartiles": q_exact_quartiles,
+    "dedup_apply": q_dedup_apply,
+    "approx_distinct_users": q_approx_distinct_users,
+    "approx_percentile": q_approx_percentile,
+    "incremental_distinct": q_incremental_distinct,
+    "text_normalize": q_text_normalize,
+    "text_compress_ratio": q_text_compress_ratio,
+    # --- end of driver correctness window (slot 50) ---
     "regional_volume": q_regional_volume,
     "nation_trade_volume": q_nation_trade_volume,
     "string_agg": q_string_agg,
@@ -10541,47 +10595,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_winnow": q_text_winnow,
     "sim_topk_lsh": q_sim_topk_lsh,
     "stream_session_window": q_stream_session_window,
-    "matview_partition_retract": q_matview_partition_retract,
-    "approx_distinct_users": q_approx_distinct_users,
-    "approx_percentile": q_approx_percentile,
-    "incremental_distinct": q_incremental_distinct,
-    "text_normalize": q_text_normalize,
-    "text_compress_ratio": q_text_compress_ratio,
-    # --- end of driver correctness window (slot 50) ---
-    # Displaced earlier windows and continuation (every entry below has a
-    # driver-verified green row in CORRECTNESS_r01..r10); old relative
-    # order kept so build entries stay before their steady-state
-    # consumers.
-    "text_index_build": q_text_index_build,
-    "text_index_query": q_text_index_query,
-    "text_index_append": q_text_index_append,
-    "text_index_compact": q_text_index_compact,
-    "text_index_merge": q_text_index_merge,
-    "ann_index_build": q_ann_index_build,
-    "ann_index_query": q_ann_index_query,
-    "ann_index_append": q_ann_index_append,
-    "ann_index_refine": q_ann_index_refine,
-    "ann_index_delete": q_ann_index_delete,
-    "ann_index_merge": q_ann_index_merge,
-    "ivfpq_index_build": q_ivfpq_index_build,
-    "ivfpq_query": q_ivfpq_query,
-    "ivfpq_append": q_ivfpq_append,
-    "ivfpq_merge": q_ivfpq_merge,
-    "pq_index_build": q_pq_index_build,
-    "pq_encode_apply": q_pq_encode_apply,
-    "dedup_index_build": q_dedup_index_build,
-    "dedup_index_query": q_dedup_index_query,
-    "dedup_index_compact": q_dedup_index_compact,
-    "dedup_index_merge": q_dedup_index_merge,
-    "vector_stream_state": q_vector_stream_state,
-    "sketch_stream_state": q_sketch_stream_state,
     "boilerplate_strip": q_boilerplate_strip,
-    "stream_source_quota": q_stream_source_quota,
-    "stream_dedup": q_stream_dedup,
-    "matview_refresh": q_matview_refresh,
-    "matview_retract": q_matview_retract,
     "fuzzy_decontaminate_stripped": q_fuzzy_decontaminate_stripped,
-    "matview_partition_refresh": q_matview_partition_refresh,
     "dedup_exact": q_dedup_exact,
     "dedup_spans": q_dedup_spans,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -10601,17 +10616,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorize": q_winsorize,
     "temperature_mixture": q_temperature_mixture,
     "pagerank": q_pagerank,
-    "kmeans": q_kmeans,
     "bpe_train": q_bpe_train,
     "bpe_encode_vocab": q_bpe_encode_vocab,
     "pretrain_funnel": q_pretrain_funnel,
     "dedup_semantic_apply": q_dedup_semantic_apply,
     "triangle_count": q_triangle_count,
     "mmr_topk": q_mmr_topk,
-    "exact_quartiles": q_exact_quartiles,
-    "robust_outliers": q_robust_outliers,
     "cms_topk": q_cms_topk,
-    "cms_incremental": q_cms_incremental,
     "cms_join_size": q_cms_join_size,
     "kmv_distinct": q_kmv_distinct,
     "bigram_lm_score": q_bigram_lm_score,
@@ -10619,7 +10630,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "leakage_safe_split": q_leakage_safe_split,
     "srp_project": q_srp_project,
     "srp_neighbor_recall": q_srp_neighbor_recall,
-    "cluster_drift": q_cluster_drift,
     "ann_recall_at_k": q_ann_recall_at_k,
     "knn_classify": q_knn_classify,
     "hard_negatives": q_hard_negatives,
@@ -10682,17 +10692,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": q_snapshot_diff,
     "table_checksum": q_table_checksum,
     "range_join": q_range_join,
-    "embedding_centroids": q_embedding_centroids,
     "cohort_retention": q_cohort_retention,
-    "funnel_conversion": q_funnel_conversion,
-    "gapfill_daily": q_gapfill_daily,
     "cumulative_distinct": q_cumulative_distinct,
     "max_concurrency": q_max_concurrency,
     "time_rollup": q_time_rollup,
     "yoy_growth": q_yoy_growth,
     "rolling_window_range": q_rolling_window_range,
     "fuzzy_pairs": q_fuzzy_pairs,
-    "dedup_apply": q_dedup_apply,
     "dedup_segments_apply": q_dedup_segments_apply,
     "text_ngram_topk": q_text_ngram_topk,
     "text_repetition": q_text_repetition,
@@ -10705,13 +10711,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_upsample": q_mixture_upsample,
     "quality_linear": q_quality_linear,
     "pmi_topk": q_pmi_topk,
-    "kmeans_assign": q_kmeans_assign,
-    "kmeans_update": q_kmeans_update,
     "bpe_top_pair": q_bpe_top_pair,
     "bpe_encode": q_bpe_encode,
-    "pq_subspace_assign": q_pq_subspace_assign,
-    "pq_codes": q_pq_codes,
-    "pq_topk_adc": q_pq_topk,
     "explode": q_explode,
     "text_token_stats": q_text_token_stats,
     "text_language_id": q_text_language_id,
@@ -10724,7 +10725,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_text_fingerprint,
     "setop_except": q_setop_except,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
-    "sim_topk_ivf": q_sim_topk_ivf,
     "asof_join": q_asof_join,
     "rollup_agg": q_rollup_agg,
 }
